@@ -1,0 +1,116 @@
+"""Distance-kernel unit tests (reference analog: util/VectorUtilsTest.java,
+core/VectorTest.java math assertions)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vector_db_tpu.ops import distance as D
+from vector_db_tpu.ops import topk as T
+
+
+def _np_sq_l2(q, b):
+    return ((q[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+
+
+class TestPairwise:
+    def test_sq_l2_matches_numpy(self, rng):
+        q = rng.standard_normal((7, 33)).astype(np.float32)
+        b = rng.standard_normal((19, 33)).astype(np.float32)
+        got = np.asarray(D.pairwise_sq_l2(jnp.asarray(q), jnp.asarray(b)))
+        np.testing.assert_allclose(got, _np_sq_l2(q, b), rtol=5e-3, atol=0.1)
+
+    def test_cosine_matches_numpy(self, rng):
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        b = rng.standard_normal((11, 16)).astype(np.float32)
+        got = np.asarray(D.pairwise_cosine_dist(jnp.asarray(q), jnp.asarray(b)))
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+        want = 1.0 - qn @ bn.T
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+    def test_self_distance_zero(self, rng):
+        x = rng.standard_normal((4, 8)).astype(np.float32)
+        d = np.asarray(D.pairwise_sq_l2(jnp.asarray(x), jnp.asarray(x)))
+        np.testing.assert_allclose(np.diag(d), 0.0, atol=0.1)
+
+    def test_unknown_metric_raises(self, rng):
+        x = jnp.zeros((2, 4))
+        with pytest.raises(ValueError):
+            D.pairwise_dist(x, x, metric="manhattan")
+
+
+class TestBlockedKnn:
+    @pytest.mark.parametrize("n,block", [(100, 32), (257, 64), (64, 128)])
+    def test_matches_full_scan(self, rng, n, block):
+        d, q_n, k = 24, 9, 10
+        base = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((q_n, d)).astype(np.float32)
+        valid = np.ones(n, bool)
+        dists, idx = D.blocked_knn(
+            jnp.asarray(q), jnp.asarray(base), jnp.asarray(valid), k, block_n=block
+        )
+        full = _np_sq_l2(q, base)
+        want_idx = np.argsort(full, axis=1)[:, :k]
+        want_d = np.take_along_axis(full, want_idx, axis=1)
+        # the norm-identity kernel carries f32 cancellation error ~1e-2
+        np.testing.assert_allclose(np.asarray(dists), want_d, rtol=5e-3, atol=0.15)
+        # indices can permute under distance ties; compare via distances
+        got_d = np.take_along_axis(full, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(got_d, want_d, rtol=5e-3, atol=0.15)
+
+    def test_respects_valid_mask(self, rng):
+        base = rng.standard_normal((50, 8)).astype(np.float32)
+        q = base[:3]  # exact self-matches
+        valid = np.ones(50, bool)
+        valid[:3] = False  # mask out the self-matches
+        dists, idx = D.blocked_knn(
+            jnp.asarray(q), jnp.asarray(base), jnp.asarray(valid), 5, block_n=32
+        )
+        idx = np.asarray(idx)
+        assert not np.isin(idx, [0, 1, 2]).any()
+
+    def test_k_larger_than_valid_pads(self, rng):
+        base = rng.standard_normal((16, 4)).astype(np.float32)
+        valid = np.zeros(16, bool)
+        valid[:3] = True
+        dists, idx = D.blocked_knn(
+            jnp.ones((1, 4)), jnp.asarray(base), jnp.asarray(valid), 8, block_n=16
+        )
+        idx, dists = np.asarray(idx)[0], np.asarray(dists)[0]
+        assert (idx[:3] >= 0).all()
+        assert (idx[3:] == -1).all()
+        assert np.isinf(dists[3:]).all()
+
+    def test_sorted_ascending(self, rng):
+        base = rng.standard_normal((40, 6)).astype(np.float32)
+        q = rng.standard_normal((4, 6)).astype(np.float32)
+        dists, _ = D.blocked_knn(
+            jnp.asarray(q), jnp.asarray(base), jnp.ones(40, bool), 10, block_n=16
+        )
+        dists = np.asarray(dists)
+        assert (np.diff(dists, axis=1) >= -1e-6).all()
+
+
+class TestTopK:
+    def test_smallest_k(self):
+        d = jnp.asarray([[3.0, 1.0, 2.0, 0.5]])
+        vals, idx = T.smallest_k(d, 2)
+        np.testing.assert_allclose(np.asarray(vals)[0], [0.5, 1.0])
+        np.testing.assert_array_equal(np.asarray(idx)[0], [3, 1])
+
+    def test_merge_topk(self):
+        da = jnp.asarray([[1.0, 4.0]])
+        ia = jnp.asarray([[10, 40]], dtype=jnp.int32)
+        db = jnp.asarray([[2.0, 3.0]])
+        ib = jnp.asarray([[20, 30]], dtype=jnp.int32)
+        d, i = T.merge_topk(da, ia, db, ib, 3)
+        np.testing.assert_allclose(np.asarray(d)[0], [1.0, 2.0, 3.0])
+        np.testing.assert_array_equal(np.asarray(i)[0], [10, 20, 30])
+
+    def test_unique_smallest_k(self):
+        dists = jnp.asarray([5.0, 1.0, 3.0, 1.5, 2.0])
+        ids = jnp.asarray([7, 3, 7, 3, 9], dtype=jnp.int32)
+        d, i = T.unique_smallest_k(dists, ids, 4)
+        np.testing.assert_array_equal(np.asarray(i), [3, 9, 7, -1])
+        np.testing.assert_allclose(np.asarray(d)[:3], [1.0, 2.0, 3.0])

@@ -1,0 +1,178 @@
+"""Compression and index configuration.
+
+Parity with the reference's CompressionConfig (reference:
+config/CompressionConfig.java:46-203) including every factory preset and the
+compression-ratio math, plus per-index config dataclasses mirroring
+HNSWConfig / HNSWPQConfig / PQConfig / IVFConfig (native/index/*.h).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class CompressionType(enum.Enum):
+    """reference: config/CompressionConfig.java:46-65"""
+
+    NONE = "none"
+    PQ = "pq"
+    HNSWPQ = "hnswpq"
+
+
+@dataclasses.dataclass
+class CompressionConfig:
+    """Product-quantization compression settings.
+
+    compression ratio = 4 * dim / num_subspaces (CompressionConfig.java:180-192):
+    each float32 subvector of dim/num_subspaces floats becomes one uint8 code.
+    """
+
+    enabled: bool = False
+    compression_type: CompressionType = CompressionType.NONE
+    num_subspaces: int = 8
+    num_centroids: int = 256
+    training_iterations: int = 25
+
+    # -------------------------------------------------------------- presets
+    @classmethod
+    def default_config(cls) -> "CompressionConfig":
+        """Compression off (CompressionConfig.java:70)."""
+        return cls()
+
+    @classmethod
+    def pq_config(cls, num_subspaces: int = 8) -> "CompressionConfig":
+        """Flat-PQ preset (CompressionConfig.java:83-92)."""
+        return cls(True, CompressionType.PQ, num_subspaces)
+
+    @classmethod
+    def hnsw_pq_config(cls, num_subspaces: int = 8) -> "CompressionConfig":
+        """HNSW+PQ preset (CompressionConfig.java:94-104)."""
+        return cls(True, CompressionType.HNSWPQ, num_subspaces)
+
+    @classmethod
+    def recommended_config(cls, dimension: int) -> "CompressionConfig":
+        """dim/8 subspaces -> 32x at 512-dim (CompressionConfig.java:114-130)."""
+        sub = max(1, dimension // 8)
+        return cls(True, CompressionType.HNSWPQ, sub)
+
+    @classmethod
+    def high_recall_config(cls, dimension: int) -> "CompressionConfig":
+        """dim/4 subspaces -> 16x (CompressionConfig.java:139-151)."""
+        sub = max(1, dimension // 4)
+        return cls(True, CompressionType.HNSWPQ, sub)
+
+    @classmethod
+    def high_compression_config(cls, dimension: int) -> "CompressionConfig":
+        """dim/16 subspaces -> 64x (CompressionConfig.java:160-172)."""
+        sub = max(1, dimension // 16)
+        return cls(True, CompressionType.HNSWPQ, sub)
+
+    # ---------------------------------------------------------------- maths
+    def compression_ratio(self, dimension: int) -> float:
+        """4 * dim / subspaces (CompressionConfig.java:180-192)."""
+        if not self.enabled or self.num_subspaces <= 0:
+            return 1.0
+        return 4.0 * dimension / self.num_subspaces
+
+    def memory_savings_pct(self, dimension: int) -> float:
+        """(1 - 1/ratio) * 100 (CompressionConfig.java:194-203)."""
+        r = self.compression_ratio(dimension)
+        return (1.0 - 1.0 / r) * 100.0 if r > 0 else 0.0
+
+    def effective_subspaces(self, dimension: int) -> int:
+        """Auto-adjust so dim % subspaces == 0 (reference:
+        index/HnswPqIndex.java:78-84, findBestSubspaceDivisor :113-130)."""
+        sub = min(self.num_subspaces, dimension)
+        if dimension % sub == 0:
+            return sub
+        best = 1
+        for cand in range(sub, 0, -1):
+            if dimension % cand == 0:
+                best = cand
+                break
+        return best
+
+
+@dataclasses.dataclass
+class HnswConfig:
+    """reference: index/HnswIndex.java:21-26 (Java defaults M=32, efC=400,
+    ef=400) and native/index/HNSWIndex.h:15-50 (adaptive efSearch)."""
+
+    m: int = 32
+    ef_construction: int = 400
+    ef_search: int = 400
+    max_level: int = 0  # 0 -> derived from capacity: log_M(cap)+1
+    expand_per_iter: int = 1  # candidates expanded per beam iteration
+    batch_insert: int = 64  # nodes inserted per frozen-graph round
+
+    def derived_max_level(self, capacity: int) -> int:
+        if self.max_level > 0:
+            return self.max_level
+        return max(1, int(math.log(max(capacity, 2)) / math.log(max(self.m, 2))) + 1)
+
+    def ef_for_query(self, k: int) -> int:
+        """ef = max(ef, 4k) (reference: index/HnswIndex.java:347)."""
+        return max(self.ef_search, 4 * k)
+
+
+@dataclasses.dataclass
+class HnswPqConfig:
+    """Flagship config (reference: index/HnswPqIndex.java:27-32 — M=32,
+    efC=ef=64, squared-L2; native/index/HNSWPQIndex.h:22-35 — pqM=64,
+    pqBits=8, 25 k-means iterations)."""
+
+    m: int = 32
+    ef_construction: int = 64
+    ef_search: int = 64
+    num_subspaces: int = 64
+    num_centroids: int = 256
+    training_iterations: int = 25
+    training_samples: int = 10000  # lazy-train threshold (HnswPqIndex.java:170-175)
+    refine_k: int = 256  # exact re-rank pool per query (scaled-down analog of
+    # the reference's 50k re-rank, HnswPqIndex.java:647-664 — on TPU the ADC
+    # scan is exhaustive so a few hundred refine candidates already saturate recall)
+    use_graph: bool = False  # False -> exhaustive ADC scan path (TPU-fast);
+    # True -> HNSW traversal over PQ codes (large-N path)
+
+
+@dataclasses.dataclass
+class PqConfig:
+    """reference: index/PqIndex.java:42-44 (8 subvectors x 256 clusters),
+    native/index/PQIndex.h:10-14."""
+
+    num_subspaces: int = 8
+    num_centroids: int = 256
+    training_iterations: int = 10
+    refine_k: int = 0  # 0 -> pure ADC ranking (reference behaviour)
+
+
+@dataclasses.dataclass
+class IvfConfig:
+    """reference: index/IvfIndex.java:41-57 (nClusters=100 capped at N/10,
+    nProbes=10), native/index/IVFIndex.h:9-13 (25 iterations)."""
+
+    num_clusters: int = 100
+    num_probes: int = 10
+    training_iterations: int = 25
+
+
+@dataclasses.dataclass
+class LshConfig:
+    """reference: index/LshIndex.java:40-42 (10 hash fns x 5 tables,
+    bucket width 4) and native/index/LSHIndex.{h,cpp} (10 tables x 20 bits)."""
+
+    num_tables: int = 10
+    num_bits: int = 16
+    bucket_width: float = 4.0
+
+
+@dataclasses.dataclass
+class AnnoyConfig:
+    """reference: index/AnnoyIndex.java:32-38 (10 trees, leaf<=10) and
+    native/index/AnnoyIndex.{h,cpp}."""
+
+    num_trees: int = 10
+    leaf_size: int = 16
+    search_k: int = 0  # 0 -> k * trees * 2 (AnnoyIndex.cpp:117-153 cap)

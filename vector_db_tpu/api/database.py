@@ -1,0 +1,383 @@
+"""VectorDatabase — the user-facing facade with Builder.
+
+Parity with the reference's API layer (reference: core/VectorDatabase.java):
+Builder (:326-410), addVector (:151-170, storage-first), getVector (:178),
+deleteVector (:192-205), search (:214-221), size (:226), rebuildIndex
+(:284-286), loadFromStorage (:291-313), close (:319), compression getters
+(:253-276), and the IndexType-driven index factory (:71-103).
+
+TPU-native differences: search is batch-first (queries ride the MXU together),
+persistence checkpoints device arrays instead of replaying JSON, and the
+JNI/handle seam is replaced by the jit dispatch boundary inside each index.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.types import SearchResult, Vector, make_results
+from ..index.base import VectorIndex
+from ..storage import checkpoint as ckpt
+from .config import (
+    AnnoyConfig,
+    CompressionConfig,
+    CompressionType,
+    HnswConfig,
+    HnswPqConfig,
+    IvfConfig,
+    LshConfig,
+    PqConfig,
+)
+
+FORMAT_VERSION = 1
+
+
+class IndexType(enum.Enum):
+    """reference: core/VectorDatabase.java:25-32 (+ BRUTE, the exact baseline
+    config of BASELINE.json)."""
+
+    BRUTE = "brute"
+    HNSW = "hnsw"
+    ANNOY = "annoy"
+    LSH = "lsh"
+    IVF = "ivf"
+    PQ = "pq"
+    HNSWPQ = "hnswpq"
+
+
+def _create_index(
+    index_type: IndexType,
+    dim: int,
+    capacity: int,
+    metric: str,
+    compression: CompressionConfig,
+    index_config=None,
+) -> VectorIndex:
+    """Index factory (reference: core/VectorDatabase.java:71-103).
+
+    Like the reference, a PQ/HNSWPQ CompressionConfig overrides the plain
+    index choice (:75-85).
+    """
+    if compression.enabled and index_type in (IndexType.HNSW, IndexType.HNSWPQ, IndexType.PQ):
+        if compression.compression_type == CompressionType.HNSWPQ:
+            index_type = IndexType.HNSWPQ
+        elif compression.compression_type == CompressionType.PQ:
+            index_type = IndexType.PQ
+
+    if index_type == IndexType.BRUTE:
+        from ..index.brute import BruteForceIndex
+
+        return BruteForceIndex(dim, capacity, metric)
+    if index_type == IndexType.HNSW:
+        from ..index.hnsw import HnswIndex
+
+        return HnswIndex(dim, capacity, metric, index_config or HnswConfig())
+    if index_type == IndexType.HNSWPQ:
+        from ..index.hnsw_pq import HnswPqIndex
+
+        cfg = index_config
+        if cfg is None:
+            sub = compression.effective_subspaces(dim) if compression.enabled else max(1, dim // 8)
+            cfg = HnswPqConfig(
+                num_subspaces=sub,
+                training_iterations=compression.training_iterations,
+            )
+        return HnswPqIndex(dim, capacity, metric, cfg)
+    if index_type == IndexType.PQ:
+        from ..index.pq import PqIndex
+
+        cfg = index_config
+        if cfg is None:
+            sub = compression.effective_subspaces(dim) if compression.enabled else 8
+            cfg = PqConfig(num_subspaces=sub)
+        return PqIndex(dim, capacity, metric, cfg)
+    if index_type == IndexType.IVF:
+        from ..index.ivf import IvfIndex
+
+        return IvfIndex(dim, capacity, metric, index_config or IvfConfig())
+    if index_type == IndexType.LSH:
+        from ..index.lsh import LshIndex
+
+        return LshIndex(dim, capacity, metric, index_config or LshConfig())
+    if index_type == IndexType.ANNOY:
+        from ..index.annoy import AnnoyIndex
+
+        return AnnoyIndex(dim, capacity, metric, index_config or AnnoyConfig())
+    raise ValueError(f"unsupported index type: {index_type}")
+
+
+class VectorDatabase:
+    """Embedded TPU-native vector database.
+
+    Usage mirrors the reference Builder chain::
+
+        db = (VectorDatabase.builder()
+              .with_dimension(512)
+              .with_max_elements(100_000)
+              .with_index_type(IndexType.HNSWPQ)
+              .with_compression(CompressionConfig.recommended_config(512))
+              .with_storage_path("./data")
+              .build())
+    """
+
+    def __init__(
+        self,
+        dimension: int,
+        max_elements: int,
+        index_type: IndexType = IndexType.HNSW,
+        metric: str = "l2",
+        storage_path: Optional[str] = None,
+        compression: Optional[CompressionConfig] = None,
+        index_config=None,
+        flush_interval: int = 1000,
+        auto_load: bool = True,
+    ):
+        if dimension <= 0:
+            raise ValueError("dimension must be positive")
+        if max_elements <= 0:
+            raise ValueError("max_elements must be positive")
+        self.dimension = dimension
+        self.max_elements = max_elements
+        self.index_type = index_type
+        self.metric = metric
+        self.storage_path = storage_path
+        self.compression = compression or CompressionConfig.default_config()
+        self.flush_interval = flush_interval  # write-behind cadence
+        # (reference: storage/VectorStorage.java:81,128 flushes every 1000)
+        self._mutations_since_flush = 0
+        self._closed = False
+        self.index = _create_index(
+            index_type, dimension, max_elements, metric, self.compression, index_config
+        )
+        if auto_load and storage_path and ckpt.checkpoint_exists(storage_path):
+            self.load_from_storage()
+
+    # ---------------------------------------------------------------- builder
+    @classmethod
+    def builder(cls) -> "VectorDatabase.Builder":
+        return cls.Builder()
+
+    class Builder:
+        """reference: core/VectorDatabase.java:326-410"""
+
+        def __init__(self):
+            self._dim: Optional[int] = None
+            self._max: Optional[int] = None
+            self._type = IndexType.HNSW
+            self._metric = "l2"
+            self._path: Optional[str] = None
+            self._compression: Optional[CompressionConfig] = None
+            self._index_config = None
+            self._index: Optional[VectorIndex] = None
+
+        def with_dimension(self, d: int) -> "VectorDatabase.Builder":
+            self._dim = d
+            return self
+
+        def with_max_elements(self, m: int) -> "VectorDatabase.Builder":
+            self._max = m
+            return self
+
+        def with_index_type(self, t: IndexType) -> "VectorDatabase.Builder":
+            self._type = t
+            return self
+
+        def with_metric(self, metric: str) -> "VectorDatabase.Builder":
+            self._metric = metric
+            return self
+
+        def with_storage_path(self, p: str) -> "VectorDatabase.Builder":
+            self._path = p
+            return self
+
+        def with_compression(self, c: CompressionConfig) -> "VectorDatabase.Builder":
+            self._compression = c
+            return self
+
+        def with_index_config(self, cfg) -> "VectorDatabase.Builder":
+            self._index_config = cfg
+            return self
+
+        def with_index(self, index: VectorIndex) -> "VectorDatabase.Builder":
+            """Direct index injection (reference: Builder.withIndex :402)."""
+            self._index = index
+            return self
+
+        def build(self) -> "VectorDatabase":
+            if self._dim is None or self._max is None:
+                raise ValueError("dimension and max_elements are required")
+            db = VectorDatabase(
+                self._dim,
+                self._max,
+                self._type,
+                self._metric,
+                self._path,
+                self._compression,
+                self._index_config,
+                auto_load=self._index is None,
+            )
+            if self._index is not None:
+                db.index = self._index
+            return db
+
+    # ------------------------------------------------------------------ CRUD
+    def add_vector(self, vec_id: int, values: np.ndarray) -> bool:
+        """Insert one vector; False on duplicate/overflow/dim-mismatch
+        (reference: core/VectorDatabase.java:151-170)."""
+        self._check_open()
+        values = np.asarray(values, np.float32)
+        if values.shape != (self.dimension,):
+            return False
+        ok = self.index.add(int(vec_id), values)
+        if ok:
+            self._note_mutation()
+        return ok
+
+    def add_batch(self, ids: Sequence[int], values: np.ndarray) -> list[int]:
+        """Batch insert; returns accepted ids (reference batch path:
+        jni/NativeIndex.java:153-179)."""
+        self._check_open()
+        values = np.asarray(values, np.float32)
+        accepted = self.index.add_batch([int(i) for i in ids], values)
+        if accepted:
+            self._note_mutation(len(accepted))
+        return accepted
+
+    def get_vector(self, vec_id: int) -> Optional[Vector]:
+        """reference: core/VectorDatabase.java:178-185"""
+        self._check_open()
+        vals = self.index.get(int(vec_id))
+        return Vector(int(vec_id), vals) if vals is not None else None
+
+    def delete_vector(self, vec_id: int) -> bool:
+        """reference: core/VectorDatabase.java:192-205"""
+        self._check_open()
+        ok = self.index.remove(int(vec_id))
+        if ok:
+            self._note_mutation()
+        return ok
+
+    # ---------------------------------------------------------------- search
+    def search(self, query: np.ndarray, k: int) -> list[SearchResult]:
+        """k-NN search (reference: core/VectorDatabase.java:214-221)."""
+        self._check_open()
+        query = np.asarray(query, np.float32)
+        if query.shape != (self.dimension,):
+            raise ValueError(f"query must have dimension {self.dimension}")
+        ids, dists = self.index.search(query, k)
+        return make_results(ids.tolist(), dists.tolist(), self.metric)
+
+    def search_batch(self, queries: np.ndarray, k: int) -> list[list[SearchResult]]:
+        """Batched k-NN — the QPS path (reference:
+        jni/NativeIndex.java:187-230)."""
+        self._check_open()
+        queries = np.asarray(queries, np.float32)
+        ids, dists = self.index.search_batch(queries, k)
+        return [
+            make_results(ids[q].tolist(), dists[q].tolist(), self.metric)
+            for q in range(queries.shape[0])
+        ]
+
+    # ------------------------------------------------------------------ state
+    def size(self) -> int:
+        self._check_open()
+        return self.index.size()
+
+    def rebuild_index(self) -> None:
+        """reference: core/VectorDatabase.java:284-286"""
+        self._check_open()
+        self.index.build()
+
+    def stats(self) -> dict:
+        return self.index.stats()
+
+    # ---------------------------------------------------------- compression
+    def is_compression_enabled(self) -> bool:
+        """reference: core/VectorDatabase.java:253-258"""
+        return self.compression.enabled
+
+    def get_compression_ratio(self) -> float:
+        """reference: core/VectorDatabase.java:260-268"""
+        return self.compression.compression_ratio(self.dimension)
+
+    def get_memory_savings_pct(self) -> float:
+        """reference: core/VectorDatabase.java:270-276"""
+        return self.compression.memory_savings_pct(self.dimension)
+
+    # ---------------------------------------------------------- persistence
+    def save(self) -> bool:
+        """Checkpoint the full database state (store + index structures)."""
+        self._check_open()
+        if not self.storage_path:
+            return False
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "dimension": self.dimension,
+            "max_elements": self.max_elements,
+            "index_type": self.index_type.value,
+            "index_kind": self.index.kind,
+            "metric": self.metric,
+            "size": self.index.size(),
+        }
+        ckpt.save_checkpoint(self.storage_path, meta, self.index.state_arrays())
+        self._mutations_since_flush = 0
+        return True
+
+    def load_from_storage(self) -> bool:
+        """Restore from checkpoint — O(bytes), no index rebuild
+        (contrast reference: core/VectorDatabase.java:291-313 replays inserts)."""
+        self._check_open()
+        if not self.storage_path:
+            return False
+        loaded = ckpt.load_checkpoint(self.storage_path)
+        if loaded is None:
+            return False
+        meta, arrays = loaded
+        if meta.get("dimension") != self.dimension:
+            raise ValueError(
+                f"checkpoint dimension {meta.get('dimension')} != {self.dimension}"
+            )
+        if meta.get("index_kind") != self.index.kind:
+            # checkpoint was written by a different index type: rebuild via the
+            # stored raw vectors if present
+            if "store" in arrays:
+                from ..core.store import VectorStore
+
+                store = VectorStore.from_host(arrays["store"])
+                ids = store.ids()
+                if ids:
+                    vecs = np.stack([store.get(i) for i in ids])
+                    self.index.add_batch(ids, vecs)
+                    self.index.build()
+                return True
+            return False
+        self.index.load_state_arrays(arrays)
+        return True
+
+    def close(self) -> None:
+        """Flush and close (reference: core/VectorDatabase.java:319)."""
+        if self._closed:
+            return
+        if self.storage_path:
+            self.save()
+        self._closed = True
+
+    def __enter__(self) -> "VectorDatabase":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ---------------------------------------------------------------- private
+    def _note_mutation(self, n: int = 1) -> None:
+        self._mutations_since_flush += n
+        if self.storage_path and self._mutations_since_flush >= self.flush_interval:
+            self.save()
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError("database is closed")

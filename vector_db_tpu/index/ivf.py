@@ -1,0 +1,215 @@
+"""IVF (inverted-file) index — coarse k-means + nprobe cluster scan.
+
+TPU-native analog of the reference's IVF (reference: index/IvfIndex.java —
+nClusters=100 capped at N/10, nProbes=10 :41-57, brute-force fallback when
+untrained/small :215-225, k-means++ build :335-399; native/index/IVFIndex.cpp
+— flat k-means train :21-81, partial_sort centroids + scan nProbes lists
+:110-159).
+
+Design (SURVEY.md §7.1.4): cluster membership is a padded [nlist, maxlen]
+slot-id table; search = one query x centroid matmul for probe selection, then
+a gather of the probed clusters' members and a batched exact distance over the
+gathered block — two MXU matmuls per batch instead of per-element scans.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api.config import IvfConfig
+from ..core.store import VectorStore
+from ..ops.distance import blocked_knn, pairwise_dist
+from ..ops.topk import smallest_k
+from .base import VectorIndex
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "metric", "max_len"))
+def _ivf_search(
+    queries: jnp.ndarray,       # [Q, d]
+    centroids: jnp.ndarray,     # [C, d]
+    members: jnp.ndarray,       # [C, L] slot ids, -1 padded
+    base: jnp.ndarray,          # [cap, d]
+    valid: jnp.ndarray,         # [cap]
+    nprobe: int,
+    k: int,
+    metric: str,
+    max_len: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    # 1. probe selection: query x centroid distance matmul
+    cd = pairwise_dist(queries, centroids, metric)  # [Q, C]
+    _, probes = jax.lax.top_k(-cd, nprobe)  # [Q, P]
+
+    # 2. gather probed clusters' member slots -> [Q, P*L]
+    cand = members[probes].reshape(queries.shape[0], nprobe * max_len)
+    ok = cand >= 0
+    safe = jnp.maximum(cand, 0)
+    ok = ok & valid[safe]
+
+    # 3. exact distances over the gathered block
+    cand_vecs = base[safe]  # [Q, P*L, d]
+    if metric == "l2":
+        d = jnp.sum((cand_vecs - queries[:, None, :]) ** 2, axis=2)
+    else:
+        qn = jnp.linalg.norm(queries, axis=1, keepdims=True)
+        vn = jnp.linalg.norm(cand_vecs, axis=2)
+        dot = jnp.einsum("qd,qrd->qr", queries, cand_vecs)
+        d = 1.0 - dot / jnp.maximum(qn * vn, 1e-12)
+    d = jnp.where(ok, d, jnp.inf)
+    return smallest_k(d, k, cand)
+
+
+class IvfIndex(VectorIndex):
+    kind = "ivf"
+
+    def __init__(self, dim: int, capacity: int, metric: str = "l2", config: Optional[IvfConfig] = None):
+        super().__init__(dim, capacity, metric)
+        self.config = config or IvfConfig()
+        self.store = VectorStore(capacity, dim)
+        self.centroids: Optional[jax.Array] = None  # [C, d]
+        self.assignments = np.full(self.store.capacity, -1, np.int32)  # slot -> cluster
+        self.members: Optional[jax.Array] = None  # [C, L] padded slot table
+        self._members_dirty = True
+        self.trained = False
+        self.seed = 42
+
+    # ------------------------------------------------------------- mutation
+    def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
+        accepted, slots = self.store.add_batch(ids, vectors)
+        if accepted and self.trained:
+            self._assign_slots(np.asarray(slots, np.int64))
+        return accepted
+
+    def remove(self, vec_id: int) -> bool:
+        slot = self.store.remove(vec_id)
+        if slot is None:
+            return False
+        self.assignments[slot] = -1
+        self._members_dirty = True
+        return True
+
+    # --------------------------------------------------------------- build
+    def build(self) -> None:
+        """Train the coarse quantizer + assign everything (reference:
+        IvfIndex.buildIndex :335-399 k-means++ + one Lloyd pass; we run the
+        configured number of Lloyd iterations on-device)."""
+        from ..ops.kmeans import kmeans_fit
+
+        n = self.store.size()
+        # nClusters <= N/10 cap (reference: IvfIndex.java:41-57)
+        n_clusters = max(1, min(self.config.num_clusters, max(n // 10, 1)))
+        if n < 2:
+            return
+        st = self.store.state
+        live = np.flatnonzero(np.asarray(st.valid))
+        data = jnp.asarray(np.asarray(st.vectors)[live])
+        self.centroids, assign = kmeans_fit(
+            jax.random.PRNGKey(self.seed),
+            data,
+            k=n_clusters,
+            iters=self.config.training_iterations,
+            plus_plus=True,
+        )
+        self.assignments[:] = -1
+        self.assignments[live] = np.asarray(assign)
+        self.trained = True
+        self._members_dirty = True
+
+    def _assign_slots(self, slots: np.ndarray) -> None:
+        vecs = self.store.state.vectors[jnp.asarray(slots)]
+        d = pairwise_dist(vecs, self.centroids, self.metric)
+        self.assignments[slots] = np.asarray(jnp.argmin(d, axis=1))
+        self._members_dirty = True
+
+    def _member_table(self) -> tuple[jax.Array, int]:
+        """Padded [C, L] member table, rebuilt lazily after mutations."""
+        if self.members is not None and not self._members_dirty:
+            return self.members, self.members.shape[1]
+        c = int(self.centroids.shape[0])
+        valid = np.asarray(self.store.state.valid)
+        lists: list[list[int]] = [[] for _ in range(c)]
+        for slot, cl in enumerate(self.assignments):
+            if cl >= 0 and valid[slot]:
+                lists[cl].append(slot)
+        max_len = max(1, max((len(l) for l in lists), default=1))
+        # pad to a multiple of 8 to bound recompiles as clusters grow
+        max_len = ((max_len + 7) // 8) * 8
+        table = np.full((c, max_len), -1, np.int32)
+        for ci, l in enumerate(lists):
+            table[ci, : len(l)] = l
+        self.members = jnp.asarray(table)
+        self._members_dirty = False
+        return self.members, max_len
+
+    # --------------------------------------------------------------- search
+    def search_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dim:
+            raise ValueError(f"expected [*, {self.dim}] queries, got {queries.shape}")
+        st = self.store.state
+        n_live = self.store.size()
+        k_eff = min(k, st.capacity)
+
+        if not self.trained or n_live <= k:
+            # brute-force fallback (reference: IvfIndex.java:215-225)
+            dists, slots = blocked_knn(
+                jnp.asarray(queries), st.vectors, st.valid, k_eff,
+                metric=self.metric, b_norms=st.norms,
+                block_n=min(8192, st.capacity),
+            )
+        else:
+            members, max_len = self._member_table()
+            nprobe = min(self.config.num_probes, int(self.centroids.shape[0]))
+            dists, slots = _ivf_search(
+                jnp.asarray(queries), self.centroids, members,
+                st.vectors, st.valid, nprobe, k_eff, self.metric, max_len,
+            )
+        slots_np = np.asarray(slots)
+        ids_np = np.asarray(st.ids)
+        ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
+        out_ids = np.full((queries.shape[0], k), -1, np.int32)
+        out_d = np.full((queries.shape[0], k), np.inf, np.float32)
+        out_ids[:, :k_eff] = ext
+        out_d[:, :k_eff] = np.asarray(dists)
+        return out_ids, out_d
+
+    # ---------------------------------------------------------------- state
+    def size(self) -> int:
+        return self.store.size()
+
+    def get(self, vec_id: int) -> Optional[np.ndarray]:
+        return self.store.get(vec_id)
+
+    def stats(self) -> dict:
+        s = super().stats()
+        s.update(
+            trained=self.trained,
+            num_clusters=int(self.centroids.shape[0]) if self.trained else 0,
+            num_probes=self.config.num_probes,
+        )
+        return s
+
+    # ------------------------------------------------------------ persistence
+    def state_arrays(self) -> dict:
+        out = {
+            "store": self.store.to_host(),
+            "assignments": self.assignments,
+            "trained": np.asarray([self.trained]),
+        }
+        if self.centroids is not None:
+            out["centroids"] = np.asarray(self.centroids)
+        return out
+
+    def load_state_arrays(self, arrays: dict) -> None:
+        self.store = VectorStore.from_host(arrays["store"])
+        self.assignments = np.asarray(arrays["assignments"]).copy()
+        self.trained = bool(np.asarray(arrays["trained"])[0])
+        self.centroids = (
+            jnp.asarray(arrays["centroids"]) if "centroids" in arrays else None
+        )
+        self._members_dirty = True
+        self.members = None

@@ -1,0 +1,143 @@
+"""ADC (asymmetric distance computation) kernels for Product Quantization.
+
+TPU-native replacement for the reference's ADC stack (reference:
+native/compute/ADCUtils.cpp:11-147 AVX2 lookup-table accumulation;
+index/PqIndex.java:306-330 distance-table build; :273-293 full scan;
+index/HnswPqIndex.java:371-386 computePQDistance).
+
+Design (SURVEY.md §7.0): the per-query distance table is a small matmul; the
+code scan streams the HBM-resident uint8 code matrix in blocks and reduces
+either by XLA gather or by a one-hot matmul on the MXU (both provided — the
+kernel-provider seam, selectable per call; the scan is memory-bound on the
+[N, S] code bytes so both are near speed-of-light for realistic shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@jax.jit
+def pq_encode(data: Array, codebooks: Array) -> Array:
+    """Encode vectors to PQ codes (reference: HnswPqIndex.encodeVector :355-366).
+
+    data: [n, dim]; codebooks: [S, K, sub_dim] -> codes [n, S] uint8.
+    Per-subspace nearest-centroid argmin via one batched matmul (the vmapped
+    analog of the reference's 4-thread parallel encode, PQIndex.cpp:227-245).
+    """
+    n, dim = data.shape
+    s, k, sub_dim = codebooks.shape
+    sub = data.reshape(n, s, sub_dim).transpose(1, 0, 2)  # [S, n, sd]
+
+    def one(sub_data, cb):
+        d = (
+            jnp.sum(sub_data * sub_data, axis=1)[:, None]
+            + jnp.sum(cb * cb, axis=1)[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                sub_data, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        )
+        return jnp.argmin(d, axis=1)
+
+    codes = jax.vmap(one)(sub, codebooks)  # [S, n]
+    return codes.T.astype(jnp.uint8)
+
+
+@jax.jit
+def build_distance_tables(queries: Array, codebooks: Array) -> Array:
+    """Per-query subspace distance tables (reference: PqIndex.java:306-330).
+
+    queries: [Q, dim]; codebooks: [S, K, sub_dim] -> tables [Q, S, K] float32
+    where tables[q, s, c] = ||q_sub[s] - codebooks[s, c]||^2.
+    """
+    q_n, dim = queries.shape
+    s, k, sub_dim = codebooks.shape
+    q_sub = queries.reshape(q_n, s, sub_dim)  # [Q, S, sd]
+    cb_norms = jnp.sum(codebooks * codebooks, axis=2)  # [S, K]
+    q_norms = jnp.sum(q_sub * q_sub, axis=2)  # [Q, S]
+    # cross[q, s, c] = q_sub[q, s] . codebooks[s, c]
+    cross = jnp.einsum(
+        "qsd,skd->qsk", q_sub, codebooks, preferred_element_type=jnp.float32
+    )
+    return q_norms[:, :, None] + cb_norms[None, :, :] - 2.0 * cross
+
+
+def _adc_block_gather(tables: Array, codes_blk: Array) -> Array:
+    """Distances for one code block via gather. tables [Q,S,K], codes [B,S]
+    -> [Q, B]."""
+    idx = codes_blk.astype(jnp.int32).T[None, :, :]  # [1, S, B]
+    gathered = jnp.take_along_axis(tables, idx, axis=2)  # [Q, S, B]
+    return jnp.sum(gathered, axis=1)
+
+
+def _adc_block_onehot(tables: Array, codes_blk: Array) -> Array:
+    """Distances for one code block via one-hot matmul on the MXU.
+    tables [Q,S,K], codes [B,S] -> [Q, B]."""
+    q_n, s, k = tables.shape
+    b = codes_blk.shape[0]
+    onehot = jax.nn.one_hot(codes_blk.astype(jnp.int32), k, dtype=jnp.bfloat16)  # [B,S,K]
+    flat_t = tables.reshape(q_n, s * k).astype(jnp.bfloat16)
+    flat_o = onehot.reshape(b, s * k)
+    return jax.lax.dot_general(
+        flat_t, flat_o, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "impl"))
+def adc_scan_topk(
+    tables: Array,
+    codes: Array,
+    valid: Array,
+    k: int,
+    block_n: int = 4096,
+    impl: str = "gather",
+) -> tuple[Array, Array]:
+    """Exhaustive ADC scan with running top-k (the TPU answer to the
+    reference's 8-way-unrolled blocked scan, PQIndex.cpp:165-198).
+
+    tables: [Q, S, K]; codes: [N, S] uint8; valid: [N] bool.
+    Returns (dists [Q, k], slot_idx [Q, k]) ascending; -1/inf padded.
+    """
+    q_n = tables.shape[0]
+    n = codes.shape[0]
+    block_fn = _adc_block_gather if impl == "gather" else _adc_block_onehot
+
+    n_pad = (-n) % block_n
+    if n_pad:
+        codes = jnp.pad(codes, ((0, n_pad), (0, 0)))
+        valid = jnp.pad(valid, (0, n_pad))
+    num_blocks = (n + n_pad) // block_n
+
+    init_d = jnp.full((q_n, k), jnp.inf, jnp.float32)
+    init_i = jnp.full((q_n, k), -1, jnp.int32)
+
+    def body(carry, blk):
+        top_d, top_i = carry
+        start = blk * block_n
+        c_blk = jax.lax.dynamic_slice_in_dim(codes, start, block_n, axis=0)
+        v_blk = jax.lax.dynamic_slice_in_dim(valid, start, block_n, axis=0)
+        d_blk = block_fn(tables, c_blk)
+        d_blk = jnp.where(v_blk[None, :], d_blk, jnp.inf)
+        i_blk = start + jax.lax.broadcasted_iota(jnp.int32, (q_n, block_n), 1)
+        cat_d = jnp.concatenate([top_d, d_blk], axis=1)
+        cat_i = jnp.concatenate([top_i, i_blk], axis=1)
+        neg, arg = jax.lax.top_k(-cat_d, k)
+        return ((-neg), jnp.take_along_axis(cat_i, arg, axis=1)), None
+
+    (top_d, top_i), _ = jax.lax.scan(
+        body, (init_d, init_i), jnp.arange(num_blocks, dtype=jnp.int32)
+    )
+    top_i = jnp.where(jnp.isfinite(top_d), top_i, -1)
+    return top_d, top_i
+
+
+def adc_distances(tables: Array, codes: Array) -> Array:
+    """Full [Q, N] ADC distance matrix (small-N path / single-pair use —
+    the analog of ADCUtils::computeADCDistance, ADCUtils.cpp:11-17)."""
+    return _adc_block_gather(tables, codes)
