@@ -104,8 +104,10 @@ class HnswConfig:
     ef_construction: int = 400
     ef_search: int = 400
     max_level: int = 0  # 0 -> derived from capacity: log_M(cap)+1
-    expand_per_iter: int = 1  # candidates expanded per beam iteration
+    expand_per_iter: int = 4  # candidates expanded per beam iteration
     batch_insert: int = 64  # nodes inserted per frozen-graph round
+    heuristic: bool = True  # diversity neighbor selection (native reference
+    # behaviour, HNSWIndex.cpp:322-469); False -> simple nearest-M (Java)
 
     def derived_max_level(self, capacity: int) -> int:
         if self.max_level > 0:
@@ -130,9 +132,9 @@ class HnswPqConfig:
     num_centroids: int = 256
     training_iterations: int = 25
     training_samples: int = 10000  # lazy-train threshold (HnswPqIndex.java:170-175)
-    refine_k: int = 256  # exact re-rank pool per query (scaled-down analog of
-    # the reference's 50k re-rank, HnswPqIndex.java:647-664 — on TPU the ADC
-    # scan is exhaustive so a few hundred refine candidates already saturate recall)
+    refine_k: int = 1024  # exact re-rank pool per query (analog of the
+    # reference's 50k re-rank, HnswPqIndex.java:647-664 — on TPU the ADC scan
+    # is exhaustive, and a ~1k refine pool saturates Recall@10 at 32x)
     use_graph: bool = False  # False -> exhaustive ADC scan path (TPU-fast);
     # True -> HNSW traversal over PQ codes (large-N path)
 

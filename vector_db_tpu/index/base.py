@@ -16,6 +16,26 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
+def pow2(n: int) -> int:
+    """Next power of two (>=1)."""
+    return 1 << (max(int(n), 1) - 1).bit_length()
+
+
+def pad_queries_pow2(queries: np.ndarray, min_q: int = 8) -> tuple[np.ndarray, int]:
+    """Pad a [Q, d] query batch with zero rows to the next power of two.
+
+    Bounds the number of distinct jit compilations per index to
+    O(log Q_max) — the TPU analog of the reference's fixed thread-pool fanout
+    (HNSWIndex.cpp:543-571 always splits into numThreads chunks).
+    Returns (padded queries, original Q).
+    """
+    q_n = queries.shape[0]
+    qp = pow2(max(q_n, min_q))
+    if qp != q_n:
+        queries = np.pad(queries, ((0, qp - q_n), (0, 0)))
+    return queries, q_n
+
+
 class VectorIndex(abc.ABC):
     """Batch-first ANN index over a device-resident corpus."""
 

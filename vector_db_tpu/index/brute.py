@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core.store import VectorStore
 from ..ops.distance import blocked_knn
-from .base import VectorIndex
+from .base import VectorIndex, pad_queries_pow2, pow2
 
 
 class BruteForceIndex(VectorIndex):
@@ -46,23 +46,25 @@ class BruteForceIndex(VectorIndex):
         if queries.ndim != 2 or queries.shape[1] != self.dim:
             raise ValueError(f"expected [*, {self.dim}] queries, got {queries.shape}")
         st = self.store.state
+        padded, q_n = pad_queries_pow2(queries)
         k_eff = min(k, st.capacity)
+        k_pad = min(pow2(k_eff), st.capacity)
         dists, slots = blocked_knn(
-            jnp.asarray(queries),
+            jnp.asarray(padded),
             st.vectors,
             st.valid,
-            k_eff,
+            k_pad,
             metric=self.metric,
             b_norms=st.norms,
             block_n=min(self.block_n, st.capacity),
         )
-        slots_np = np.asarray(slots)
+        slots_np = np.asarray(slots)[:q_n, :k_eff]
         ids_np = np.asarray(st.ids)
         ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
-        out_ids = np.full((queries.shape[0], k), -1, np.int32)
-        out_d = np.full((queries.shape[0], k), np.inf, np.float32)
+        out_ids = np.full((q_n, k), -1, np.int32)
+        out_d = np.full((q_n, k), np.inf, np.float32)
         out_ids[:, :k_eff] = ext
-        out_d[:, :k_eff] = np.asarray(dists)
+        out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
         return out_ids, out_d
 
     # ---------------------------------------------------------------- state

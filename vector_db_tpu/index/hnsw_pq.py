@@ -1,0 +1,391 @@
+"""HNSW+PQ flagship index — compressed codes + graph + exact re-rank.
+
+TPU-native analog of the reference flagship (reference:
+index/HnswPqIndex.java — lazy training on first min(10000, max/10) vectors
+:170-175, per-subspace k-means :194-293, exact-distance graph build ("Fix #4")
+:491-499, two-stage search: PQ candidate generation + exact re-rank
+:616-664; native/index/HNSWPQIndex.{h,cpp} — pqM=64, pqBits=8, refine pool).
+
+TPU-first redesign (SURVEY.md §7.3.2): the reference's recall fixes turned its
+search into a near-brute-force scan over a PQ-pruned pool (efSearch = 15% of
+N!).  On the MXU that observation inverts the architecture: the default search
+path is an **exhaustive blocked ADC scan** over the uint8 code matrix with a
+fused top-R, followed by an exact re-rank of the R survivors — both pure
+matmul/gather work that runs at memory bandwidth.  The HNSW graph is still
+built (exact distances, like the reference) and serves the graph-traversal
+search path (``config.use_graph=True``) for corpus sizes where a scan stops
+being optimal, plus graph stats parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api.config import HnswPqConfig
+from ..core.store import VectorStore
+from ..ops import adc
+from ..ops import hnsw_graph as hg
+from ..ops.distance import blocked_knn
+from ..ops.topk import smallest_k
+from .base import VectorIndex, pad_queries_pow2, pow2
+from .pq import _refine_exact
+
+
+class HnswPqIndex(VectorIndex):
+    kind = "hnswpq"
+
+    def __init__(
+        self,
+        dim: int,
+        capacity: int,
+        metric: str = "l2",
+        config: Optional[HnswPqConfig] = None,
+    ):
+        config = config or HnswPqConfig()
+        sub = min(config.num_subspaces, dim)
+        while dim % sub != 0:  # auto-adjust (reference: HnswPqIndex.java:78-84)
+            sub -= 1
+        config.num_subspaces = sub
+        super().__init__(dim, capacity, metric)
+        self.config = config
+        self.store = VectorStore(capacity, dim)
+        self.codes = jnp.zeros((self.store.capacity, sub), jnp.uint8)
+        self.codebooks: Optional[jax.Array] = None
+        self.trained = False
+        self.seed = 42
+        # one-hot MXU ADC beats gather on TPU (measured 11.8k vs 9.4k QPS at
+        # 512d/10k); recall is preserved by the exact refine stage
+        self.adc_impl = "onehot"
+        # graph state (exact-distance build, like reference Fix #4)
+        self._max_level = max(
+            1, int(np.log(max(self.store.capacity, 2)) / np.log(max(config.m, 2))) + 1
+        )
+        self.graph = hg.init_graph(self.store.capacity, config.m, self._max_level)
+        self._level_counter = 0
+        self._graph_dirty: list[int] = []  # slots added before training
+
+    # ------------------------------------------------------------- helpers
+    def _sample_levels(self, n: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 1_000_003 + self._level_counter)
+        self._level_counter += 1
+        u = rng.uniform(1e-12, 1.0, n)
+        ml = 1.0 / np.log(max(self.config.m, 2))
+        return np.clip(
+            np.floor(-np.log(u) * ml).astype(np.int32), 0, self._max_level - 1
+        )
+
+    # ------------------------------------------------------------- mutation
+    def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
+        accepted, slots = self.store.add_batch(ids, vectors)
+        if not accepted:
+            return []
+        slots_np = np.asarray(slots, np.int32)
+        if not self.trained:
+            # lazy training (reference: HnswPqIndex.java:170-175): buffer until
+            # the training threshold, then train + encode + build everything
+            self._graph_dirty.extend(slots_np.tolist())
+            threshold = min(self.config.training_samples, max(self.capacity // 10, 256))
+            if self.store.size() >= max(threshold, self.config.num_centroids):
+                self.train()
+        else:
+            self._encode_slots(slots_np)
+            if self.config.use_graph:
+                self._insert_graph(slots_np)
+        return accepted
+
+    def remove(self, vec_id: int) -> bool:
+        slot = self.store.remove(vec_id)
+        if slot is None:
+            return False
+        if self.config.use_graph and int(self.graph.entry) == slot:
+            self.graph = hg.unlink_slot(self.graph, jnp.asarray(slot, jnp.int32))
+            levels = np.asarray(self.graph.levels)
+            valid = np.asarray(self.store.state.valid)
+            live = np.flatnonzero(valid & (levels >= 0))
+            if live.size:
+                ne = int(live[np.argmax(levels[live])])
+                self.graph = self.graph.replace(
+                    entry=jnp.asarray(ne, jnp.int32),
+                    entry_level=jnp.asarray(int(levels[ne]), jnp.int32),
+                )
+            else:
+                self.graph = self.graph.replace(
+                    entry=jnp.asarray(-1, jnp.int32),
+                    entry_level=jnp.asarray(-1, jnp.int32),
+                )
+        elif self.config.use_graph:
+            self.graph = hg.unlink_slot(self.graph, jnp.asarray(slot, jnp.int32))
+        return True
+
+    # --------------------------------------------------------------- train
+    def train(self) -> bool:
+        """Per-subspace k-means on the live corpus (reference:
+        HnswPqIndex.train :194-293 — k-means++ seeding, seed 42+subspace)."""
+        from ..ops.kmeans import subspace_kmeans_fit
+
+        n = self.store.size()
+        if n < self.config.num_centroids:
+            return False
+        st = self.store.state
+        live = np.flatnonzero(np.asarray(st.valid))
+        sample = live
+        cap_samples = self.config.training_samples
+        if sample.size > cap_samples:
+            rng = np.random.default_rng(self.seed)
+            sample = rng.choice(sample, cap_samples, replace=False)
+        data = st.vectors[jnp.asarray(np.sort(sample))]
+        self.codebooks = subspace_kmeans_fit(
+            jax.random.PRNGKey(self.seed),
+            data,
+            self.config.num_subspaces,
+            k=self.config.num_centroids,
+            iters=self.config.training_iterations,
+            plus_plus=True,
+        )
+        self.trained = True
+        self._encode_slots(live)
+        if self.config.use_graph:
+            self._rebuild_graph()
+        self._graph_dirty.clear()
+        return True
+
+    def build(self) -> None:
+        """reference: HnswPqIndex.buildIndex :677-718 — train if needed, then
+        re-encode + rebuild the graph."""
+        if not self.trained:
+            self.train()
+        else:
+            live = np.flatnonzero(np.asarray(self.store.state.valid))
+            self._encode_slots(live)
+            if self.config.use_graph:
+                self._rebuild_graph()
+
+    def _encode_slots(self, slots: np.ndarray) -> None:
+        if slots.size == 0 or self.codebooks is None:
+            return
+        vecs = self.store.state.vectors[jnp.asarray(slots)]
+        new_codes = adc.pq_encode(vecs, self.codebooks)
+        self.codes = self.codes.at[jnp.asarray(slots)].set(new_codes)
+
+    # ------------------------------------------------------------- graph ops
+    def _insert_graph(self, slots: np.ndarray) -> None:
+        levels = self._sample_levels(len(slots))
+        st = self.store.state
+        b = 64
+        pos = 0
+        live = self.store.size() - len(slots)
+        if int(self.graph.entry) < 0:
+            self.graph = hg.seed_first(
+                self.graph,
+                jnp.asarray(slots[0], jnp.int32),
+                jnp.asarray(levels[0], jnp.int32),
+            )
+            live = max(live, 1)
+        while pos < len(slots):
+            step = min(b, 1 << (max(live, 1).bit_length() - 1))
+            chunk = slots[pos : pos + step]
+            chunk_lv = levels[pos : pos + step]
+            pos += len(chunk)
+            live += len(chunk)
+            pad = step - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+                chunk_lv = np.concatenate([chunk_lv, np.repeat(chunk_lv[-1:], pad)])
+            # exact distances for graph quality (reference Fix #4,
+            # HnswPqIndex.java:491-499 uses buildEf >= 200)
+            self.graph = hg.insert_batch(
+                self.graph, st.vectors, st.norms,
+                jnp.asarray(chunk, jnp.int32), jnp.asarray(chunk_lv, jnp.int32),
+                efc=self.config.ef_construction, expand=4, heuristic=True,
+            )
+
+    def _rebuild_graph(self) -> None:
+        ids_np = np.asarray(self.store.state.ids)
+        valid = np.asarray(self.store.state.valid)
+        live = np.flatnonzero(valid)
+        order = live[np.argsort(ids_np[live], kind="stable")]
+        self.graph = hg.init_graph(self.store.capacity, self.config.m, self._max_level)
+        if order.size:
+            self._insert_graph(order.astype(np.int32))
+
+    # --------------------------------------------------------------- search
+    def search_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dim:
+            raise ValueError(f"expected [*, {self.dim}] queries, got {queries.shape}")
+        st = self.store.state
+        n_live = self.store.size()
+        padded, q_n = pad_queries_pow2(queries)
+        k_eff = min(k, st.capacity)
+        k_pad = min(pow2(k_eff), st.capacity)
+
+        if not self.trained or n_live <= k:
+            # exact fallback until trained (reference returns PQ-untrained
+            # results from raw distances)
+            dists, slots = blocked_knn(
+                jnp.asarray(padded), st.vectors, st.valid, k_pad,
+                metric=self.metric, b_norms=st.norms,
+                block_n=min(8192, st.capacity),
+            )
+            return self._to_external(q_n, k, k_eff, slots, dists)
+
+        refine = min(max(pow2(self.config.refine_k), k_pad), st.capacity)
+        if self.config.use_graph and int(self.graph.entry) >= 0:
+            # graph path: ADC-distance traversal + exact re-rank (reference
+            # search shape, HnswPqIndex.java:616-664)
+            tables = adc.build_distance_tables(jnp.asarray(padded), self.codebooks)
+            ef = min(max(pow2(self.config.ef_search), refine), st.capacity)
+            _, cand = hnsw_pq_search(
+                self.graph, self.codes, tables, st.valid, ef,
+            )
+            cand = cand[:, :refine]
+            dists, slots = _refine_exact(
+                jnp.asarray(padded), st.vectors, cand, k_pad, self.metric
+            )
+            return self._to_external(q_n, k, k_eff, slots, dists)
+        # scan path (TPU default): one fused device program
+        dists, ext = flagship_search(
+            jnp.asarray(padded), self.codebooks, self.codes, st.valid,
+            st.vectors, st.ids, k_pad, refine,
+            self.adc_impl, min(4096, st.capacity), self.metric,
+        )
+        ext_np = np.asarray(ext)[:q_n, :k_eff]
+        out_ids = np.full((q_n, k), -1, np.int32)
+        out_d = np.full((q_n, k), np.inf, np.float32)
+        out_ids[:, :k_eff] = ext_np
+        out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
+        return out_ids, out_d
+
+    def _to_external(self, q_n, k, k_eff, slots, dists):
+        slots_np = np.asarray(slots)[:q_n, :k_eff]
+        ids_np = np.asarray(self.store.state.ids)
+        ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
+        out_ids = np.full((q_n, k), -1, np.int32)
+        out_d = np.full((q_n, k), np.inf, np.float32)
+        out_ids[:, :k_eff] = ext
+        out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
+        return out_ids, out_d
+
+    # ---------------------------------------------------------------- state
+    def size(self) -> int:
+        return self.store.size()
+
+    def get(self, vec_id: int) -> Optional[np.ndarray]:
+        return self.store.get(vec_id)
+
+    def stats(self) -> dict:
+        """reference: HnswPqIndex.getIndexStats :1069-1083 +
+        HNSWPQIndex::getMemoryUsage :825-845."""
+        s = super().stats()
+        sub = self.config.num_subspaces
+        code_bytes = self.store.capacity * sub
+        cb_bytes = (
+            int(np.prod(self.codebooks.shape)) * 4 if self.codebooks is not None else 0
+        )
+        graph_bytes = (
+            int(np.prod(self.graph.neighbors.shape)) * 4 if self.config.use_graph else 0
+        )
+        s.update(
+            trained=self.trained,
+            num_subspaces=sub,
+            num_centroids=self.config.num_centroids,
+            compression_ratio=4.0 * self.dim / sub,
+            index_bytes=code_bytes + cb_bytes + graph_bytes,
+            raw_bytes=self.store.capacity * self.dim * 4,
+            use_graph=self.config.use_graph,
+        )
+        return s
+
+    # ------------------------------------------------------------ persistence
+    def state_arrays(self) -> dict:
+        out = {
+            "store": self.store.to_host(),
+            "codes": np.asarray(self.codes),
+            "trained": np.asarray([self.trained]),
+            "level_counter": np.asarray([self._level_counter]),
+            "graph": {
+                "neighbors": np.asarray(self.graph.neighbors),
+                "levels": np.asarray(self.graph.levels),
+                "entry": np.asarray(self.graph.entry),
+                "entry_level": np.asarray(self.graph.entry_level),
+            },
+        }
+        if self.codebooks is not None:
+            out["codebooks"] = np.asarray(self.codebooks)
+        return out
+
+    def load_state_arrays(self, arrays: dict) -> None:
+        self.store = VectorStore.from_host(arrays["store"])
+        self.codes = jnp.asarray(arrays["codes"])
+        self.trained = bool(np.asarray(arrays["trained"])[0])
+        self._level_counter = int(np.asarray(arrays["level_counter"])[0])
+        self.codebooks = (
+            jnp.asarray(arrays["codebooks"]) if "codebooks" in arrays else None
+        )
+        g = arrays["graph"]
+        self.graph = hg.HnswGraph(
+            neighbors=jnp.asarray(g["neighbors"]),
+            levels=jnp.asarray(g["levels"]),
+            entry=jnp.asarray(g["entry"]),
+            entry_level=jnp.asarray(g["entry_level"]),
+        )
+
+
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "refine", "impl", "block_n", "metric")
+)
+def flagship_search(
+    queries, codebooks, codes, valid, base, ids, k, refine, impl, block_n, metric
+):
+    """The whole flagship search as ONE device program: distance tables ->
+    exhaustive blocked ADC scan with fused top-R -> exact re-rank -> external
+    ids.  One dispatch per query batch (the reference pays a JNI crossing per
+    call, VectorDBJNI.cpp:142-159; we pay one jit dispatch for the batch)."""
+    tables = adc.build_distance_tables(queries, codebooks)
+    _, cand = adc.adc_scan_topk(tables, codes, valid, refine,
+                                block_n=block_n, impl=impl)
+    safe = jnp.maximum(cand, 0)
+    cand_vecs = base[safe]
+    if metric == "l2":
+        d = jnp.sum((cand_vecs - queries[:, None, :]) ** 2, axis=2)
+    else:
+        qn = jnp.linalg.norm(queries, axis=1, keepdims=True)
+        vn = jnp.linalg.norm(cand_vecs, axis=2)
+        dot = jnp.einsum("qd,qrd->qr", queries, cand_vecs)
+        d = 1.0 - dot / jnp.maximum(qn * vn, 1e-12)
+    d = jnp.where(cand >= 0, d, jnp.inf)
+    neg, arg = jax.lax.top_k(-d, k)
+    slots = jnp.take_along_axis(cand, arg, 1)
+    ok = jnp.isfinite(-neg)
+    ext = jnp.where(ok, ids[jnp.maximum(slots, 0)], -1)
+    return -neg, ext
+
+
+@functools.partial(jax.jit, static_argnames=("ef",))
+def hnsw_pq_search(graph, codes, tables, valid, ef):
+    """Graph traversal with ADC distances (reference:
+    HnswPqIndex.searchLayerClosestCompressed :794-827 + searchLayerWithSize
+    :905-974): greedy descent on upper layers, ef-beam on layer 0, all with
+    quantized distances; the caller re-ranks exactly."""
+    q_n = tables.shape[0]
+    dist = hg._adc_dist(codes, tables)
+    entry = jnp.broadcast_to(graph.entry, (q_n,))
+    entry_d = dist(entry[:, None])[:, 0]
+    start = jnp.broadcast_to(graph.entry_level, (q_n,))
+    stop = jnp.ones((q_n,), jnp.int32)
+    cur, cur_d = hg._greedy_descent(graph.neighbors, dist, entry, entry_d, start, stop)
+    pool_d, pool_i = hg._beam_level(
+        graph.neighbors, jnp.asarray(0), dist, cur, cur_d,
+        jnp.ones((q_n,), bool), ef, ef, 4,
+    )
+    ok = (pool_i >= 0) & valid[jnp.maximum(pool_i, 0)]
+    pool_d = jnp.where(ok, pool_d, jnp.inf)
+    pool_i = jnp.where(ok, pool_i, -1)
+    return pool_d, pool_i

@@ -25,7 +25,7 @@ from ..api.config import IvfConfig
 from ..core.store import VectorStore
 from ..ops.distance import blocked_knn, pairwise_dist
 from ..ops.topk import smallest_k
-from .base import VectorIndex
+from .base import VectorIndex, pad_queries_pow2, pow2
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "metric", "max_len"))
@@ -60,6 +60,10 @@ def _ivf_search(
         dot = jnp.einsum("qd,qrd->qr", queries, cand_vecs)
         d = 1.0 - dot / jnp.maximum(qn * vn, 1e-12)
     d = jnp.where(ok, d, jnp.inf)
+    if cand.shape[1] < k:  # tiny clusters: pad candidate pool up to k
+        pad = k - cand.shape[1]
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
     return smallest_k(d, k, cand)
 
 
@@ -152,12 +156,14 @@ class IvfIndex(VectorIndex):
             raise ValueError(f"expected [*, {self.dim}] queries, got {queries.shape}")
         st = self.store.state
         n_live = self.store.size()
+        padded, q_n = pad_queries_pow2(queries)
         k_eff = min(k, st.capacity)
+        k_pad = min(pow2(k_eff), st.capacity)
 
         if not self.trained or n_live <= k:
             # brute-force fallback (reference: IvfIndex.java:215-225)
             dists, slots = blocked_knn(
-                jnp.asarray(queries), st.vectors, st.valid, k_eff,
+                jnp.asarray(padded), st.vectors, st.valid, k_pad,
                 metric=self.metric, b_norms=st.norms,
                 block_n=min(8192, st.capacity),
             )
@@ -165,16 +171,16 @@ class IvfIndex(VectorIndex):
             members, max_len = self._member_table()
             nprobe = min(self.config.num_probes, int(self.centroids.shape[0]))
             dists, slots = _ivf_search(
-                jnp.asarray(queries), self.centroids, members,
-                st.vectors, st.valid, nprobe, k_eff, self.metric, max_len,
+                jnp.asarray(padded), self.centroids, members,
+                st.vectors, st.valid, nprobe, k_pad, self.metric, max_len,
             )
-        slots_np = np.asarray(slots)
+        slots_np = np.asarray(slots)[:q_n, :k_eff]
         ids_np = np.asarray(st.ids)
         ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
-        out_ids = np.full((queries.shape[0], k), -1, np.int32)
-        out_d = np.full((queries.shape[0], k), np.inf, np.float32)
+        out_ids = np.full((q_n, k), -1, np.int32)
+        out_d = np.full((q_n, k), np.inf, np.float32)
         out_ids[:, :k_eff] = ext
-        out_d[:, :k_eff] = np.asarray(dists)
+        out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
         return out_ids, out_d
 
     # ---------------------------------------------------------------- state

@@ -1,0 +1,180 @@
+"""LSH index — random-projection hashing with exact re-rank.
+
+TPU-native analog of the reference's LSH (reference: index/LshIndex.java —
+10 hash fns x 5 tables, bucket width 4 :40-42, quantized-projection hash
+:115-135, candidate-union + exact re-rank search :245-281, buildIndex
+regenerates hash fns :303-339; native/index/LSHIndex.cpp — 10 tables x 20
+sign bits, collision counting :78-117).
+
+TPU-first design: bucket ids for all vectors live as a device matrix
+``bucket_ids [T, cap] int32`` (projections = ONE matmul + floor + a hash-mix
+reduction).  Search computes the query's bucket ids the same way and takes
+``candidate = any_t(bucket_ids[t, n] == q_bucket[t])`` — a full-N integer
+comparison (memory-bound, trivially fast) instead of host-side hash maps —
+then exact re-ranks the collision set, exactly like the reference's
+candidate-union + re-rank but as two fused device ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api.config import LshConfig
+from ..core.store import VectorStore
+from ..ops.distance import blocked_knn, pairwise_dist
+from .base import VectorIndex, pad_queries_pow2, pow2
+
+
+@jax.jit
+def _bucket_ids(vectors: jnp.ndarray, planes: jnp.ndarray, width: float) -> jnp.ndarray:
+    """Quantized-projection bucket ids (reference: LshIndex.java:115-135 —
+    Arrays.hashCode over floor(dot/bucketWidth) per hash fn).
+
+    vectors [N, d]; planes [T, H, d] -> [T, N] int32 mixed hash.
+    """
+    proj = jnp.einsum("nd,thd->tnh", vectors, planes,
+                      preferred_element_type=jnp.float32)
+    q = jnp.floor(proj / width).astype(jnp.int32)
+    # 31-based polynomial hash mix, same family as Java's Arrays.hashCode
+    def mix(carry, x):
+        return carry * jnp.int32(31) + x, None
+    h0 = jnp.ones(q.shape[:2], jnp.int32)
+    h, _ = jax.lax.scan(mix, h0, jnp.moveaxis(q, 2, 0))
+    return h
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _lsh_search(
+    queries, planes, width, bucket_ids, base, b_norms, valid, k
+):
+    """Collision-count candidate selection + exact re-rank in one program
+    (reference: LSHIndex.cpp:78-117 counts collisions across tables)."""
+    qb = _bucket_ids(queries, planes, width)          # [T, Q]
+    hits = bucket_ids[:, None, :] == qb[:, :, None]   # [T, Q, N]
+    collisions = jnp.sum(hits, axis=0)                # [Q, N] int
+    cand = (collisions > 0) & valid[None, :]
+    d = pairwise_dist(queries, base, "l2", None, b_norms)
+    d = jnp.where(cand, d, jnp.inf)
+    neg, idx = jax.lax.top_k(-d, k)
+    idx = jnp.where(jnp.isfinite(-neg), idx, -1)
+    return -neg, idx.astype(jnp.int32)
+
+
+class LshIndex(VectorIndex):
+    kind = "lsh"
+
+    def __init__(self, dim: int, capacity: int, metric: str = "l2", config: Optional[LshConfig] = None):
+        super().__init__(dim, capacity, metric)
+        self.config = config or LshConfig()
+        self.store = VectorStore(capacity, dim)
+        self.seed = 42
+        self._gen = 0  # regenerated on build (reference :303-339)
+        self.planes = self._make_planes()
+        self.bucket_ids = jnp.zeros((self.config.num_tables, self.store.capacity), jnp.int32)
+
+    def _make_planes(self) -> jnp.ndarray:
+        rng = np.random.default_rng(self.seed + 7919 * self._gen)
+        planes = rng.standard_normal(
+            (self.config.num_tables, self.config.num_bits, self.dim)
+        ).astype(np.float32)
+        return jnp.asarray(planes)
+
+    # ------------------------------------------------------------- mutation
+    def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
+        accepted, slots = self.store.add_batch(ids, vectors)
+        if accepted:
+            sl = jnp.asarray(np.asarray(slots, np.int64))
+            vecs = self.store.state.vectors[sl]
+            new_b = _bucket_ids(vecs, self.planes, self.config.bucket_width)  # [T, B]
+            self.bucket_ids = self.bucket_ids.at[:, sl].set(new_b)
+        return accepted
+
+    def remove(self, vec_id: int) -> bool:
+        return self.store.remove(vec_id) is not None
+
+    def build(self) -> None:
+        """Regenerate hash functions + rehash everything (reference:
+        LshIndex.buildIndex :303-339)."""
+        self._gen += 1
+        self.planes = self._make_planes()
+        st = self.store.state
+        self.bucket_ids = _bucket_ids(st.vectors, self.planes, self.config.bucket_width)
+
+    # --------------------------------------------------------------- search
+    def search_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dim:
+            raise ValueError(f"expected [*, {self.dim}] queries, got {queries.shape}")
+        st = self.store.state
+        padded, q_n = pad_queries_pow2(queries)
+        k_eff = min(k, st.capacity)
+        k_pad = min(pow2(k_eff), st.capacity)
+        n_live = self.store.size()
+
+        if n_live <= k:
+            dists, slots = blocked_knn(
+                jnp.asarray(padded), st.vectors, st.valid, k_pad,
+                metric=self.metric, b_norms=st.norms,
+                block_n=min(8192, st.capacity),
+            )
+        else:
+            dists, slots = _lsh_search(
+                jnp.asarray(padded), self.planes,
+                jnp.asarray(self.config.bucket_width, jnp.float32),
+                self.bucket_ids, st.vectors, st.norms, st.valid, k_pad,
+            )
+            # random-fill parity (reference: LshIndex.java:261-265): if the
+            # collision set came up short, backfill from the exact scan
+            if bool(np.asarray(slots[:q_n, :k_eff] < 0).any()):
+                fd, fs = blocked_knn(
+                    jnp.asarray(padded), st.vectors, st.valid, k_pad,
+                    metric=self.metric, b_norms=st.norms,
+                    block_n=min(8192, st.capacity),
+                )
+                miss = np.asarray(slots) < 0
+                slots = jnp.where(jnp.asarray(miss), fs, slots)
+                dists = jnp.where(jnp.asarray(miss), fd, dists)
+        slots_np = np.asarray(slots)[:q_n, :k_eff]
+        ids_np = np.asarray(st.ids)
+        ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
+        out_ids = np.full((q_n, k), -1, np.int32)
+        out_d = np.full((q_n, k), np.inf, np.float32)
+        out_ids[:, :k_eff] = ext
+        out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
+        return out_ids, out_d
+
+    # ---------------------------------------------------------------- state
+    def size(self) -> int:
+        return self.store.size()
+
+    def get(self, vec_id: int) -> Optional[np.ndarray]:
+        return self.store.get(vec_id)
+
+    def stats(self) -> dict:
+        s = super().stats()
+        s.update(
+            num_tables=self.config.num_tables,
+            num_bits=self.config.num_bits,
+            bucket_width=self.config.bucket_width,
+        )
+        return s
+
+    # ------------------------------------------------------------ persistence
+    def state_arrays(self) -> dict:
+        return {
+            "store": self.store.to_host(),
+            "planes": np.asarray(self.planes),
+            "bucket_ids": np.asarray(self.bucket_ids),
+            "gen": np.asarray([self._gen]),
+        }
+
+    def load_state_arrays(self, arrays: dict) -> None:
+        self.store = VectorStore.from_host(arrays["store"])
+        self.planes = jnp.asarray(arrays["planes"])
+        self.bucket_ids = jnp.asarray(arrays["bucket_ids"])
+        self._gen = int(np.asarray(arrays["gen"])[0])

@@ -24,7 +24,7 @@ from ..core.store import VectorStore
 from ..ops import adc
 from ..ops.distance import blocked_knn
 from ..ops.topk import smallest_k
-from .base import VectorIndex
+from .base import VectorIndex, pad_queries_pow2, pow2
 
 
 class PqIndex(VectorIndex):
@@ -100,43 +100,45 @@ class PqIndex(VectorIndex):
             raise ValueError(f"expected [*, {self.dim}] queries, got {queries.shape}")
         st = self.store.state
         n_live = self.store.size()
+        padded, q_n = pad_queries_pow2(queries)
         k_eff = min(k, st.capacity)
+        k_pad = min(pow2(k_eff), st.capacity)
 
         if not self.trained or n_live <= k:
             # brute-force fallback (reference: PqIndex.java:257-267)
             dists, slots = blocked_knn(
-                jnp.asarray(queries), st.vectors, st.valid, k_eff,
+                jnp.asarray(padded), st.vectors, st.valid, k_pad,
                 metric=self.metric, b_norms=st.norms,
                 block_n=min(8192, st.capacity),
             )
-            return self._to_external(queries.shape[0], k, k_eff, slots, dists)
+            return self._to_external(q_n, k, k_eff, slots, dists)
 
-        tables = adc.build_distance_tables(jnp.asarray(queries), self.codebooks)
+        tables = adc.build_distance_tables(jnp.asarray(padded), self.codebooks)
         if self.config.refine_k and self.config.refine_k > k_eff:
             # ADC shortlist then exact re-rank over the raw store
-            r = min(self.config.refine_k, st.capacity)
+            r = min(pow2(self.config.refine_k), st.capacity)
             _, cand = adc.adc_scan_topk(
                 tables, self.codes, st.valid, r,
                 block_n=min(4096, st.capacity), impl=self.adc_impl,
             )
             dists, slots = _refine_exact(
-                jnp.asarray(queries), st.vectors, cand, k_eff, self.metric
+                jnp.asarray(padded), st.vectors, cand, k_pad, self.metric
             )
         else:
             dists, slots = adc.adc_scan_topk(
-                tables, self.codes, st.valid, k_eff,
+                tables, self.codes, st.valid, k_pad,
                 block_n=min(4096, st.capacity), impl=self.adc_impl,
             )
-        return self._to_external(queries.shape[0], k, k_eff, slots, dists)
+        return self._to_external(q_n, k, k_eff, slots, dists)
 
     def _to_external(self, q_n, k, k_eff, slots, dists):
-        slots_np = np.asarray(slots)
+        slots_np = np.asarray(slots)[:q_n, :k_eff]
         ids_np = np.asarray(self.store.state.ids)
         ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
         out_ids = np.full((q_n, k), -1, np.int32)
         out_d = np.full((q_n, k), np.inf, np.float32)
         out_ids[:, :k_eff] = ext
-        out_d[:, :k_eff] = np.asarray(dists)
+        out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
         return out_ids, out_d
 
     # ---------------------------------------------------------------- state

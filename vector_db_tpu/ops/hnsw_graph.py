@@ -12,15 +12,23 @@ Array-program replacements (SURVEY.md §7.0):
   PriorityQueue beam                    ->  fixed-size sorted pool + expanded flags
   per-edge scalar distances             ->  gathered [Q, E*M, d] batched distance
 
-Insertion runs in batched rounds against a frozen graph snapshot
-(SURVEY.md §7.3.1): candidate search for B nodes is batched, then a
-sequential-in-kernel connect loop applies forward + reverse edges with top-M
-pruning.  Batch-internal candidates are merged in so batch members can link to
-each other, recovering most of the sequential reference behaviour.
+Design notes:
+  * The multi-level greedy descent is FUSED into one while_loop with a
+    per-query level counter — one small compiled program instead of L
+    unrolled loops.
+  * Neighbor selection uses the diversity heuristic (keep c only if it is
+    closer to the target than to any already-kept neighbor, then backfill
+    with closest rejected), matching native HNSWIndex.cpp:322-469.  Simple
+    nearest-M (the Java path) is a config switch.  The heuristic is what
+    keeps the graph navigable: with nearest-M, low-in-degree nodes become
+    unreachable (observed: 64/300 nodes orphaned at M=8).
+  * Insertion runs in batched rounds against a frozen snapshot
+    (SURVEY.md §7.3.1); batch-internal candidates are merged so batch
+    members can link to each other; the connect phase is a sequential
+    fori_loop inside the same jit.
 
-Everything here is jitted at the top level (search / insert); distance
-closures are constructed *inside* the jitted functions so they never become
-unstable static arguments.
+Everything is jitted at the top level (search / insert); distance closures
+are constructed inside the jitted functions.
 """
 
 from __future__ import annotations
@@ -107,56 +115,61 @@ def _adc_dist(codes: Array, tables: Array):
 
 
 # --------------------------------------------------------------------------
-# greedy descent (one level)
+# fused multi-level greedy descent
 # --------------------------------------------------------------------------
 
-def _greedy_level(neighbors_l, dist, cur, cur_d, active, max_steps):
-    """Greedy walk on one level until no neighbor improves
-    (reference: HnswIndex.searchLayerClosest :511-552).  Batched over Q."""
+def _greedy_descent(neighbors, dist, entry, entry_d, start_level, stop_level):
+    """Walk greedily from ``start_level`` down to ``stop_level`` (inclusive),
+    per query, in ONE while_loop (reference: HnswIndex.searchLayerClosest
+    :511-552 called per level — here the level counter lives in the loop).
+
+    neighbors: [L, cap, M]; entry/entry_d: [Q]; start/stop_level: [Q] int32.
+    Returns (cur [Q], cur_d [Q]) — the closest node found at stop_level.
+    """
+    q_n = entry.shape[0]
 
     def cond(state):
-        _, _, improving, step = state
-        return jnp.logical_and(jnp.any(improving), step < max_steps)
+        cur, cur_d, lev = state
+        return jnp.any(lev >= stop_level)
 
     def body(state):
-        cur, cur_d, improving, step = state
-        nbrs = neighbors_l[jnp.maximum(cur, 0)]      # [Q, M]
+        cur, cur_d, lev = state
+        active = lev >= stop_level
+        lev_c = jnp.clip(lev, 0, neighbors.shape[0] - 1)
+        nbrs = neighbors[lev_c, jnp.maximum(cur, 0)]   # [Q, M] per-query level
         nbrs = jnp.where((cur >= 0)[:, None], nbrs, -1)
-        d = dist(nbrs)                               # [Q, M]
+        d = dist(nbrs)
         best = jnp.argmin(d, axis=1)
         best_d = jnp.take_along_axis(d, best[:, None], 1)[:, 0]
         best_i = jnp.take_along_axis(nbrs, best[:, None], 1)[:, 0]
-        better = jnp.logical_and(improving, best_d < cur_d)
-        return (
-            jnp.where(better, best_i, cur),
-            jnp.where(better, best_d, cur_d),
-            better,
-            step + 1,
-        )
+        better = active & (best_d < cur_d)
+        cur = jnp.where(better, best_i, cur)
+        cur_d = jnp.where(better, best_d, cur_d)
+        # stuck at this level -> drop a level
+        lev = jnp.where(better, lev, lev - 1)
+        return cur, cur_d, lev
 
-    cur, cur_d, _, _ = jax.lax.while_loop(cond, body, (cur, cur_d, active, 0))
+    cur, cur_d, _ = jax.lax.while_loop(cond, body, (entry, entry_d, start_level))
     return cur, cur_d
 
 
 # --------------------------------------------------------------------------
-# beam search (one level)
+# beam search on one level (level index may be traced)
 # --------------------------------------------------------------------------
 
-def _beam_level(neighbors_l, dist, entry, entry_d, cap, ef, max_iters, expand):
+def _beam_level(neighbors, lev, dist, entry, entry_d, enabled, ef, max_iters, expand):
     """Best-first beam with visited masks (reference: HnswIndex.searchLayer
-    :557-644).  Returns (pool_d [Q, ef], pool_i [Q, ef]) ascending, -1 pad.
-
-    ``expand`` candidates are expanded per iteration: a few extra distance
-    evaluations for far fewer sequential steps — the right trade on a wide
-    machine.
+    :557-644).  ``lev`` may be a traced level index into neighbors [L,cap,M].
+    ``enabled`` [Q] masks out queries that skip this level entirely.
+    Returns (pool_d [Q, ef], pool_i [Q, ef]) ascending, -1 pad.
     """
     q_n = entry.shape[0]
-    m = neighbors_l.shape[1]
+    cap, m = neighbors.shape[1], neighbors.shape[2]
     e = expand
 
     pool_d = jnp.full((q_n, ef), jnp.inf).at[:, 0].set(entry_d)
     pool_i = jnp.full((q_n, ef), -1, jnp.int32).at[:, 0].set(entry)
-    pool_x = jnp.zeros((q_n, ef), bool)  # expanded flags
+    pool_x = jnp.zeros((q_n, ef), bool)
     visited = jnp.zeros((q_n, cap), bool)
     visited = visited.at[jnp.arange(q_n), jnp.maximum(entry, 0)].set(True)
     rows = jnp.arange(q_n)[:, None]
@@ -169,10 +182,9 @@ def _beam_level(neighbors_l, dist, entry, entry_d, cap, ef, max_iters, expand):
         pool_d, pool_i, pool_x, visited, alive, it = state
         sel_d = jnp.where(pool_x | (pool_i < 0), jnp.inf, pool_d)
         neg, sel = jax.lax.top_k(-sel_d, e)               # [Q, E]
-        sel_nodes = jnp.take_along_axis(pool_i, sel, 1)   # [Q, E]
+        sel_nodes = jnp.take_along_axis(pool_i, sel, 1)
         sel_ok = jnp.isfinite(-neg)
 
-        # stop rule: closest unexpanded farther than pool's worst -> done
         worst = pool_d[:, -1]
         closest_unexp = -neg[:, 0]
         q_alive = alive & jnp.isfinite(closest_unexp) & (closest_unexp <= worst)
@@ -181,11 +193,22 @@ def _beam_level(neighbors_l, dist, entry, entry_d, cap, ef, max_iters, expand):
             pool_x[rows, sel] | (sel_ok & q_alive[:, None])
         )
 
-        nbrs = neighbors_l[jnp.maximum(sel_nodes, 0)]     # [Q, E, M]
+        nbrs = neighbors[lev, jnp.maximum(sel_nodes, 0)]  # [Q, E, M]
         nbrs = jnp.where((sel_nodes >= 0)[:, :, None], nbrs, -1).reshape(q_n, e * m)
         safe = jnp.maximum(nbrs, 0)
-        fresh = (nbrs >= 0) & ~visited[rows, safe] & q_alive[:, None]
-        visited = visited.at[rows, safe].set(visited[rows, safe] | fresh)
+        # dedup within the gathered frontier: two expanded candidates may
+        # share a neighbor; both copies would pass the visited check and
+        # pollute the pool with duplicates
+        em = e * m
+        first_occ = ~jnp.any(
+            (nbrs[:, :, None] == nbrs[:, None, :])
+            & (jnp.arange(em)[None, :] < jnp.arange(em)[:, None])[None],
+            axis=2,
+        )
+        fresh = (nbrs >= 0) & first_occ & ~visited[rows, safe] & q_alive[:, None]
+        # scatter-max (== OR): duplicate indices in one scatter must not let a
+        # later False write erase an earlier True
+        visited = visited.at[rows, safe].max(fresh)
         d = dist(jnp.where(fresh, nbrs, -1))
 
         cat_d = jnp.concatenate([pool_d, d], axis=1)
@@ -202,10 +225,63 @@ def _beam_level(neighbors_l, dist, entry, entry_d, cap, ef, max_iters, expand):
         )
 
     pool_d, pool_i, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (pool_d, pool_i, pool_x, visited, jnp.ones((q_n,), bool), 0)
+        cond, body, (pool_d, pool_i, pool_x, visited, enabled, 0)
     )
     pool_i = jnp.where(jnp.isfinite(pool_d), pool_i, -1)
     return pool_d, pool_i
+
+
+# --------------------------------------------------------------------------
+# neighbor selection
+# --------------------------------------------------------------------------
+
+def _select_heuristic(cand_d, cand_i, pair_d, m):
+    """Diversity-heuristic neighbor selection, batched over B targets
+    (reference: native HNSWIndex.cpp:322-469 — keep a candidate only if it
+    is closer to the target than to every already-kept neighbor; backfill
+    remaining slots with the closest rejected candidates).
+
+    cand_d: [B, C] distances target->candidate (inf for invalid)
+    cand_i: [B, C] candidate slots (-1 invalid)
+    pair_d: [B, C, C] candidate-candidate distances
+    Returns (sel_d [B, m], sel_i [B, m]).
+    """
+    b, c = cand_d.shape
+    order = jnp.argsort(cand_d, axis=1)                     # ascending
+    s_d = jnp.take_along_axis(cand_d, order, 1)
+    s_i = jnp.take_along_axis(cand_i, order, 1)
+    p = jnp.take_along_axis(
+        jnp.take_along_axis(pair_d, order[:, :, None], 1), order[:, None, :], 2
+    )                                                        # sorted pairwise
+
+    def body(i, keep):
+        # conflict: candidate i is closer to some kept neighbor than to target
+        conflict = jnp.any(keep & (p[:, i, :] < s_d[:, i, None]), axis=1)
+        room = jnp.sum(keep, axis=1) < m
+        ok = jnp.isfinite(s_d[:, i]) & (s_i[:, i] >= 0) & ~conflict & room
+        return keep.at[:, i].set(ok)
+
+    keep = jax.lax.fori_loop(0, c, body, jnp.zeros((b, c), bool))
+
+    # kept first (by distance), then closest rejected as backfill
+    rank = jnp.broadcast_to(jnp.arange(c)[None, :], (b, c))
+    key = jnp.where(keep, rank, rank + c)
+    key = jnp.where((s_i >= 0) & jnp.isfinite(s_d), key, 2 * c)
+    sel = jnp.argsort(key, axis=1)[:, :m]
+    sel_i = jnp.take_along_axis(s_i, sel, 1)
+    sel_d = jnp.take_along_axis(s_d, sel, 1)
+    good = jnp.take_along_axis(key, sel, 1) < 2 * c
+    return jnp.where(good, sel_d, jnp.inf), jnp.where(good, sel_i, -1)
+
+
+def _pairwise_among(base, norms, slots):
+    """Pairwise squared-L2 among gathered slots. slots [B, C] -> [B, C, C]."""
+    safe = jnp.maximum(slots, 0)
+    v = base[safe]                                    # [B, C, d]
+    n = norms[safe]                                   # [B, C]
+    dots = jnp.einsum("bcd,bed->bce", v, v, preferred_element_type=jnp.float32)
+    d = n[:, :, None] + n[:, None, :] - 2.0 * dots
+    return jnp.maximum(d, 0.0)
 
 
 # --------------------------------------------------------------------------
@@ -224,30 +300,24 @@ def hnsw_search(
     expand: int = 4,
     max_iters: int = 0,
 ) -> tuple[Array, Array]:
-    """Layered search: greedy on upper levels, ef-beam on level 0, top-k.
-
-    (reference: HnswIndex.searchNearest :347-380 — ef = max(ef, 4k) is applied
-    by the caller.)  Deleted slots remain traversable (tombstones) but are
-    filtered from the result set.
-    """
+    """Layered search: fused greedy descent to level 1, ef-beam on level 0,
+    top-k.  (reference: HnswIndex.searchNearest :347-380.)  Deleted slots stay
+    traversable (tombstones) but are filtered from results."""
     q_n = queries.shape[0]
     q_norms = jnp.sum(queries * queries, axis=1)
     dist = _exact_dist(base, norms, queries, q_norms)
     it = max_iters if max_iters > 0 else ef
 
     entry = jnp.broadcast_to(graph.entry, (q_n,))
-    cur_d = dist(entry[:, None])[:, 0]
-    cur = entry
-    # static python loop over levels, top -> 1
-    for lev in range(graph.max_level - 1, 0, -1):
-        active = jnp.broadcast_to(lev <= graph.entry_level, (q_n,))
-        cur, cur_d = _greedy_level(
-            graph.neighbors[lev], dist, cur, cur_d, active, max_steps=graph.capacity
-        )
+    entry_d = dist(entry[:, None])[:, 0]
+    start = jnp.broadcast_to(graph.entry_level, (q_n,))
+    stop = jnp.ones((q_n,), jnp.int32)
+    cur, cur_d = _greedy_descent(graph.neighbors, dist, entry, entry_d, start, stop)
+
     pool_d, pool_i = _beam_level(
-        graph.neighbors[0], dist, cur, cur_d, graph.capacity, ef, it, expand
+        graph.neighbors, jnp.asarray(0), dist, cur, cur_d,
+        jnp.ones((q_n,), bool), ef, it, expand,
     )
-    # exclude tombstoned slots from results
     ok = (pool_i >= 0) & valid[jnp.maximum(pool_i, 0)]
     pool_d = jnp.where(ok, pool_d, jnp.inf)
     neg, arg = jax.lax.top_k(-pool_d, k)
@@ -260,7 +330,7 @@ def hnsw_search(
 # batched insertion
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("efc", "expand"))
+@functools.partial(jax.jit, static_argnames=("efc", "expand", "heuristic"))
 def insert_batch(
     graph: HnswGraph,
     base: Array,
@@ -269,98 +339,108 @@ def insert_batch(
     new_levels: Array,  # [B] sampled levels
     efc: int,
     expand: int = 4,
+    heuristic: bool = True,
 ) -> HnswGraph:
     """Insert B nodes against a frozen snapshot, then connect sequentially.
 
     Graph must be non-empty (the host seeds the first node).  Reference
     analog: index/HnswIndex.java:178-236 / HNSWPQIndex.cpp:304-460 (4-phase
-    add), with exact distances for graph quality (reference "Fix #4",
+    add) with exact distances for graph quality ("Fix #4",
     HnswPqIndex.java:491-499).
     """
     b = new_slots.shape[0]
     L, cap, m = graph.neighbors.shape
-    q = base[new_slots]                      # [B, d]
+    q = base[new_slots]
     q_norms = jnp.sum(q * q, axis=1)
     dist = _exact_dist(base, norms, q, q_norms)
 
-    # batch-mate distance matrix for batch-internal candidates
-    mate_d = (
-        q_norms[:, None]
-        + q_norms[None, :]
+    # batch-mate distances; exclude self AND duplicate slots (rounds are
+    # padded by repeating the last slot)
+    mate_d = jnp.maximum(
+        q_norms[:, None] + q_norms[None, :]
         - 2.0 * jax.lax.dot_general(q, q, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32),
+        0.0,
     )
-    mate_d = jnp.maximum(mate_d, 0.0)
-    eye = jnp.eye(b, dtype=bool)
+    distinct = new_slots[None, :] != new_slots[:, None]
 
-    # register new nodes' levels first (they are unreachable until linked)
     levels = graph.levels.at[new_slots].set(new_levels)
 
+    # ---- phase A: greedy descent through non-edge levels -------------------
     entry = jnp.broadcast_to(graph.entry, (b,))
-    cur = entry
-    cur_d = dist(entry[:, None])[:, 0]
+    entry_d = dist(entry[:, None])[:, 0]
+    start = jnp.broadcast_to(graph.entry_level, (b,))
+    stop = jnp.minimum(new_levels, jnp.broadcast_to(graph.entry_level, (b,))) + 1
+    cur, cur_d = _greedy_descent(graph.neighbors, dist, entry, entry_d, start, stop)
 
-    selected = jnp.full((b, L, m), -1, jnp.int32)
-    sel_dists = jnp.full((b, L, m), jnp.inf)
+    # ---- phase B: per-level beam + neighbor selection (top -> 0) ----------
+    c_sel = min(max(3 * m, m + 1), efc + b)  # heuristic candidate pool width
 
-    for lev in range(L - 1, -1, -1):
+    def level_step(li, carry):
+        cur, cur_d, selected = carry
+        lev = L - 1 - li
         in_graph = lev <= graph.entry_level
-        # greedy phase for nodes whose target level is below this one
-        g_active = jnp.broadcast_to(in_graph, (b,)) & (new_levels < lev)
-        cur, cur_d = _greedy_level(
-            graph.neighbors[lev], dist, cur, cur_d, g_active, max_steps=cap
-        )
-        # beam phase for nodes that get edges at this level
-        do_beam = jnp.broadcast_to(in_graph, (b,)) & (new_levels >= lev)
+        do_beam = in_graph & (new_levels >= lev)
         pool_d, pool_i = _beam_level(
-            graph.neighbors[lev], dist, cur, cur_d, cap, efc, efc, expand
+            graph.neighbors, lev, dist, cur, cur_d, do_beam, efc, efc, expand
         )
-        # merge batch-mates with level >= lev as extra candidates
-        mate_ok = (new_levels[None, :] >= lev) & ~eye
+        mate_ok = (new_levels[None, :] >= lev) & distinct
         md = jnp.where(mate_ok, mate_d, jnp.inf)
         cand_d = jnp.concatenate([pool_d, md], axis=1)
         cand_i = jnp.concatenate(
             [pool_i, jnp.broadcast_to(new_slots[None, :], (b, b))], axis=1
         )
         cand_d = jnp.where(cand_i >= 0, cand_d, jnp.inf)
-        # simple nearest-M selection (reference: HnswIndex.selectNeighbors
-        # :649-672); diversity heuristic is a planned variant
-        negm, argm = jax.lax.top_k(-cand_d, m)
-        sel_i = jnp.take_along_axis(cand_i, argm, 1)
-        sel_i = jnp.where(jnp.isfinite(-negm), sel_i, -1)
+        # a node must never select itself (it IS in the frozen graph when it
+        # doubles as the seed, and padded rounds repeat slots)
+        cand_d = jnp.where(cand_i == new_slots[:, None], jnp.inf, cand_d)
+        # pre-trim to the heuristic pool width
+        negc, argc = jax.lax.top_k(-cand_d, c_sel)
+        c_d = -negc
+        c_i = jnp.take_along_axis(cand_i, argc, 1)
+        c_i = jnp.where(jnp.isfinite(c_d), c_i, -1)
+        if heuristic:
+            pair = _pairwise_among(base, norms, c_i)
+            sel_d, sel_i = _select_heuristic(c_d, c_i, pair, m)
+        else:
+            sel_d, sel_i = c_d[:, :m], c_i[:, :m]
         take = do_beam[:, None]
-        selected = selected.at[:, lev, :].set(jnp.where(take, sel_i, selected[:, lev, :]))
-        sel_dists = sel_dists.at[:, lev, :].set(
-            jnp.where(take, -negm, sel_dists[:, lev, :])
+        selected = selected.at[:, lev, :].set(
+            jnp.where(take, sel_i, selected[:, lev, :])
         )
-        # next level entry: best beam result where beam ran
         cur = jnp.where(do_beam, pool_i[:, 0], cur)
         cur_d = jnp.where(do_beam, pool_d[:, 0], cur_d)
+        return cur, cur_d, selected
 
-    # ---------------- connect phase: sequential over the batch -------------
+    selected0 = jnp.full((b, L, m), -1, jnp.int32)
+    _, _, selected = jax.lax.fori_loop(0, L, level_step, (cur, cur_d, selected0))
+
+    # ---- phase C: connect (sequential over the batch) ---------------------
     def connect_one(i, nbrs_arr):
         slot_i = new_slots[i]
-        for lev in range(L):  # static loop
+        my_norm = norms[slot_i]
+        my_vec = base[slot_i]
+
+        def level_body(lev, nbrs_arr):
             lev_on = new_levels[i] >= lev
-            sel = jnp.where(lev_on, selected[i, lev], -1)      # [M]
+            sel = jnp.where(lev_on, selected[i, lev], -1)
             # forward edges
             nbrs_arr = nbrs_arr.at[lev, slot_i].set(
                 jnp.where(lev_on, sel, nbrs_arr[lev, slot_i])
             )
-            # reverse edges with top-M prune (reference: connectNeighbors +
+            # reverse edges with prune (reference: connectNeighbors +
             # pruneNeighbors, HNSWIndex.cpp:471-515)
-            tgt = sel                                          # [M]
+            tgt = sel                                       # [M]
             safe_t = jnp.maximum(tgt, 0)
-            cur_lists = nbrs_arr[lev, safe_t]                  # [M, M]
+            cur_lists = nbrs_arr[lev, safe_t]               # [M, M]
+            dup = cur_lists == slot_i
             cand = jnp.concatenate(
-                [cur_lists, jnp.full((m, 1), slot_i, jnp.int32)], axis=1
-            )                                                  # [M, M+1]
-            # drop duplicate of slot_i if it is somehow present already
-            dup = cand[:, :-1] == slot_i
-            cand = jnp.concatenate([jnp.where(dup, -1, cand[:, :-1]), cand[:, -1:]], 1)
-            t_vecs = base[safe_t]                              # [M, d]
+                [jnp.where(dup, -1, cur_lists),
+                 jnp.full((m, 1), slot_i, jnp.int32)], axis=1
+            )                                               # [M, M+1]
             c_safe = jnp.maximum(cand, 0)
-            c_vecs = base[c_safe]                              # [M, M+1, d]
+            t_vecs = base[safe_t]
+            c_vecs = base[c_safe]
             dd = (
                 norms[safe_t][:, None]
                 + norms[c_safe]
@@ -368,14 +448,20 @@ def insert_batch(
                                    preferred_element_type=jnp.float32)
             )
             dd = jnp.where(cand >= 0, jnp.maximum(dd, 0.0), jnp.inf)
-            negk, argk = jax.lax.top_k(-dd, m)
-            new_lists = jnp.take_along_axis(cand, argk, 1)
-            new_lists = jnp.where(jnp.isfinite(-negk), new_lists, -1)
+            if heuristic:
+                pair = _pairwise_among(base, norms, cand)
+                _, new_lists = _select_heuristic(dd, cand, pair, m)
+            else:
+                negk, argk = jax.lax.top_k(-dd, m)
+                new_lists = jnp.take_along_axis(cand, argk, 1)
+                new_lists = jnp.where(jnp.isfinite(-negk), new_lists, -1)
             write = lev_on & (tgt >= 0)
             nbrs_arr = nbrs_arr.at[lev, safe_t].set(
                 jnp.where(write[:, None], new_lists, cur_lists)
             )
-        return nbrs_arr
+            return nbrs_arr
+
+        return jax.lax.fori_loop(0, L, level_body, nbrs_arr)
 
     neighbors = jax.lax.fori_loop(0, b, connect_one, graph.neighbors)
 
@@ -393,7 +479,7 @@ def insert_batch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def seed_first(graph: HnswGraph, slot: Array, level: Array) -> HnswGraph:
     """Insert the very first node (host decides when the graph is empty)."""
     return graph.replace(
@@ -405,11 +491,9 @@ def seed_first(graph: HnswGraph, slot: Array, level: Array) -> HnswGraph:
 
 @jax.jit
 def unlink_slot(graph: HnswGraph, slot: Array) -> HnswGraph:
-    """Remove a node's edges and pointers to it (tombstone-friendly eager
-    unlink; reference: HnswIndex.removeVector :254-318 unlinks all levels).
-
-    Entry-point fixup happens host-side (pick any live neighbor / rebuild).
-    """
+    """Remove a node's edges and pointers to it (reference:
+    HnswIndex.removeVector :254-318 unlinks all levels).  Entry-point fixup
+    happens host-side."""
     neighbors = jnp.where(graph.neighbors == slot, -1, graph.neighbors)
     neighbors = neighbors.at[:, slot, :].set(-1)
     return graph.replace(neighbors=neighbors, levels=graph.levels.at[slot].set(-1))
