@@ -1,0 +1,104 @@
+"""Flagship benchmark — prints ONE JSON line for the driver.
+
+Config mirrors BASELINE.json's north star: HNSW+PQ flagship at 512-dim x
+100k vectors, 32x compression (64 subspaces x 8 bits), k=10, seed 42.
+Measures Recall@10 against the on-device brute-force ground truth and
+batched device-side QPS of the flagship's default (auto) search path.
+
+Baseline: the reference's published 2,391 QPS / 97.60% Recall@10 at 512-dim
+(PERFORMANCE_EVALUATION_LATEST.md:62-64; BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    sys.path.insert(0, ".")
+    from vector_db_tpu.api.config import HnswPqConfig
+    from vector_db_tpu.index.hnsw_pq import HnswPqIndex, exact_scan_search
+    from vector_db_tpu.ops.distance import blocked_knn
+
+    dim, n, nq, k = 512, 100_000, 1024, 10
+    log(f"bench: flagship HNSWPQ {dim}d x {n} vectors, 32x, k={k}, "
+        f"devices={jax.devices()}")
+    # generate the corpus ON DEVICE: transferring 200 MB through the TPU
+    # tunnel costs ~10 minutes; generating it costs milliseconds
+    t0 = time.time()
+    gen = jax.jit(
+        lambda key, shape: jax.random.normal(key, shape, jnp.float32),
+        static_argnames="shape",
+    )
+    vj = gen(jax.random.PRNGKey(42), (n, dim))
+    qj = gen(jax.random.PRNGKey(7), (nq, dim))
+    jax.block_until_ready(qj)
+    log(f"data gen (on device): {time.time()-t0:.1f}s")
+
+    # ground truth (exact, on device)
+    t0 = time.time()
+    gt_d, gt_i = blocked_knn(qj, vj, jnp.ones(n, bool), k, block_n=16384)
+    gt_i = np.asarray(gt_i)
+    gt_sets = [set(gt_i[i].tolist()) for i in range(nq)]
+    log(f"ground truth: {time.time()-t0:.1f}s")
+
+    # build the flagship index (zero-copy ingest, PQ train + encode on device)
+    cfg = HnswPqConfig(num_subspaces=64, training_samples=20000)
+    idx = HnswPqIndex(dim, n, "l2", cfg)
+    t0 = time.time()
+    idx.bulk_load(range(n), vj)
+    t_build = time.time() - t0
+    log(f"build (ingest+train+encode): {t_build:.1f}s  trained={idx.trained}  "
+        f"ratio={idx.stats()['compression_ratio']}x")
+
+    # recall through the public API
+    ids, _ = idx.search_batch(np.asarray(qj), k)
+    recall = float(np.mean(
+        [len(set(ids[i].tolist()) & gt_sets[i]) / k for i in range(nq)]
+    ))
+    log(f"Recall@10: {recall:.4f}")
+
+    # batched device-side QPS of the flagship search program
+    st = idx.store.state
+    fn = lambda: exact_scan_search(
+        qj, st.vectors, st.norms, st.valid, st.ids, 16, "l2",
+        32768, cfg.scan_recall_target,
+    )
+    jax.block_until_ready(fn())
+    jax.block_until_ready(fn())
+    reps = 20
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    qps = nq / dt
+    log(f"device QPS: {qps:.0f}  ({dt*1000:.2f} ms / {nq}-query batch)")
+
+    baseline_qps = 2391.0  # reference flagship single-chip QPS
+    print(json.dumps({
+        "metric": "hnswpq_flagship_batched_qps_512d_100k_k10",
+        "value": round(qps, 1),
+        "unit": "QPS",
+        "vs_baseline": round(qps / baseline_qps, 2),
+        "recall_at_10": round(recall, 4),
+        "baseline_recall_at_10": 0.976,
+        "build_seconds": round(t_build, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Compression on/off/custom + performance demo.
+
+Parity with the reference's CompressionExample.java (331 lines): compare
+uncompressed vs PQ-compressed databases — memory, build time, search time,
+recall — across the CompressionConfig presets.
+
+Run: python examples/compression_example.py [--n 10000] [--dim 512]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from vector_db_tpu import CompressionConfig, IndexType, VectorDatabase
+
+
+def build_db(dim, n, compression=None, index_type=IndexType.HNSWPQ):
+    b = (VectorDatabase.builder().with_dimension(dim).with_max_elements(n)
+         .with_index_type(index_type))
+    if compression is not None:
+        b = b.with_compression(compression)
+    return b.build()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000)
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--queries", type=int, default=100)
+    args = ap.parse_args()
+    dim, n, k = args.dim, args.n, 10
+
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((args.queries, dim)).astype(np.float32)
+
+    gt = build_db(dim, n, index_type=IndexType.BRUTE)
+    gt.add_batch(range(n), vecs)
+    gt_sets = [{r.id for r in row} for row in gt.search_batch(queries, k)]
+
+    presets = [
+        ("uncompressed", None, IndexType.HNSW),
+        ("recommended (dim/8, 32x)", CompressionConfig.recommended_config(dim), IndexType.HNSWPQ),
+        ("high recall (dim/4, 16x)", CompressionConfig.high_recall_config(dim), IndexType.HNSWPQ),
+        ("high compression (dim/16, 64x)", CompressionConfig.high_compression_config(dim), IndexType.HNSWPQ),
+    ]
+
+    print(f"\n{'preset':32s} {'ratio':>6s} {'build s':>8s} {'ms/q':>7s} {'Recall@10':>10s}")
+    print("-" * 70)
+    for name, comp, itype in presets:
+        db = build_db(dim, n, comp, itype)
+        t0 = time.time()
+        db.add_batch(range(n), vecs)
+        db.rebuild_index()
+        t_build = time.time() - t0
+        db.search_batch(queries, k)
+        t0 = time.time()
+        res = db.search_batch(queries, k)
+        dt = time.time() - t0
+        recall = np.mean(
+            [len({r.id for r in res[i]} & gt_sets[i]) / k
+             for i in range(args.queries)]
+        )
+        ratio = db.get_compression_ratio()
+        print(f"{name:32s} {ratio:5.0f}x {t_build:8.1f} "
+              f"{dt*1000/args.queries:7.2f} {recall:10.1%}")
+        if comp is not None:
+            print(f"{'':32s} memory savings: "
+                  f"{db.get_memory_savings_pct():.1f}%  stats: "
+                  f"{ {kk: db.stats()[kk] for kk in ('index_bytes', 'raw_bytes') if kk in db.stats()} }")
+        db.close()
+    print("\ndone.")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,8 @@ def small_cfg(**kw):
         training_samples=128,
         refine_k=64,
         use_graph=False,
+        search_mode="adc",  # exercise the memory-bound ADC path; the
+        # "auto" exact-scan default is covered by TestScanMode
     )
     base.update(kw)
     return HnswPqConfig(**base)
@@ -128,6 +130,32 @@ class TestCompression:
         assert idx.size() == 150
         ids, _ = idx.search(vecs[100], 1)
         assert ids[0] == 100
+
+
+class TestScanMode:
+    def test_auto_exact_scan_full_recall(self, built, rng):
+        """The auto mode (MXU exact scan) matches brute-force exactly."""
+        idx, brute, vecs = built
+        idx.config.search_mode = "auto"
+        try:
+            q = rng.standard_normal((16, 16)).astype(np.float32)
+            a, _ = idx.search_batch(q, 10)
+            g, _ = brute.search_batch(q, 10)
+            recall = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(16)])
+            assert recall >= 0.99
+        finally:
+            idx.config.search_mode = "adc"
+
+    def test_pruned_adc_path(self, rng):
+        n, dim = 512, 16
+        vecs = np.random.default_rng(11).standard_normal((n, dim)).astype(np.float32)
+        cfg = small_cfg(nlist=8, nprobe=4, refine_k=64, training_samples=128)
+        idx = HnswPqIndex(dim, n, "l2", cfg)
+        idx.add_batch(range(n), vecs)
+        assert idx.trained and idx.coarse_centroids is not None
+        ids, _ = idx.search_batch(vecs[:16], 1)
+        # nprobe=4 of 8 clusters: self-cluster always probed -> self found
+        assert (ids[:, 0] == np.arange(16)).mean() >= 0.9
 
 
 class TestPersistence:

@@ -153,7 +153,18 @@ class VectorDatabase:
         self.index = _create_index(
             index_type, dimension, max_elements, metric, self.compression, index_config
         )
-        if auto_load and storage_path and ckpt.checkpoint_exists(storage_path):
+        # write-ahead log via the native storage engine (C++ libvdbstore with
+        # a format-compatible Python fallback): every mutation is durable
+        # immediately, not just at checkpoint time — stronger than the
+        # reference's 1000-mutation write-behind (VectorStorage.java:81)
+        self._engine = None
+        if storage_path:
+            from ..storage.native import open_engine
+
+            wal_dir = os.path.join(storage_path, "wal")
+            os.makedirs(wal_dir, exist_ok=True)
+            self._engine = open_engine(wal_dir, dimension)
+        if auto_load and storage_path:
             self.load_from_storage()
 
     # ---------------------------------------------------------------- builder
@@ -234,6 +245,8 @@ class VectorDatabase:
             return False
         ok = self.index.add(int(vec_id), values)
         if ok:
+            if self._engine is not None:
+                self._engine.append_add(int(vec_id), values)
             self._note_mutation()
         return ok
 
@@ -242,8 +255,15 @@ class VectorDatabase:
         jni/NativeIndex.java:153-179)."""
         self._check_open()
         values = np.asarray(values, np.float32)
-        accepted = self.index.add_batch([int(i) for i in ids], values)
+        id_list = [int(i) for i in ids]
+        accepted = self.index.add_batch(id_list, values)
         if accepted:
+            if self._engine is not None:
+                taken = set(accepted)
+                rows = [i for i, vid in enumerate(id_list) if vid in taken]
+                self._engine.append_add_batch(
+                    np.asarray(accepted, np.int32), values[rows]
+                )
             self._note_mutation(len(accepted))
         return accepted
 
@@ -258,6 +278,8 @@ class VectorDatabase:
         self._check_open()
         ok = self.index.remove(int(vec_id))
         if ok:
+            if self._engine is not None:
+                self._engine.append_delete(int(vec_id))
             self._note_mutation()
         return ok
 
@@ -275,8 +297,12 @@ class VectorDatabase:
         """Batched k-NN — the QPS path (reference:
         jni/NativeIndex.java:187-230)."""
         self._check_open()
+        from ..utils.stats import GLOBAL, timed
+
         queries = np.asarray(queries, np.float32)
-        ids, dists = self.index.search_batch(queries, k)
+        with timed("search_batch"):
+            ids, dists = self.index.search_batch(queries, k)
+        GLOBAL.bump("queries", queries.shape[0])
         return [
             make_results(ids[q].tolist(), dists[q].tolist(), self.metric)
             for q in range(queries.shape[0])
@@ -286,6 +312,13 @@ class VectorDatabase:
     def size(self) -> int:
         self._check_open()
         return self.index.size()
+
+    def metrics(self) -> dict:
+        """Process-wide operation counters/latencies (SURVEY.md §5.1 analog
+        of the reference's timing dumps)."""
+        from ..utils.stats import GLOBAL
+
+        return GLOBAL.snapshot()
 
     def rebuild_index(self) -> None:
         """reference: core/VectorDatabase.java:284-286"""
@@ -324,6 +357,17 @@ class VectorDatabase:
             "size": self.index.size(),
         }
         ckpt.save_checkpoint(self.storage_path, meta, self.index.state_arrays())
+        if self._engine is not None:
+            # snapshot the live set -> WAL truncates (checkpoint and WAL
+            # snapshot are now consistent)
+            live_ids = sorted(
+                i for i in (self.index.store.ids() if hasattr(self.index, "store") else [])
+            )
+            if live_ids:
+                vecs = np.stack([self.index.get(i) for i in live_ids])
+            else:
+                vecs = np.empty((0, self.dimension), np.float32)
+            self._engine.snapshot(np.asarray(live_ids, np.int32), vecs)
         self._mutations_since_flush = 0
         return True
 
@@ -335,7 +379,8 @@ class VectorDatabase:
             return False
         loaded = ckpt.load_checkpoint(self.storage_path)
         if loaded is None:
-            return False
+            # no checkpoint: recover everything from the WAL alone
+            return self._reconcile_wal() > 0
         meta, arrays = loaded
         if meta.get("dimension") != self.dimension:
             raise ValueError(
@@ -356,7 +401,32 @@ class VectorDatabase:
                 return True
             return False
         self.index.load_state_arrays(arrays)
+        # replay mutations that landed after the checkpoint from the WAL
+        self._reconcile_wal()
         return True
+
+    def _reconcile_wal(self) -> int:
+        """Bring the index in line with the WAL's live set.  Returns the
+        number of applied mutations (adds + deletes)."""
+        if self._engine is None:
+            return 0
+        wal_ids, wal_vecs = self._engine.load(self.max_elements)
+        wal_set = {int(i) for i in wal_ids}
+        if hasattr(self.index, "store"):
+            index_set = set(self.index.store.ids())
+        else:
+            index_set = set()
+        applied = 0
+        missing = [i for i, vid in enumerate(wal_ids) if int(vid) not in index_set]
+        if missing:
+            self.index.add_batch(
+                [int(wal_ids[i]) for i in missing], wal_vecs[missing]
+            )
+            applied += len(missing)
+        for vid in index_set - wal_set:
+            if self.index.remove(vid):
+                applied += 1
+        return applied
 
     def close(self) -> None:
         """Flush and close (reference: core/VectorDatabase.java:319)."""
@@ -364,6 +434,8 @@ class VectorDatabase:
             return
         if self.storage_path:
             self.save()
+        if self._engine is not None:
+            self._engine.close()
         self._closed = True
 
     def __enter__(self) -> "VectorDatabase":

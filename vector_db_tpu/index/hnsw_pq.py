@@ -67,6 +67,12 @@ class HnswPqIndex(VectorIndex):
         self.graph = hg.init_graph(self.store.capacity, config.m, self._max_level)
         self._level_counter = 0
         self._graph_dirty: list[int] = []  # slots added before training
+        # optional IVF coarse quantizer for pruned scans (config.nlist > 0)
+        self.coarse_centroids: Optional[jax.Array] = None  # [nlist, dim]
+        self.coarse_assign = np.full(self.store.capacity, -1, np.int32)
+        self._members: Optional[jax.Array] = None
+        self._overflow: Optional[jax.Array] = None
+        self._members_dirty = True
 
     # ------------------------------------------------------------- helpers
     def _sample_levels(self, n: int) -> np.ndarray:
@@ -93,14 +99,26 @@ class HnswPqIndex(VectorIndex):
                 self.train()
         else:
             self._encode_slots(slots_np)
+            if self.coarse_centroids is not None:
+                self._assign_coarse(slots_np)
             if self.config.use_graph:
                 self._insert_graph(slots_np)
+        return accepted
+
+    def bulk_load(self, ids: Sequence[int], vectors) -> list[int]:
+        """Zero-copy bulk ingest of a device-resident corpus + train.
+        (See VectorStore.bulk_load.)"""
+        accepted = self.store.bulk_load(ids, vectors)
+        if accepted:
+            self.train()
         return accepted
 
     def remove(self, vec_id: int) -> bool:
         slot = self.store.remove(vec_id)
         if slot is None:
             return False
+        self.coarse_assign[slot] = -1
+        self._members_dirty = True
         if self.config.use_graph and int(self.graph.entry) == slot:
             self.graph = hg.unlink_slot(self.graph, jnp.asarray(slot, jnp.int32))
             levels = np.asarray(self.graph.levels)
@@ -148,10 +166,76 @@ class HnswPqIndex(VectorIndex):
         )
         self.trained = True
         self._encode_slots(live)
+        if self.config.nlist > 0:
+            from ..ops.kmeans import kmeans_fit
+
+            nlist = min(self.config.nlist, max(1, live.size // 8))
+            # the coarse quantizer trains on the FULL live set: subsampling
+            # (20 pts/centroid) collapses centroids and produces mega-clusters
+            # that blow up the padded member table; full-data k-means is a few
+            # TFLOP on the MXU
+            full = self.store.state.vectors[jnp.asarray(live)]
+            self.coarse_centroids, _ = kmeans_fit(
+                jax.random.PRNGKey(self.seed + 1),
+                full,
+                k=nlist,
+                iters=self.config.training_iterations,
+                plus_plus=False,  # ++ seeding is a sequential k-step loop;
+                # random init + full-data Lloyd converges as well here
+            )
+            self._assign_coarse(live)
         if self.config.use_graph:
             self._rebuild_graph()
         self._graph_dirty.clear()
         return True
+
+    def _assign_coarse(self, slots: np.ndarray) -> None:
+        from ..ops.distance import pairwise_sq_l2
+
+        vecs = self.store.state.vectors[jnp.asarray(slots)]
+        d = pairwise_sq_l2(vecs, self.coarse_centroids)
+        self.coarse_assign[slots] = np.asarray(jnp.argmin(d, axis=1))
+        self._members_dirty = True
+
+    def _member_table(self) -> tuple[jax.Array, int, jax.Array]:
+        """Quota-capped [nlist, L] member-slot table + overflow list.
+
+        Padding to the LARGEST cluster explodes the per-query gather when
+        k-means produces a mega-cluster (observed: one 2.2k-member cluster at
+        100k/1024 lists -> a 9 GB candidate gather).  Instead each cluster
+        keeps at most a quota (4x the mean size); members beyond the quota
+        spill into a shared overflow list that every query scans — bounded
+        candidate width, no recall cliff.
+        """
+        if self._members is not None and not self._members_dirty:
+            return self._members, self._members.shape[1], self._overflow
+        c = int(self.coarse_centroids.shape[0])
+        valid = np.asarray(self.store.state.valid)
+        lists: list[list[int]] = [[] for _ in range(c)]
+        for slot, cl in enumerate(self.coarse_assign):
+            if cl >= 0 and valid[slot]:
+                lists[cl].append(slot)
+        n_live = sum(len(l) for l in lists)
+        quota = max(32, int(np.ceil(4.0 * max(n_live, 1) / c / 32)) * 32)
+        overflow: list[int] = []
+        max_len = 1
+        for l in lists:
+            if len(l) > quota:
+                overflow.extend(l[quota:])
+                del l[quota:]
+            max_len = max(max_len, len(l))
+        max_len = ((max_len + 31) // 32) * 32
+        table = np.full((c, max_len), -1, np.int32)
+        for ci, l in enumerate(lists):
+            table[ci, : len(l)] = l
+        over = np.asarray(overflow, np.int32) if overflow else np.full(32, -1, np.int32)
+        pad = (-over.size) % 32
+        if pad:
+            over = np.concatenate([over, np.full(pad, -1, np.int32)])
+        self._members = jnp.asarray(table)
+        self._overflow = jnp.asarray(over)
+        self._members_dirty = False
+        return self._members, max_len, self._overflow
 
     def build(self) -> None:
         """reference: HnswPqIndex.buildIndex :677-718 — train if needed, then
@@ -234,7 +318,23 @@ class HnswPqIndex(VectorIndex):
             return self._to_external(q_n, k, k_eff, slots, dists)
 
         refine = min(max(pow2(self.config.refine_k), k_pad), st.capacity)
-        if self.config.use_graph and int(self.graph.entry) >= 0:
+        mode = self.config.search_mode
+        if self.config.use_graph and mode == "auto":
+            mode = "graph"
+        if mode in ("auto", "scan_exact"):
+            # MXU exact scan — the TPU-fast default (see HnswPqConfig)
+            dists, ext = exact_scan_search(
+                jnp.asarray(padded), st.vectors, st.norms, st.valid, st.ids,
+                k_pad, self.metric,
+                min(32768, st.capacity), self.config.scan_recall_target,
+            )
+            ext_np = np.asarray(ext)[:q_n, :k_eff]
+            out_ids = np.full((q_n, k), -1, np.int32)
+            out_d = np.full((q_n, k), np.inf, np.float32)
+            out_ids[:, :k_eff] = ext_np
+            out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
+            return out_ids, out_d
+        if (mode == "graph" or self.config.use_graph) and int(self.graph.entry) >= 0:
             # graph path: ADC-distance traversal + exact re-rank (reference
             # search shape, HnswPqIndex.java:616-664)
             tables = adc.build_distance_tables(jnp.asarray(padded), self.codebooks)
@@ -247,12 +347,22 @@ class HnswPqIndex(VectorIndex):
                 jnp.asarray(padded), st.vectors, cand, k_pad, self.metric
             )
             return self._to_external(q_n, k, k_eff, slots, dists)
-        # scan path (TPU default): one fused device program
-        dists, ext = flagship_search(
-            jnp.asarray(padded), self.codebooks, self.codes, st.valid,
-            st.vectors, st.ids, k_pad, refine,
-            self.adc_impl, min(4096, st.capacity), self.metric,
-        )
+        if self.coarse_centroids is not None:
+            # IVF-pruned fused scan (ScaNN-style partition + score + re-rank)
+            members, max_len, overflow = self._member_table()
+            nprobe = min(self.config.nprobe, int(self.coarse_centroids.shape[0]))
+            dists, ext = flagship_search_pruned(
+                jnp.asarray(padded), self.codebooks, self.codes, st.valid,
+                st.vectors, st.ids, self.coarse_centroids, members, overflow,
+                k_pad, refine, nprobe, max_len, self.metric,
+            )
+        else:
+            # exhaustive fused scan
+            dists, ext = flagship_search(
+                jnp.asarray(padded), self.codebooks, self.codes, st.valid,
+                st.vectors, st.ids, k_pad, refine,
+                self.adc_impl, min(4096, st.capacity), self.metric,
+            )
         ext_np = np.asarray(ext)[:q_n, :k_eff]
         out_ids = np.full((q_n, k), -1, np.int32)
         out_d = np.full((q_n, k), np.inf, np.float32)
@@ -316,6 +426,9 @@ class HnswPqIndex(VectorIndex):
         }
         if self.codebooks is not None:
             out["codebooks"] = np.asarray(self.codebooks)
+        if self.coarse_centroids is not None:
+            out["coarse_centroids"] = np.asarray(self.coarse_centroids)
+            out["coarse_assign"] = self.coarse_assign
         return out
 
     def load_state_arrays(self, arrays: dict) -> None:
@@ -333,9 +446,32 @@ class HnswPqIndex(VectorIndex):
             entry=jnp.asarray(g["entry"]),
             entry_level=jnp.asarray(g["entry_level"]),
         )
+        if "coarse_centroids" in arrays:
+            self.coarse_centroids = jnp.asarray(arrays["coarse_centroids"])
+            self.coarse_assign = np.asarray(arrays["coarse_assign"]).copy()
+            self._members = None
+            self._members_dirty = True
 
 
 import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "block_n", "recall_target")
+)
+def exact_scan_search(queries, base, norms, valid, ids, k, metric,
+                      block_n, recall_target):
+    """Fused MXU exact scan + external-id map — the flagship's default
+    search (one dispatch; see HnswPqConfig.search_mode for the measured
+    numbers and the design rationale)."""
+    from ..ops.distance import blocked_knn_fast
+
+    d, slots = blocked_knn_fast(
+        queries, base, valid, k, metric=metric, b_norms=norms,
+        block_n=block_n, recall_target=recall_target,
+    )
+    ext = jnp.where(slots >= 0, ids[jnp.maximum(slots, 0)], -1)
+    return d, ext
 
 
 @functools.partial(
@@ -351,21 +487,109 @@ def flagship_search(
     tables = adc.build_distance_tables(queries, codebooks)
     _, cand = adc.adc_scan_topk(tables, codes, valid, refine,
                                 block_n=block_n, impl=impl)
-    safe = jnp.maximum(cand, 0)
-    cand_vecs = base[safe]
-    if metric == "l2":
-        d = jnp.sum((cand_vecs - queries[:, None, :]) ** 2, axis=2)
-    else:
-        qn = jnp.linalg.norm(queries, axis=1, keepdims=True)
-        vn = jnp.linalg.norm(cand_vecs, axis=2)
-        dot = jnp.einsum("qd,qrd->qr", queries, cand_vecs)
-        d = 1.0 - dot / jnp.maximum(qn * vn, 1e-12)
-    d = jnp.where(cand >= 0, d, jnp.inf)
-    neg, arg = jax.lax.top_k(-d, k)
-    slots = jnp.take_along_axis(cand, arg, 1)
-    ok = jnp.isfinite(-neg)
-    ext = jnp.where(ok, ids[jnp.maximum(slots, 0)], -1)
-    return -neg, ext
+    d, slots = _blocked_rerank(queries, base, cand, k, metric)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
+    return d, ext
+
+
+def _blocked_rerank(queries, base, cand, k, metric, rb: int = 512):
+    """Exact re-rank of [Q, R] candidate slots in blocks of ``rb`` with a
+    running top-k merge — never materialises the full [Q, R, d] gather
+    (at R=8192, Q=1024, d=512 that is a 16 GB allocation)."""
+    q_n, r = cand.shape
+    r_pad = (-r) % rb
+    if r_pad:
+        cand = jnp.pad(cand, ((0, 0), (0, r_pad)), constant_values=-1)
+    n_blocks = (r + r_pad) // rb
+    q_norms = jnp.sum(queries * queries, axis=1)
+
+    def body(carry, blk):
+        top_d, top_i = carry
+        cnd = jax.lax.dynamic_slice_in_dim(cand, blk * rb, rb, axis=1)
+        safe = jnp.maximum(cnd, 0)
+        vecs = base[safe]                                  # [Q, rb, d]
+        if metric == "l2":
+            dots = jnp.einsum("qd,qrd->qr", queries, vecs,
+                              preferred_element_type=jnp.float32)
+            vn = jnp.sum(vecs * vecs, axis=2)
+            d = jnp.maximum(q_norms[:, None] + vn - 2.0 * dots, 0.0)
+        else:
+            qn = jnp.sqrt(jnp.maximum(q_norms, 1e-12))[:, None]
+            vn = jnp.linalg.norm(vecs, axis=2)
+            dots = jnp.einsum("qd,qrd->qr", queries, vecs)
+            d = 1.0 - dots / jnp.maximum(qn * vn, 1e-12)
+        d = jnp.where(cnd >= 0, d, jnp.inf)
+        cat_d = jnp.concatenate([top_d, d], axis=1)
+        cat_i = jnp.concatenate([top_i, cnd], axis=1)
+        neg, arg = jax.lax.top_k(-cat_d, k)
+        return ((-neg), jnp.take_along_axis(cat_i, arg, 1)), None
+
+    init = (jnp.full((q_n, k), jnp.inf), jnp.full((q_n, k), -1, jnp.int32))
+    (d, slots), _ = jax.lax.scan(body, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return d, slots
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "refine", "nprobe", "max_len", "metric")
+)
+def flagship_search_pruned(
+    queries, codebooks, codes, valid, base, ids, centroids, members, overflow,
+    k, refine, nprobe, max_len, metric,
+):
+    """IVF-pruned flagship search, fused: coarse probe selection (one small
+    matmul) -> gather probed clusters' codes -> ADC scoring -> top-R ->
+    exact re-rank -> external ids.  The ScaNN-style partition/score/re-rank
+    pipeline that keeps QPS flat as N grows (the exhaustive scan is O(N))."""
+    q_n = queries.shape[0]
+    tables = adc.build_distance_tables(queries, codebooks)
+    # probe selection
+    cd = (
+        jnp.sum(queries * queries, axis=1)[:, None]
+        + jnp.sum(centroids * centroids, axis=1)[None, :]
+        - 2.0 * jax.lax.dot_general(queries, centroids, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    )
+    _, probes = jax.lax.top_k(-cd, nprobe)                 # [Q, P]
+    cand = members[probes].reshape(q_n, nprobe * max_len)  # [Q, C] slots
+    # the shared overflow list (quota-spilled members) is always scanned
+    cand = jnp.concatenate(
+        [cand, jnp.broadcast_to(overflow[None, :], (q_n, overflow.shape[0]))],
+        axis=1,
+    )
+    cand = jnp.where(valid[jnp.maximum(cand, 0)], cand, -1)
+    # blocked ADC scoring with a running top-R merge: never materialise the
+    # full [Q, C, S] gather (at nprobe=64 that was a multi-GB allocation)
+    c_total = cand.shape[1]
+    cb = 2048
+    c_pad = (-c_total) % cb
+    if c_pad:
+        cand = jnp.pad(cand, ((0, 0), (0, c_pad)), constant_values=-1)
+    n_blocks = (c_total + c_pad) // cb
+    r = min(refine, c_total)
+
+    def score_block(carry, blk):
+        top_d, top_i = carry
+        cnd = jax.lax.dynamic_slice_in_dim(cand, blk * cb, cb, axis=1)
+        safe = jnp.maximum(cnd, 0)
+        cc = codes[safe].astype(jnp.int32)                 # [Q, cb, S]
+        cc = jnp.swapaxes(cc, 1, 2)                        # [Q, S, cb]
+        g = jnp.take_along_axis(tables, cc, axis=2)
+        d = jnp.sum(g, axis=1)
+        d = jnp.where(cnd >= 0, d, jnp.inf)
+        cat_d = jnp.concatenate([top_d, d], axis=1)
+        cat_i = jnp.concatenate([top_i, cnd], axis=1)
+        neg, arg = jax.lax.top_k(-cat_d, r)
+        return ((-neg), jnp.take_along_axis(cat_i, arg, 1)), None
+
+    init = (jnp.full((q_n, r), jnp.inf), jnp.full((q_n, r), -1, jnp.int32))
+    (negd, short), _ = jax.lax.scan(
+        score_block, init, jnp.arange(n_blocks, dtype=jnp.int32)
+    )
+    short = jnp.where(jnp.isfinite(negd), short, -1)
+    # exact re-rank (blocked — same OOM-safety as the exhaustive path)
+    d, slots = _blocked_rerank(queries, base, short, k, metric)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
+    return d, ext
 
 
 @functools.partial(jax.jit, static_argnames=("ef",))
