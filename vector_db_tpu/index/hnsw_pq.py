@@ -321,13 +321,24 @@ class HnswPqIndex(VectorIndex):
         mode = self.config.search_mode
         if self.config.use_graph and mode == "auto":
             mode = "graph"
-        if mode in ("auto", "scan_exact"):
+        if mode in ("auto", "scan_exact", "scan_pallas"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
-            dists, ext = exact_scan_search(
-                jnp.asarray(padded), st.vectors, st.norms, st.valid, st.ids,
-                k_pad, self.metric,
-                min(32768, st.capacity), self.config.scan_recall_target,
-            )
+            if mode == "scan_pallas":
+                from ..ops.pallas_kernels import fused_scan_topk
+
+                dists, slots = fused_scan_topk(
+                    jnp.asarray(padded), st.vectors,
+                    jnp.where(st.valid, st.norms, jnp.inf), k_pad,
+                )
+                ext = jnp.where(
+                    slots >= 0, st.ids[jnp.maximum(slots, 0)], -1
+                )
+            else:
+                dists, ext = exact_scan_search(
+                    jnp.asarray(padded), st.vectors, st.norms, st.valid,
+                    st.ids, k_pad, self.metric,
+                    min(32768, st.capacity), self.config.scan_recall_target,
+                )
             ext_np = np.asarray(ext)[:q_n, :k_eff]
             out_ids = np.full((q_n, k), -1, np.int32)
             out_d = np.full((q_n, k), np.inf, np.float32)

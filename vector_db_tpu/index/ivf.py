@@ -130,7 +130,11 @@ class IvfIndex(VectorIndex):
         self._members_dirty = True
 
     def _member_table(self) -> tuple[jax.Array, int]:
-        """Padded [C, L] member table, rebuilt lazily after mutations."""
+        """Padded [C, L] member table, rebuilt lazily after mutations.
+
+        Capped at 8x the mean cluster size so one mega-cluster cannot blow up
+        the per-query candidate gather (oversized clusters are truncated; the
+        flagship's quota+overflow variant is the lossless version of this)."""
         if self.members is not None and not self._members_dirty:
             return self.members, self.members.shape[1]
         c = int(self.centroids.shape[0])
@@ -139,12 +143,15 @@ class IvfIndex(VectorIndex):
         for slot, cl in enumerate(self.assignments):
             if cl >= 0 and valid[slot]:
                 lists[cl].append(slot)
-        max_len = max(1, max((len(l) for l in lists), default=1))
+        n_live = sum(len(l) for l in lists)
+        quota = max(8, int(np.ceil(8.0 * max(n_live, 1) / c / 8)) * 8)
+        max_len = max(1, min(quota, max((len(l) for l in lists), default=1)))
         # pad to a multiple of 8 to bound recompiles as clusters grow
         max_len = ((max_len + 7) // 8) * 8
         table = np.full((c, max_len), -1, np.int32)
         for ci, l in enumerate(lists):
-            table[ci, : len(l)] = l
+            take = l[:max_len]
+            table[ci, : len(take)] = take
         self.members = jnp.asarray(table)
         self._members_dirty = False
         return self.members, max_len

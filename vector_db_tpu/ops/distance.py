@@ -201,6 +201,19 @@ def blocked_knn_fast(
         b_norms = sq_norms(base)
     q_norms = sq_norms(q)
 
+    # full-row path: one distance matmul + ONE approx_max_k over the whole
+    # row beats blocked scanning whenever the [Q, N] matrix fits comfortably
+    # (measured at 512d/100k/Q=1024: 1.66 ms vs 5.5 ms blocked — the per-block
+    # reductions + merges dominate the blocked variant)
+    # (full-row exact top_k is pathological — 161 ms — so only the approx
+    # reduction takes this path; exact requests use the blocked scan below)
+    if recall_target < 1.0 and qn * n * 4 <= 512 * 1024 * 1024:
+        d = pairwise_dist(q, base, metric, q_norms, b_norms)
+        d = jnp.where(valid[None, :], d, jnp.inf)
+        neg, idx = jax.lax.approx_max_k(-d, k, recall_target=recall_target)
+        idx = jnp.where(jnp.isfinite(-neg), idx, -1)
+        return -neg, idx.astype(jnp.int32)
+
     n_pad = (-n) % block_n
     if n_pad:
         base = jnp.pad(base, ((0, n_pad), (0, 0)))
