@@ -331,15 +331,20 @@ class VectorDatabase:
     # ---------------------------------------------------------- compression
     def is_compression_enabled(self) -> bool:
         """reference: core/VectorDatabase.java:253-258"""
-        return self.compression.enabled
+        return self.compression.enabled or self.index.kind in ("pq", "hnswpq")
 
     def get_compression_ratio(self) -> float:
-        """reference: core/VectorDatabase.java:260-268"""
+        """reference: core/VectorDatabase.java:260-268.  Reflects the live
+        index (an HNSWPQ/PQ index configured via with_index_config counts)."""
+        s = self.index.stats()
+        if "compression_ratio" in s:
+            return float(s["compression_ratio"])
         return self.compression.compression_ratio(self.dimension)
 
     def get_memory_savings_pct(self) -> float:
         """reference: core/VectorDatabase.java:270-276"""
-        return self.compression.memory_savings_pct(self.dimension)
+        r = self.get_compression_ratio()
+        return (1.0 - 1.0 / r) * 100.0 if r > 0 else 0.0
 
     # ---------------------------------------------------------- persistence
     def save(self) -> bool:
