@@ -79,8 +79,6 @@ class HnswIndex(VectorIndex):
         """Insert store slots into the graph in batched rounds."""
         levels = self._sample_levels(len(slots))
         st = self.store.state
-        b = max(1, self.config.batch_insert)
-        pos = 0
         live = self.store.size() - len(slots)  # graph size before this call
         if int(self.graph.entry) < 0:
             # seed the very first node (ops/hnsw_graph.py requires non-empty),
@@ -93,35 +91,13 @@ class HnswIndex(VectorIndex):
                 jnp.asarray(levels[0], jnp.int32),
             )
             live = max(live, 1)
-        while pos < len(slots):
-            # round size grows with the live graph (1, 2, 4, ... up to b):
-            # when the graph is tiny, a full round would flood every node
-            # with close batch-mates and early nodes (e.g. an outlier seed)
-            # would never be linked — sequential insertion in the reference
-            # avoids this by candidate scarcity, and the growth schedule
-            # recreates it at O(log b) extra rounds
-            step = min(b, hg_pow2_floor(max(live, 1)))
-            chunk = slots[pos : pos + step]
-            chunk_lv = levels[pos : pos + step]
-            pos += len(chunk)
-            live += len(chunk)
-            # pad the round to the round size with repeats of the last
-            # element; duplicate slots are rejected as batch-mates of
-            # themselves and their connect writes are idempotent
-            pad = step - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
-                chunk_lv = np.concatenate([chunk_lv, np.repeat(chunk_lv[-1:], pad)])
-            self.graph = hg.insert_batch(
-                self.graph,
-                st.vectors,
-                st.norms,
-                jnp.asarray(chunk, jnp.int32),
-                jnp.asarray(chunk_lv, jnp.int32),
-                efc=self.config.ef_construction,
-                expand=max(1, self.config.expand_per_iter),
-                heuristic=self.config.heuristic,
-            )
+        self.graph = hg.host_insert_stream(
+            self.graph, st.vectors, st.norms, slots, levels,
+            batch=max(1, self.config.batch_insert), live_before=live,
+            efc=self.config.ef_construction,
+            expand=max(1, self.config.expand_per_iter),
+            heuristic=self.config.heuristic,
+        )
 
     def remove(self, vec_id: int) -> bool:
         """Tombstone + eager unlink (reference: HnswIndex.removeVector

@@ -259,8 +259,6 @@ class HnswPqIndex(VectorIndex):
     def _insert_graph(self, slots: np.ndarray) -> None:
         levels = self._sample_levels(len(slots))
         st = self.store.state
-        b = 64
-        pos = 0
         live = self.store.size() - len(slots)
         if int(self.graph.entry) < 0:
             self.graph = hg.seed_first(
@@ -269,23 +267,13 @@ class HnswPqIndex(VectorIndex):
                 jnp.asarray(levels[0], jnp.int32),
             )
             live = max(live, 1)
-        while pos < len(slots):
-            step = min(b, 1 << (max(live, 1).bit_length() - 1))
-            chunk = slots[pos : pos + step]
-            chunk_lv = levels[pos : pos + step]
-            pos += len(chunk)
-            live += len(chunk)
-            pad = step - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
-                chunk_lv = np.concatenate([chunk_lv, np.repeat(chunk_lv[-1:], pad)])
-            # exact distances for graph quality (reference Fix #4,
-            # HnswPqIndex.java:491-499 uses buildEf >= 200)
-            self.graph = hg.insert_batch(
-                self.graph, st.vectors, st.norms,
-                jnp.asarray(chunk, jnp.int32), jnp.asarray(chunk_lv, jnp.int32),
-                efc=self.config.ef_construction, expand=4, heuristic=True,
-            )
+        # exact distances for graph quality (reference Fix #4,
+        # HnswPqIndex.java:491-499 uses buildEf >= 200)
+        self.graph = hg.host_insert_stream(
+            self.graph, st.vectors, st.norms, slots, levels,
+            batch=64, live_before=live,
+            efc=self.config.ef_construction, expand=4, heuristic=True,
+        )
 
     def _rebuild_graph(self) -> None:
         ids_np = np.asarray(self.store.state.ids)

@@ -479,6 +479,113 @@ def insert_batch(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("efc", "expand", "heuristic"))
+def insert_rounds(
+    graph: HnswGraph,
+    base: Array,
+    norms: Array,
+    slots: Array,    # [R, B] — R rounds of B slots each
+    levels: Array,   # [R, B]
+    efc: int,
+    expand: int = 4,
+    heuristic: bool = True,
+) -> HnswGraph:
+    """Run R insert_batch rounds inside ONE device program (lax.scan).
+
+    Host-side round loops pay one dispatch per round (~45 ms through the
+    TPU tunnel); a 100k build at B=64 is ~1500 rounds = minutes of pure
+    dispatch.  Scanning the rounds on device makes the whole build one call.
+    Rounds are padded by repeating slots — re-inserting an existing node just
+    recomputes its edges against the current graph, which is a benign refresh.
+    """
+
+    def body(g, xs):
+        s, lv = xs
+        return (
+            insert_batch.__wrapped__(g, base, norms, s, lv, efc, expand, heuristic),
+            None,
+        )
+
+    graph, _ = jax.lax.scan(body, graph, (slots, levels))
+    return graph
+
+
+def host_insert_stream(
+    graph: HnswGraph,
+    base: Array,
+    norms: Array,
+    slots,             # np.int32 [n]
+    levels,            # np.int32 [n]
+    batch: int,
+    live_before: int,
+    efc: int,
+    expand: int = 4,
+    heuristic: bool = True,
+) -> HnswGraph:
+    """Host orchestration of a full insertion stream.
+
+    Phase 1 — growth schedule: while the graph is tiny, round size tracks the
+    live graph size (1, 2, 4, ... up to `batch`) so early nodes keep links to
+    each other (sequential-insertion candidate scarcity; see insert_batch).
+    Phase 2 — all remaining full-size rounds run on device via insert_rounds,
+    split into power-of-two chunks (binary decomposition) so each chunk
+    compiles once per size and dispatch count is O(log rounds).
+    """
+    import numpy as np  # host-side
+
+    n = len(slots)
+    pos = 0
+    live = max(live_before, 1)
+    b = max(1, batch)
+
+    def pad_round(chunk, chunk_lv, step):
+        pad = step - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+            chunk_lv = np.concatenate([chunk_lv, np.repeat(chunk_lv[-1:], pad)])
+        return chunk, chunk_lv
+
+    # phase 1: growth rounds
+    while pos < n and live < b:
+        step = min(b, 1 << (max(live, 1).bit_length() - 1))
+        chunk, chunk_lv = pad_round(slots[pos:pos + step], levels[pos:pos + step], step)
+        pos += min(step, n - pos)
+        live += step
+        graph = insert_batch(
+            graph, base, norms,
+            jnp.asarray(chunk, jnp.int32), jnp.asarray(chunk_lv, jnp.int32),
+            efc=efc, expand=expand, heuristic=heuristic,
+        )
+
+    # phase 2: full-size rounds, binary-decomposed device scans
+    remaining = n - pos
+    if remaining <= 0:
+        return graph
+    num_rounds = -(-remaining // b)
+    # build the [num_rounds, b] matrices (last round padded by repetition)
+    flat = slots[pos:]
+    flat_lv = levels[pos:]
+    pad = num_rounds * b - remaining
+    if pad:
+        flat = np.concatenate([flat, np.repeat(flat[-1:], pad)])
+        flat_lv = np.concatenate([flat_lv, np.repeat(flat_lv[-1:], pad)])
+    rounds = flat.reshape(num_rounds, b)
+    rounds_lv = flat_lv.reshape(num_rounds, b)
+    r0 = 0
+    r = num_rounds
+    while r > 0:
+        chunk_r = 1 << (r.bit_length() - 1)  # largest pow2 <= r
+        graph = insert_rounds(
+            graph, base, norms,
+            jnp.asarray(rounds[r0:r0 + chunk_r]),
+            jnp.asarray(rounds_lv[r0:r0 + chunk_r]),
+            efc=efc, expand=expand, heuristic=heuristic,
+        )
+        r0 += chunk_r
+        r -= chunk_r
+    return graph
+
+
 @jax.jit
 def seed_first(graph: HnswGraph, slot: Array, level: Array) -> HnswGraph:
     """Insert the very first node (host decides when the graph is empty)."""
