@@ -1,0 +1,180 @@
+"""Full benchmark sweep over every BASELINE.json config, on the real TPU.
+
+Covers (BASELINE.json "configs"):
+  1. brute-force exact kNN (512d x 10k, k=10)
+  2. HNSW uncompressed (512d x 10k, ef sweep)
+  3. IVF (128d x 10k, nprobe sweep)
+  4. PQ standalone (64 subspaces x 8 bit = 32x, 512d, ADC scan)
+  5. HNSW+PQ flagship (512d x 100k, 32x) — the bench.py headline
+
+QPS is measured with serialized in-jit loops where the search path is a
+single jitted program (flagship/brute); index-API paths report wall-clock
+batch QPS (includes host+tunnel overhead) and are labeled "api".
+
+Writes a markdown report to BENCH_REPORT.md.
+
+Run: python benchmarks/full_bench.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from vector_db_tpu.api.config import (
+        HnswConfig, HnswPqConfig, IvfConfig, PqConfig,
+    )
+    from vector_db_tpu.index.brute import BruteForceIndex
+    from vector_db_tpu.index.hnsw import HnswIndex
+    from vector_db_tpu.index.hnsw_pq import HnswPqIndex, exact_scan_search
+    from vector_db_tpu.index.ivf import IvfIndex
+    from vector_db_tpu.index.pq import PqIndex
+    from vector_db_tpu.ops.distance import blocked_knn, blocked_knn_fast
+
+    gen = jax.jit(
+        lambda key, shape: jax.random.normal(key, shape, jnp.float32),
+        static_argnames="shape",
+    )
+    lines = ["# BENCH_REPORT — full config sweep (one TPU v5e chip)", ""]
+
+    def log(s=""):
+        print(s, flush=True)
+        lines.append(s)
+
+    def gt_sets(qj, vj, k):
+        _, gi = blocked_knn(qj, vj, jnp.ones(vj.shape[0], bool), k,
+                            block_n=16384)
+        gi = np.asarray(gi)
+        return [set(gi[i].tolist()) for i in range(gi.shape[0])]
+
+    def api_qps(index, queries, k, reps=3):
+        index.search_batch(queries, k)  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            ids, _ = index.search_batch(queries, k)
+        return ids, len(queries) * reps / (time.time() - t0)
+
+    def rec(ids, gts, k):
+        return float(np.mean(
+            [len(set(ids[i].tolist()) & gts[i]) / k for i in range(len(gts))]
+        ))
+
+    k = 10
+    # ---------------- config 1: brute 512d x 10k --------------------------
+    dim, n, nq = 512, 10_000, 1024
+    vj = gen(jax.random.PRNGKey(42), (n, dim))
+    qj = gen(jax.random.PRNGKey(7), (nq, dim))
+    gts = gt_sets(qj, vj, k)
+    norms = jnp.sum(vj * vj, 1)
+
+    reps = 30
+    @jax.jit
+    def brute_loop(q):
+        def body(i, eps):
+            d, _ = blocked_knn_fast(q + eps, vj, jnp.ones(n, bool), k,
+                                    b_norms=norms, recall_target=1.0,
+                                    block_n=16384)
+            return d[0, 0] * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+    _ = float(brute_loop(qj))
+    t0 = time.time(); _ = float(brute_loop(qj))
+    qps = nq / ((time.time() - t0) / reps)
+    log(f"## 1. Brute-force exact kNN, 512d x 10k")
+    log(f"- recall 100%, {qps:,.0f} QPS (device)  [reference: 5,311 QPS @10k]")
+    log()
+
+    # ---------------- config 2: HNSW ef sweep 512d x 10k ------------------
+    log("## 2. HNSW uncompressed, 512d x 10k, ef sweep")
+    vecs_np = np.asarray(vj)
+    q_np = np.asarray(qj[:256])
+    gts256 = gts[:256]
+    hnsw = HnswIndex(dim, n, "l2",
+                     HnswConfig(m=16, ef_construction=64, batch_insert=64))
+    t0 = time.time()
+    hnsw.store.bulk_load(range(n), vj)
+    hnsw._insert_slots(np.arange(n, dtype=np.int32))
+    t_build = time.time() - t0
+    log(f"- build: {t_build:.1f}s  [reference Java: 2.6s @128d]")
+    for ef in (64, 128, 256):
+        hnsw.config.ef_search = ef
+        ids, qq = api_qps(hnsw, q_np, k)
+        log(f"- ef={ef}: recall {rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)")
+    log()
+
+    # ---------------- config 3: IVF nprobe sweep 128d x 10k ---------------
+    log("## 3. IVF, 128d x 10k, nprobe sweep")
+    dim3 = 128
+    vj3 = gen(jax.random.PRNGKey(1), (n, dim3))
+    qj3 = gen(jax.random.PRNGKey(2), (256, dim3))
+    gts3 = gt_sets(qj3, vj3, k)
+    ivf = IvfIndex(dim3, n, "l2", IvfConfig(num_clusters=100, num_probes=10))
+    ivf.store.bulk_load(range(n), vj3)
+    t0 = time.time(); ivf.build(); log(f"- train: {time.time()-t0:.1f}s")
+    q3 = np.asarray(qj3)
+    for nprobe in (5, 10, 20, 50):
+        ivf.config.num_probes = nprobe
+        ids, qq = api_qps(ivf, q3, k)
+        log(f"- nprobe={nprobe}: recall {rec(ids, gts3, k):.1%}, {qq:,.0f} QPS (api)"
+            + ("  [reference: 88% @ nprobe=10]" if nprobe == 10 else ""))
+    log()
+
+    # ---------------- config 4: PQ standalone 512d, 32x -------------------
+    log("## 4. PQ standalone, 512d x 10k, 64x8bit (32x), ADC scan")
+    pq = PqIndex(dim, n, "l2",
+                 PqConfig(num_subspaces=64, training_iterations=10, refine_k=512))
+    pq.store.bulk_load(range(n), vj)
+    t0 = time.time(); pq.build(); log(f"- train+encode: {time.time()-t0:.1f}s")
+    ids, qq = api_qps(pq, np.asarray(qj[:256]), k)
+    log(f"- ADC+refine512: recall {rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)"
+        f"  [reference PQ: 82% recall]")
+    pq.config.refine_k = 0
+    ids, qq = api_qps(pq, np.asarray(qj[:256]), k)
+    log(f"- pure ADC: recall {rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)")
+    log()
+
+    # ---------------- config 5: flagship 512d x 100k ----------------------
+    log("## 5. HNSW+PQ flagship, 512d x 100k, 32x (the bench.py headline)")
+    n5 = 100_000
+    vj5 = gen(jax.random.PRNGKey(42), (n5, dim))
+    qj5 = gen(jax.random.PRNGKey(7), (nq, dim))
+    gts5 = gt_sets(qj5, vj5, k)
+    flag = HnswPqIndex(dim, n5, "l2",
+                       HnswPqConfig(num_subspaces=64, training_samples=20000))
+    t0 = time.time(); flag.bulk_load(range(n5), vj5)
+    log(f"- build (ingest+train+encode): {time.time()-t0:.1f}s  "
+        f"[reference: 46s @10k]")
+    st = flag.store.state
+
+    @jax.jit
+    def flag_loop(q):
+        def body(i, eps):
+            d, _ = exact_scan_search(q + eps, st.vectors, st.norms, st.valid,
+                                     st.ids, 16, "l2", 32768, 0.99)
+            return d[0, 0] * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+    _ = float(flag_loop(qj5))
+    t0 = time.time(); _ = float(flag_loop(qj5))
+    qps5 = nq / ((time.time() - t0) / reps)
+    ids, _ = flag.search_batch(np.asarray(qj5), k)
+    log(f"- auto mode: recall {rec(ids, gts5, k):.2%}, {qps5:,.0f} QPS (device)"
+        f"  [reference: 97.60% @ 2,391 QPS]")
+    log(f"- vs reference: {qps5/2391:.1f}x QPS at higher recall")
+    log()
+
+    with open("BENCH_REPORT.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\nwrote BENCH_REPORT.md")
+
+
+if __name__ == "__main__":
+    main()

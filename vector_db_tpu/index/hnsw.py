@@ -124,6 +124,31 @@ class HnswIndex(VectorIndex):
                 )
         return True
 
+    def optimize_for_high_dimension(self) -> None:
+        """Bump graph parameters for very high-dimensional data
+        (reference: HnswIndex.optimizeForHighDimension :382-421 — raises
+        M/efC/ef at dim >= 1000 and again at dim >= 1500).  Takes effect for
+        subsequently inserted vectors; call build() to re-link existing ones."""
+        if self.dim >= 1500:
+            self.config.m = max(self.config.m, 48)
+            self.config.ef_construction = max(self.config.ef_construction, 600)
+            self.config.ef_search = max(self.config.ef_search, 600)
+        elif self.dim >= 1000:
+            self.config.m = max(self.config.m, 40)
+            self.config.ef_construction = max(self.config.ef_construction, 500)
+            self.config.ef_search = max(self.config.ef_search, 500)
+        if self.config.m > self.graph.m:
+            # grow the adjacency width; existing edge lists are preserved
+            import jax.numpy as _jnp
+
+            pad = self.config.m - self.graph.m
+            self.graph = self.graph.replace(
+                neighbors=_jnp.pad(
+                    self.graph.neighbors, ((0, 0), (0, 0), (0, pad)),
+                    constant_values=-1,
+                )
+            )
+
     def build(self) -> None:
         """Full rebuild: fresh graph, re-insert all live vectors sorted by id
         (reference: HnswIndex.buildIndex :430-473)."""

@@ -271,6 +271,19 @@ class PyStorageEngine:
             self._wal.close()
 
 
+def load_status() -> dict:
+    """Diagnostic dump of the native-library resolution (reference:
+    jni/NativeLoader.getLoadStatus :224-244)."""
+    path = _find_library()
+    return {
+        "native_available": native_available(),
+        "library_path": path,
+        "env_override": os.environ.get("VDBSTORE_NATIVE_PATH"),
+        "fallback": "PyStorageEngine (identical on-disk format)",
+        "format_version": FORMAT_VERSION,
+    }
+
+
 def open_engine(path: str, dim: int, prefer_native: bool = True):
     """Open the native engine if the library is available, else the
     format-compatible Python fallback."""
