@@ -108,6 +108,9 @@ class HnswConfig:
     batch_insert: int = 64  # nodes inserted per frozen-graph round
     heuristic: bool = True  # diversity neighbor selection (native reference
     # behaviour, HNSWIndex.cpp:322-469); False -> simple nearest-M (Java)
+    bulk_build: bool = True  # from-scratch builds use exact-kNN graph
+    # construction (a few matmuls) instead of sequential insertion beams;
+    # incremental adds still use beam insertion
 
     def derived_max_level(self, capacity: int) -> int:
         if self.max_level > 0:

@@ -26,11 +26,6 @@ from ..ops.distance import blocked_knn
 from .base import VectorIndex, pad_queries_pow2, pow2
 
 
-def hg_pow2_floor(n: int) -> int:
-    """Largest power of two <= n."""
-    return 1 << (max(int(n), 1).bit_length() - 1)
-
-
 class HnswIndex(VectorIndex):
     kind = "hnsw"
 
@@ -80,6 +75,18 @@ class HnswIndex(VectorIndex):
         levels = self._sample_levels(len(slots))
         st = self.store.state
         live = self.store.size() - len(slots)  # graph size before this call
+        if (
+            self.config.bulk_build
+            and int(self.graph.entry) < 0
+            and len(slots) >= 4 * self.config.m
+        ):
+            # building from scratch: exact-kNN bulk construction replaces
+            # thousands of sequential insertion beams with a few matmuls
+            self.graph = hg.bulk_build(
+                self.graph, st.vectors, st.norms, slots, levels,
+                m=self.config.m, heuristic=self.config.heuristic,
+            )
+            return
         if int(self.graph.entry) < 0:
             # seed the very first node (ops/hnsw_graph.py requires non-empty),
             # then ALSO insert it normally below: the seed must earn forward

@@ -260,6 +260,14 @@ class HnswPqIndex(VectorIndex):
         levels = self._sample_levels(len(slots))
         st = self.store.state
         live = self.store.size() - len(slots)
+        if int(self.graph.entry) < 0 and len(slots) >= 4 * self.config.m:
+            # from-scratch: exact-kNN bulk construction (0.2 s warm at
+            # 10k/128d vs ~40 s of sequential insertion beams)
+            self.graph = hg.bulk_build(
+                self.graph, st.vectors, st.norms, slots, levels,
+                m=self.config.m, heuristic=True,
+            )
+            return
         if int(self.graph.entry) < 0:
             self.graph = hg.seed_first(
                 self.graph,
