@@ -94,18 +94,16 @@ def main():
     log()
 
     # ---------------- config 2: HNSW ef sweep 512d x 10k ------------------
-    log("## 2. HNSW uncompressed, 512d x 10k, ef sweep")
-    vecs_np = np.asarray(vj)
+    log("## 2. HNSW uncompressed, 512d x 10k, reference defaults (m=32), ef sweep")
     q_np = np.asarray(qj[:256])
     gts256 = gts[:256]
-    hnsw = HnswIndex(dim, n, "l2",
-                     HnswConfig(m=16, ef_construction=64, batch_insert=64))
+    hnsw = HnswIndex(dim, n, "l2", HnswConfig())  # m=32, efC=400 (bulk build)
     t0 = time.time()
     hnsw.store.bulk_load(range(n), vj)
     hnsw._insert_slots(np.arange(n, dtype=np.int32))
     t_build = time.time() - t0
-    log(f"- build: {t_build:.1f}s  [reference Java: 2.6s @128d]")
-    for ef in (64, 128, 256):
+    log(f"- build (bulk exact-kNN): {t_build:.1f}s  [reference Java: 2.6s @128d]")
+    for ef in (128, 256, 400):
         hnsw.config.ef_search = ef
         ids, qq = api_qps(hnsw, q_np, k)
         log(f"- ef={ef}: recall {rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)")
