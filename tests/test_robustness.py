@@ -1,0 +1,96 @@
+"""Robustness coverage: cosine metric across index types, concurrent
+searches (reference: test_performance.cpp:170-232 concurrent-search stress),
+and a dimension sweep (reference: test_performance.cpp:129 dim sweep)."""
+
+import concurrent.futures
+
+import numpy as np
+import pytest
+
+from vector_db_tpu import (
+    HnswPqConfig,
+    IndexType,
+    VectorDatabase,
+)
+
+
+class TestCosineMetric:
+    @pytest.mark.parametrize("itype", [IndexType.BRUTE, IndexType.HNSWPQ])
+    def test_scale_invariance(self, rng, itype):
+        """Cosine search must rank scaled copies identically."""
+        dim, n = 16, 300
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        b = (VectorDatabase.builder().with_dimension(dim).with_max_elements(512)
+             .with_index_type(itype).with_metric("cosine"))
+        if itype == IndexType.HNSWPQ:
+            b = b.with_index_config(HnswPqConfig(
+                num_subspaces=4, num_centroids=16, training_samples=128))
+        db = b.build()
+        db.add_batch(range(n), vecs)
+        db.rebuild_index()
+        q = 5.0 * vecs[17]  # scaled copy: cosine-identical to vector 17
+        res = db.search(q, 3)
+        assert res[0].id == 17
+        db.close()
+
+
+class TestConcurrentSearch:
+    def test_parallel_searches_consistent(self, rng):
+        """Many threads searching concurrently get identical results — the
+        functional-state model has no read races by construction."""
+        dim, n = 16, 256
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = (VectorDatabase.builder().with_dimension(dim)
+              .with_max_elements(512).with_index_type(IndexType.BRUTE).build())
+        db.add_batch(range(n), vecs)
+        q = vecs[:8]
+        want = [[r.id for r in row] for row in db.search_batch(q, 5)]
+
+        def worker(_):
+            return [[r.id for r in row] for row in db.search_batch(q, 5)]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(worker, range(16)))
+        assert all(r == want for r in results)
+        db.close()
+
+    def test_search_during_mutation(self, rng):
+        """Searches interleaved with adds never crash and never return ids
+        that were fully deleted before the search began."""
+        dim = 8
+        db = (VectorDatabase.builder().with_dimension(dim)
+              .with_max_elements(512).with_index_type(IndexType.BRUTE).build())
+        vecs = rng.standard_normal((200, dim)).astype(np.float32)
+        db.add_batch(range(100), vecs[:100])
+
+        def searcher(_):
+            out = db.search_batch(vecs[:4], 3)
+            return all(r.id >= 0 for row in out for r in row)
+
+        def mutator(i):
+            db.add_vector(100 + i, vecs[100 + i])
+            return True
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(searcher, i) if i % 2 else ex.submit(mutator, i)
+                    for i in range(40)]
+            assert all(f.result() for f in futs)
+        db.close()
+
+
+class TestDimensionSweep:
+    @pytest.mark.parametrize("dim", [24, 96, 384])
+    def test_flagship_across_dims(self, rng, dim):
+        n = 300
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = (VectorDatabase.builder().with_dimension(dim)
+              .with_max_elements(512).with_index_type(IndexType.HNSWPQ)
+              .with_index_config(HnswPqConfig(
+                  num_subspaces=max(4, dim // 8), num_centroids=16,
+                  training_samples=128))
+              .build())
+        db.add_batch(range(n), vecs)
+        ids = [r.id for r in db.search(vecs[42], 1)]
+        assert ids[0] == 42
+        assert db.get_compression_ratio() >= 4.0
+        db.close()
