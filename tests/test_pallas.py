@@ -67,6 +67,22 @@ class TestFusedScan:
         assert i.shape == (16, 20)
         assert (np.asarray(i)[:, 16:] == -1).all()
 
+    def test_two_winners_per_bucket(self, data):
+        q, base = data
+        bn = jnp.sum(base * base, 1)
+        d1, i1 = fused_scan_topk(q, base, bn, 5, q_tile=8, block_n=256, winners=1)
+        d2, i2 = fused_scan_topk(q, base, bn, 5, q_tile=8, block_n=256, winners=2)
+        full = np.asarray(
+            ((np.asarray(q)[:, None] - np.asarray(base)[None]) ** 2).sum(-1)
+        )
+        gt = np.argsort(full, 1)[:, :5]
+        def rec(i):
+            return np.mean([
+                len(set(np.asarray(i)[r].tolist()) & set(gt[r].tolist())) / 5
+                for r in range(16)
+            ])
+        assert rec(i2) >= rec(i1)  # second winner can only help
+
     def test_odd_sizes_padded(self):
         r = np.random.default_rng(3)
         base = jnp.asarray(r.standard_normal((1000, 48)).astype(np.float32))
