@@ -17,11 +17,13 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <fcntl.h>
 #include <map>
 #include <memory>
 #include <mutex>
 #include <string>
 #include <sys/stat.h>
+#include <unistd.h>
 #include <vector>
 
 namespace {
@@ -72,12 +74,21 @@ struct SnapHeader {
 };
 #pragma pack(pop)
 
+// Durability policy for acknowledged mutations (see vdb_set_durability):
+//   0 = buffered: user-space buffer only; durable at flush/snapshot/close.
+//       (The reference's write-behind guarantee, VectorStorage.java:81.)
+//   1 = flush:    fflush per append call — survives process crash (kill -9),
+//       not OS crash.
+//   2 = fsync:    fflush + fsync per append call — survives OS crash.
+enum Durability : int32_t { DUR_BUFFERED = 0, DUR_FLUSH = 1, DUR_FSYNC = 2 };
+
 struct Store {
   std::string dir;
   uint32_t dim = 0;
   FILE* wal = nullptr;
   std::mutex mu;
   uint64_t appended = 0;  // records appended since open/snapshot
+  int32_t durability = DUR_FLUSH;
 
   std::string wal_path() const { return dir + "/wal.bin"; }
   std::string snap_path() const { return dir + "/snapshot.bin"; }
@@ -113,6 +124,24 @@ bool write_record(Store* s, uint32_t type, int32_t id, const float* payload,
   return true;
 }
 
+// Apply the store's durability policy after an append call (one flush per
+// call — batches are flushed as a group, the "small-group fflush" policy).
+bool commit_appends(Store* s) {
+  if (s->durability == DUR_BUFFERED) return true;
+  if (fflush(s->wal) != 0) return false;
+  if (s->durability >= DUR_FSYNC && fsync(fileno(s->wal)) != 0) return false;
+  return true;
+}
+
+// fsync a file by path (used to make the snapshot rename durable).
+bool fsync_path(const std::string& path) {
+  int fd = open(path.c_str(), O_RDONLY);
+  if (fd < 0) return false;
+  bool ok = fsync(fd) == 0;
+  close(fd);
+  return ok;
+}
+
 }  // namespace
 
 extern "C" {
@@ -146,12 +175,21 @@ int64_t vdb_open(const char* dir, uint32_t dim) {
   return h;
 }
 
+// Set the durability policy (0=buffered, 1=flush, 2=fsync). Returns 1.
+int32_t vdb_set_durability(int64_t h, int32_t level) {
+  Store* s = get(h);
+  if (!s || level < DUR_BUFFERED || level > DUR_FSYNC) return 0;
+  std::lock_guard<std::mutex> lock(s->mu);
+  s->durability = level;
+  return 1;
+}
+
 // Append one add record. Returns 1 on success.
 int32_t vdb_append_add(int64_t h, int32_t id, const float* vec) {
   Store* s = get(h);
   if (!s || !vec) return 0;
   std::lock_guard<std::mutex> lock(s->mu);
-  return write_record(s, REC_ADD, id, vec, s->dim) ? 1 : 0;
+  return (write_record(s, REC_ADD, id, vec, s->dim) && commit_appends(s)) ? 1 : 0;
 }
 
 // Append a batch of adds (vectors row-major [n, dim]). Returns rows written.
@@ -166,6 +204,7 @@ int32_t vdb_append_add_batch(int64_t h, const int32_t* ids, const float* vecs,
       break;
     written++;
   }
+  if (written && !commit_appends(s)) return 0;
   return written;
 }
 
@@ -173,14 +212,18 @@ int32_t vdb_append_delete(int64_t h, int32_t id) {
   Store* s = get(h);
   if (!s) return 0;
   std::lock_guard<std::mutex> lock(s->mu);
-  return write_record(s, REC_DELETE, id, nullptr, 0) ? 1 : 0;
+  return (write_record(s, REC_DELETE, id, nullptr, 0) && commit_appends(s))
+             ? 1 : 0;
 }
 
+// Flush user-space buffers; at fsync durability also syncs to stable storage.
 int32_t vdb_flush(int64_t h) {
   Store* s = get(h);
   if (!s) return 0;
   std::lock_guard<std::mutex> lock(s->mu);
-  return fflush(s->wal) == 0 ? 1 : 0;
+  if (fflush(s->wal) != 0) return 0;
+  if (s->durability >= DUR_FSYNC && fsync(fileno(s->wal)) != 0) return 0;
+  return 1;
 }
 
 // Write a full snapshot (ids [n], vectors [n, dim]) and truncate the WAL.
@@ -201,9 +244,14 @@ int32_t vdb_snapshot(int64_t h, const int32_t* ids, const float* vecs,
             (n == 0 || fwrite(ids, sizeof(int32_t), n, f) == n) &&
             (n == 0 || fwrite(vecs, sizeof(float), size_t(n) * s->dim, f) ==
                            size_t(n) * s->dim);
+  if (ok && fflush(f) != 0) ok = false;
+  // make the snapshot payload durable BEFORE the rename publishes it
+  if (ok && s->durability >= DUR_FSYNC && fsync(fileno(f)) != 0) ok = false;
   ok = fclose(f) == 0 && ok;
   if (!ok) return 0;
   if (rename(s->snap_tmp_path().c_str(), s->snap_path().c_str()) != 0) return 0;
+  // make the rename itself durable (directory entry)
+  if (s->durability >= DUR_FSYNC) fsync_path(s->dir);
 
   // truncate WAL back to just the header
   fclose(s->wal);
@@ -212,6 +260,7 @@ int32_t vdb_snapshot(int64_t h, const int32_t* ids, const float* vecs,
   WalHeader wh{WAL_MAGIC, FORMAT_VERSION, s->dim, 0};
   fwrite(&wh, sizeof(wh), 1, s->wal);
   fflush(s->wal);
+  if (s->durability >= DUR_FSYNC) fsync(fileno(s->wal));
   s->appended = 0;
   return 1;
 }

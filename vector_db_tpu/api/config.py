@@ -190,6 +190,9 @@ class LshConfig:
     num_tables: int = 10
     num_bits: int = 16
     bucket_width: float = 4.0
+    backfill: bool = True  # exact-scan fill when collisions < k (reference
+    # random-fills, LshIndex.java:261-265); False -> honest LSH-only results
+    # (-1 padded rows), with backfill events counted in stats either way
 
 
 @dataclasses.dataclass
@@ -200,3 +203,5 @@ class AnnoyConfig:
     num_trees: int = 10
     leaf_size: int = 16
     search_k: int = 0  # 0 -> k * trees * 2 (AnnoyIndex.cpp:117-153 cap)
+    backfill: bool = True  # exact-scan fill when the forest yields < k
+    # candidates; False -> honest forest-only results (-1 padded rows)

@@ -135,6 +135,7 @@ class VectorDatabase:
         index_config=None,
         flush_interval: int = 1000,
         auto_load: bool = True,
+        durability: str = "flush",
     ):
         if dimension <= 0:
             raise ValueError("dimension must be positive")
@@ -154,16 +155,21 @@ class VectorDatabase:
             index_type, dimension, max_elements, metric, self.compression, index_config
         )
         # write-ahead log via the native storage engine (C++ libvdbstore with
-        # a format-compatible Python fallback): every mutation is durable
-        # immediately, not just at checkpoint time — stronger than the
-        # reference's 1000-mutation write-behind (VectorStorage.java:81)
+        # a format-compatible Python fallback).  Durability policy:
+        #   "buffered" — durable at checkpoint/flush/close only (the
+        #                reference's 1000-mutation write-behind guarantee,
+        #                VectorStorage.java:81)
+        #   "flush"    — default: every acknowledged mutation survives a
+        #                process crash (kill -9)
+        #   "fsync"    — every acknowledged mutation survives an OS crash
+        self.durability = durability
         self._engine = None
         if storage_path:
             from ..storage.native import open_engine
 
             wal_dir = os.path.join(storage_path, "wal")
             os.makedirs(wal_dir, exist_ok=True)
-            self._engine = open_engine(wal_dir, dimension)
+            self._engine = open_engine(wal_dir, dimension, durability=durability)
         if auto_load and storage_path:
             self.load_from_storage()
 
@@ -184,6 +190,12 @@ class VectorDatabase:
             self._compression: Optional[CompressionConfig] = None
             self._index_config = None
             self._index: Optional[VectorIndex] = None
+            self._durability = "flush"
+
+        def with_durability(self, durability: str) -> "VectorDatabase.Builder":
+            """WAL durability: "buffered" | "flush" (default) | "fsync"."""
+            self._durability = durability
+            return self
 
         def with_dimension(self, d: int) -> "VectorDatabase.Builder":
             self._dim = d
@@ -230,6 +242,7 @@ class VectorDatabase:
                 self._compression,
                 self._index_config,
                 auto_load=self._index is None,
+                durability=self._durability,
             )
             if self._index is not None:
                 db.index = self._index
@@ -259,8 +272,15 @@ class VectorDatabase:
         accepted = self.index.add_batch(id_list, values)
         if accepted:
             if self._engine is not None:
-                taken = set(accepted)
-                rows = [i for i, vid in enumerate(id_list) if vid in taken]
+                # pair each accepted id with the row of its FIRST occurrence:
+                # the store accepts the first occurrence of a duplicate id, so
+                # rows must be deduplicated the same way or values[rows] would
+                # zip against `accepted` off-by-one and persist wrong vectors
+                first_row: dict[int, int] = {}
+                for i, vid in enumerate(id_list):
+                    if vid not in first_row:
+                        first_row[vid] = i
+                rows = [first_row[vid] for vid in accepted]
                 self._engine.append_add_batch(
                     np.asarray(accepted, np.int32), values[rows]
                 )
@@ -361,18 +381,29 @@ class VectorDatabase:
             "metric": self.metric,
             "size": self.index.size(),
         }
-        ckpt.save_checkpoint(self.storage_path, meta, self.index.state_arrays())
+        arrays = self.index.state_arrays()
+        ckpt.save_checkpoint(self.storage_path, meta, arrays)
         if self._engine is not None:
             # snapshot the live set -> WAL truncates (checkpoint and WAL
-            # snapshot are now consistent)
-            live_ids = sorted(
-                i for i in (self.index.store.ids() if hasattr(self.index, "store") else [])
-            )
-            if live_ids:
-                vecs = np.stack([self.index.get(i) for i in live_ids])
+            # snapshot are now consistent).  Reuses the store snapshot already
+            # fetched for the checkpoint: ONE bulk device->host transfer, then
+            # live rows are selected host-side (a per-id index.get loop costs
+            # one ~45 ms tunnel round trip per vector on this stack).
+            snap = arrays.get("store")
+            if snap is not None:
+                ids_arr = np.asarray(snap["ids"])
+                valid = np.asarray(snap["valid"])
+                live = np.flatnonzero(valid)
+                live = live[np.argsort(ids_arr[live], kind="stable")]
+                self._engine.snapshot(
+                    ids_arr[live].astype(np.int32),
+                    np.asarray(snap["vectors"])[live],
+                )
             else:
-                vecs = np.empty((0, self.dimension), np.float32)
-            self._engine.snapshot(np.asarray(live_ids, np.int32), vecs)
+                self._engine.snapshot(
+                    np.empty(0, np.int32),
+                    np.empty((0, self.dimension), np.float32),
+                )
         self._mutations_since_flush = 0
         return True
 

@@ -83,8 +83,8 @@ def _descend(queries, hyperplanes, thresholds, children, roots, max_depth, beam=
     return node
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _rerank(queries, base, norms, valid, cand, k):
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _rerank(queries, base, norms, valid, cand, k, metric="l2"):
     """Exact re-rank of the candidate union with duplicate suppression.
 
     cand: [Q, C] slot ids (-1 pad, may contain duplicates across trees).
@@ -101,13 +101,14 @@ def _rerank(queries, base, norms, valid, cand, k):
     ok = (cand >= 0) & valid[safe]
     vecs = base[safe]
     q_norms = jnp.sum(queries * queries, axis=1)
-    d = (
-        q_norms[:, None]
-        + norms[safe]
-        - 2.0 * jnp.einsum("qd,qcd->qc", queries, vecs,
-                           preferred_element_type=jnp.float32)
-    )
-    d = jnp.where(ok, jnp.maximum(d, 0.0), jnp.inf)
+    cross = jnp.einsum("qd,qcd->qc", queries, vecs,
+                       preferred_element_type=jnp.float32)
+    if metric == "l2":
+        d = jnp.maximum(q_norms[:, None] + norms[safe] - 2.0 * cross, 0.0)
+    else:  # cosine distance, same currency as every other index
+        denom = jnp.sqrt(jnp.maximum(q_norms[:, None] * norms[safe], 1e-12))
+        d = 1.0 - cross / denom
+    d = jnp.where(ok, d, jnp.inf)
     neg, arg = jax.lax.top_k(-d, k)
     out = jnp.take_along_axis(cand, arg, 1)
     return -neg, jnp.where(jnp.isfinite(-neg), out, -1)
@@ -130,6 +131,8 @@ class AnnoyIndex(VectorIndex):
         self.leaf_items: Optional[jnp.ndarray] = None   # [T, n_leaves, L]
         self.node_leaf: Optional[jnp.ndarray] = None    # [T, nodes] leaf row or -1
         self._max_depth = 1
+        self._backfill_rows = 0
+        self._backfill_queries = 0
 
     # ------------------------------------------------------------- mutation
     def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
@@ -278,17 +281,26 @@ class AnnoyIndex(VectorIndex):
                     [cand, jnp.broadcast_to(jnp.asarray(pend)[None, :],
                                             (padded.shape[0], pend.size))], axis=1
                 )
-            dists, slots = _rerank(qj, st.vectors, st.norms, st.valid, cand, k_pad)
-            # backfill from exact scan if the forest came up short
-            if bool(np.asarray(slots[:q_n, :k_eff] < 0).any()):
-                fd, fs = blocked_knn(
-                    qj, st.vectors, st.valid, k_pad,
-                    metric=self.metric, b_norms=st.norms,
-                    block_n=min(8192, st.capacity),
-                )
-                miss = np.asarray(slots) < 0
-                slots = jnp.where(jnp.asarray(miss), fs, slots)
-                dists = jnp.where(jnp.asarray(miss), fd, dists)
+            dists, slots = _rerank(
+                qj, st.vectors, st.norms, st.valid, cand, k_pad,
+                metric=self.metric,
+            )
+            # backfill from exact scan if the forest came up short — counted
+            # in stats and disableable (config.backfill) so tests can measure
+            # honest forest-only recall
+            miss = np.asarray(slots[:q_n, :k_eff] < 0)
+            if miss.any():
+                self._backfill_rows += int(miss.sum())
+                self._backfill_queries += int(miss.any(axis=1).sum())
+                if self.config.backfill:
+                    fd, fs = blocked_knn(
+                        qj, st.vectors, st.valid, k_pad,
+                        metric=self.metric, b_norms=st.norms,
+                        block_n=min(8192, st.capacity),
+                    )
+                    miss_all = np.asarray(slots) < 0
+                    slots = jnp.where(jnp.asarray(miss_all), fs, slots)
+                    dists = jnp.where(jnp.asarray(miss_all), fd, dists)
         slots_np = np.asarray(slots)[:q_n, :k_eff]
         ids_np = np.asarray(st.ids)
         ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
@@ -313,6 +325,8 @@ class AnnoyIndex(VectorIndex):
             built=self._built,
             pending=len(self._pending),
             max_depth=self._max_depth,
+            backfill_rows=self._backfill_rows,
+            backfill_queries=self._backfill_queries,
         )
         return s
 

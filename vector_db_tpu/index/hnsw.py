@@ -196,7 +196,13 @@ class HnswIndex(VectorIndex):
         out_ids = np.full((q_n, k), -1, np.int32)
         out_d = np.full((q_n, k), np.inf, np.float32)
         out_ids[:, :k_eff] = ext
-        out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
+        dv = np.asarray(dists)[:q_n, :k_eff]
+        if self.metric == "cosine":
+            # traversal runs on squared L2 over unit vectors = 2*(1-cos);
+            # halve at the result boundary so every index reports the same
+            # cosine-distance currency (1 - cos)
+            dv = dv * 0.5
+        out_d[:, :k_eff] = dv
         return out_ids, out_d
 
     # ---------------------------------------------------------------- state

@@ -48,21 +48,60 @@ def _bucket_ids(vectors: jnp.ndarray, planes: jnp.ndarray, width: float) -> jnp.
     return h
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_n"))
 def _lsh_search(
-    queries, planes, width, bucket_ids, base, b_norms, valid, k
+    queries, planes, width, bucket_ids, base, b_norms, valid, k,
+    metric="l2", block_n=4096,
 ):
-    """Collision-count candidate selection + exact re-rank in one program
-    (reference: LSHIndex.cpp:78-117 counts collisions across tables)."""
+    """Blocked collision-gated scan fused with a running top-k (reference:
+    LSHIndex.cpp:78-117 counts collisions across tables, then re-ranks).
+
+    Streams the corpus in ``block_n``-row tiles: per tile the collision test
+    is a [T, Q, block] integer compare reduced over tables, the re-rank is one
+    MXU distance matmul masked to colliding rows, and survivors merge into the
+    running top-k.  Peak memory is O(Q * block_n) — never the full [T, Q, N]
+    hit tensor or [Q, N] distance matrix (at 100k x 1024 queries those are
+    ~1 GB + 400 MB per dispatch).  On TPU the masked stream beats candidate
+    gathering (gathers lose ~100x to streams — measured), so pruning here
+    means *masking*, exactly like the valid-slot tombstone mask.
+    """
     qb = _bucket_ids(queries, planes, width)          # [T, Q]
-    hits = bucket_ids[:, None, :] == qb[:, :, None]   # [T, Q, N]
-    collisions = jnp.sum(hits, axis=0)                # [Q, N] int
-    cand = (collisions > 0) & valid[None, :]
-    d = pairwise_dist(queries, base, "l2", None, b_norms)
-    d = jnp.where(cand, d, jnp.inf)
-    neg, idx = jax.lax.top_k(-d, k)
-    idx = jnp.where(jnp.isfinite(-neg), idx, -1)
-    return -neg, idx.astype(jnp.int32)
+    q_n = queries.shape[0]
+    n = base.shape[0]
+    q_norms = jnp.sum(queries * queries, axis=1)
+    n_pad = (-n) % block_n
+    if n_pad:
+        base = jnp.pad(base, ((0, n_pad), (0, 0)))
+        valid = jnp.pad(valid, (0, n_pad))
+        b_norms = jnp.pad(b_norms, (0, n_pad))
+        bucket_ids = jnp.pad(bucket_ids, ((0, 0), (0, n_pad)))
+    num_blocks = (n + n_pad) // block_n
+
+    def body(carry, blk):
+        top_d, top_i = carry
+        start = blk * block_n
+        b_blk = jax.lax.dynamic_slice_in_dim(base, start, block_n, axis=0)
+        v_blk = jax.lax.dynamic_slice_in_dim(valid, start, block_n, axis=0)
+        n_blk = jax.lax.dynamic_slice_in_dim(b_norms, start, block_n, axis=0)
+        bid_blk = jax.lax.dynamic_slice_in_dim(bucket_ids, start, block_n, axis=1)
+        hit = jnp.any(bid_blk[:, None, :] == qb[:, :, None], axis=0)  # [Q, B]
+        d_blk = pairwise_dist(queries, b_blk, metric, q_norms, n_blk)
+        d_blk = jnp.where(hit & v_blk[None, :], d_blk, jnp.inf)
+        i_blk = start + jax.lax.broadcasted_iota(jnp.int32, (q_n, block_n), 1)
+        cat_d = jnp.concatenate([top_d, d_blk], axis=1)
+        cat_i = jnp.concatenate([top_i, i_blk], axis=1)
+        neg, arg = jax.lax.top_k(-cat_d, k)
+        return ((-neg), jnp.take_along_axis(cat_i, arg, axis=1)), None
+
+    init = (
+        jnp.full((q_n, k), jnp.inf, jnp.float32),
+        jnp.full((q_n, k), -1, jnp.int32),
+    )
+    (top_d, top_i), _ = jax.lax.scan(
+        body, init, jnp.arange(num_blocks, dtype=jnp.int32)
+    )
+    top_i = jnp.where(jnp.isfinite(top_d), top_i, -1)
+    return top_d, top_i
 
 
 class LshIndex(VectorIndex):
@@ -76,6 +115,12 @@ class LshIndex(VectorIndex):
         self._gen = 0  # regenerated on build (reference :303-339)
         self.planes = self._make_planes()
         self.bucket_ids = jnp.zeros((self.config.num_tables, self.store.capacity), jnp.int32)
+        # observability: how many result rows were exact-scan backfilled
+        # because the collision set came up short (reference random-fills,
+        # LshIndex.java:261-265) — exposed in stats() so tests can assert
+        # recall with backfill accounted for
+        self._backfill_rows = 0
+        self._backfill_queries = 0
 
     def _make_planes(self) -> jnp.ndarray:
         rng = np.random.default_rng(self.seed + 7919 * self._gen)
@@ -127,18 +172,25 @@ class LshIndex(VectorIndex):
                 jnp.asarray(padded), self.planes,
                 jnp.asarray(self.config.bucket_width, jnp.float32),
                 self.bucket_ids, st.vectors, st.norms, st.valid, k_pad,
+                metric=self.metric, block_n=min(4096, st.capacity),
             )
             # random-fill parity (reference: LshIndex.java:261-265): if the
-            # collision set came up short, backfill from the exact scan
-            if bool(np.asarray(slots[:q_n, :k_eff] < 0).any()):
-                fd, fs = blocked_knn(
-                    jnp.asarray(padded), st.vectors, st.valid, k_pad,
-                    metric=self.metric, b_norms=st.norms,
-                    block_n=min(8192, st.capacity),
-                )
-                miss = np.asarray(slots) < 0
-                slots = jnp.where(jnp.asarray(miss), fs, slots)
-                dists = jnp.where(jnp.asarray(miss), fd, dists)
+            # collision set came up short, backfill from the exact scan.
+            # Backfill events are counted (stats) and can be disabled
+            # (config.backfill=False) so tests measure honest LSH recall.
+            miss = np.asarray(slots[:q_n, :k_eff] < 0)
+            if miss.any():
+                self._backfill_rows += int(miss.sum())
+                self._backfill_queries += int(miss.any(axis=1).sum())
+                if self.config.backfill:
+                    fd, fs = blocked_knn(
+                        jnp.asarray(padded), st.vectors, st.valid, k_pad,
+                        metric=self.metric, b_norms=st.norms,
+                        block_n=min(8192, st.capacity),
+                    )
+                    miss_all = np.asarray(slots) < 0
+                    slots = jnp.where(jnp.asarray(miss_all), fs, slots)
+                    dists = jnp.where(jnp.asarray(miss_all), fd, dists)
         slots_np = np.asarray(slots)[:q_n, :k_eff]
         ids_np = np.asarray(st.ids)
         ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
@@ -161,6 +213,8 @@ class LshIndex(VectorIndex):
             num_tables=self.config.num_tables,
             num_bits=self.config.num_bits,
             bucket_width=self.config.bucket_width,
+            backfill_rows=self._backfill_rows,
+            backfill_queries=self._backfill_queries,
         )
         return s
 

@@ -114,9 +114,16 @@ class PqIndex(VectorIndex):
             return self._to_external(q_n, k, k_eff, slots, dists)
 
         tables = adc.build_distance_tables(jnp.asarray(padded), self.codebooks)
-        if self.config.refine_k and self.config.refine_k > k_eff:
+        refine_k = self.config.refine_k
+        if self.metric == "cosine":
+            # ADC tables are subspace squared-L2; with refine_k=0 those values
+            # would be reported as cosine distances.  Force an exact cosine
+            # refine so the result currency matches every other index (the
+            # L2-ranked ADC shortlist is the candidate generator only).
+            refine_k = max(refine_k, 4 * k_eff, 64)
+        if refine_k and refine_k > k_eff:
             # ADC shortlist then exact re-rank over the raw store
-            r = min(pow2(self.config.refine_k), st.capacity)
+            r = min(pow2(refine_k), st.capacity)
             _, cand = adc.adc_scan_topk(
                 tables, self.codes, st.valid, r,
                 block_n=min(4096, st.capacity), impl=self.adc_impl,

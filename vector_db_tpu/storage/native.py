@@ -31,6 +31,21 @@ _WAL_HEADER = struct.Struct("<IIII")
 _REC_HEADER = struct.Struct("<IiII")
 _SNAP_HEADER = struct.Struct("<IIIII")
 
+#: durability policy for acknowledged mutations, weakest to strongest:
+#: "buffered" — user-space buffers; durable only at flush/snapshot/close
+#:              (the reference's write-behind guarantee, VectorStorage.java:81)
+#: "flush"    — flush per append call; survives process crash (kill -9)
+#: "fsync"    — flush + fsync per append call; survives OS crash
+DURABILITY_LEVELS = {"buffered": 0, "flush": 1, "fsync": 2}
+
+
+def _durability_level(durability: str) -> int:
+    if durability not in DURABILITY_LEVELS:
+        raise ValueError(
+            f"durability must be one of {sorted(DURABILITY_LEVELS)}, got {durability!r}"
+        )
+    return DURABILITY_LEVELS[durability]
+
 
 def _find_library() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -73,6 +88,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.vdb_append_delete.restype = ctypes.c_int32
     lib.vdb_append_delete.argtypes = [ctypes.c_int64, ctypes.c_int32]
+    try:
+        lib.vdb_set_durability.restype = ctypes.c_int32
+        lib.vdb_set_durability.argtypes = [ctypes.c_int64, ctypes.c_int32]
+    except AttributeError:  # pre-durability library build
+        pass
     lib.vdb_flush.restype = ctypes.c_int32
     lib.vdb_flush.argtypes = [ctypes.c_int64]
     lib.vdb_snapshot.restype = ctypes.c_int32
@@ -98,16 +118,19 @@ def native_available() -> bool:
 class NativeStorageEngine:
     """ctypes wrapper over libvdbstore."""
 
-    def __init__(self, path: str, dim: int):
+    def __init__(self, path: str, dim: int, durability: str = "flush"):
         lib = _load_lib()
         if lib is None:
             raise RuntimeError("libvdbstore.so not found (build with make -C native)")
         self._lib = lib
         self.dim = dim
         self.path = path
+        self.durability = durability
         self._h = lib.vdb_open(path.encode(), dim)
         if self._h <= 0:
             raise RuntimeError(f"vdb_open failed for {path}")
+        if hasattr(lib, "vdb_set_durability"):
+            lib.vdb_set_durability(self._h, _durability_level(durability))
 
     def append_add(self, vec_id: int, vec: np.ndarray) -> bool:
         vec = np.ascontiguousarray(vec, np.float32)
@@ -161,9 +184,11 @@ class NativeStorageEngine:
 class PyStorageEngine:
     """Pure-Python fallback writing the identical on-disk format."""
 
-    def __init__(self, path: str, dim: int):
+    def __init__(self, path: str, dim: int, durability: str = "flush"):
         self.path = path
         self.dim = dim
+        self.durability = durability
+        self._level = _durability_level(durability)
         os.makedirs(path, exist_ok=True)
         self._wal_path = os.path.join(path, "wal.bin")
         self._snap_path = os.path.join(path, "snapshot.bin")
@@ -186,21 +211,36 @@ class PyStorageEngine:
         self._wal.write(payload)
         return True
 
+    def _commit(self) -> None:
+        """Apply the durability policy after an append call (batches commit
+        as one group — the small-group flush policy)."""
+        if self._level >= 1:
+            self._wal.flush()
+        if self._level >= 2:
+            os.fsync(self._wal.fileno())
+
     def append_add(self, vec_id: int, vec: np.ndarray) -> bool:
-        return self._write(REC_ADD, int(vec_id),
-                           np.ascontiguousarray(vec, np.float32).tobytes())
+        ok = self._write(REC_ADD, int(vec_id),
+                         np.ascontiguousarray(vec, np.float32).tobytes())
+        self._commit()
+        return ok
 
     def append_add_batch(self, ids: np.ndarray, vecs: np.ndarray) -> int:
         vecs = np.ascontiguousarray(vecs, np.float32)
         for i, vid in enumerate(ids):
             self._write(REC_ADD, int(vid), vecs[i].tobytes())
+        self._commit()
         return len(ids)
 
     def append_delete(self, vec_id: int) -> bool:
-        return self._write(REC_DELETE, int(vec_id), b"")
+        ok = self._write(REC_DELETE, int(vec_id), b"")
+        self._commit()
+        return ok
 
     def flush(self) -> bool:
         self._wal.flush()
+        if self._level >= 2:
+            os.fsync(self._wal.fileno())
         return True
 
     def snapshot(self, ids: np.ndarray, vecs: np.ndarray) -> bool:
@@ -214,10 +254,22 @@ class PyStorageEngine:
                                       len(ids), crc))
             f.write(ids.tobytes())
             f.write(vecs.tobytes())
+            if self._level >= 2:
+                f.flush()
+                os.fsync(f.fileno())  # payload durable BEFORE the rename
         os.replace(tmp, self._snap_path)
+        if self._level >= 2:  # make the rename durable (directory entry)
+            dfd = os.open(os.path.dirname(self._snap_path) or ".", os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         self._wal.close()
         with open(self._wal_path, "wb") as f:
             f.write(_WAL_HEADER.pack(WAL_MAGIC, FORMAT_VERSION, self.dim, 0))
+            if self._level >= 2:
+                f.flush()
+                os.fsync(f.fileno())
         self._wal = open(self._wal_path, "ab")
         return True
 
@@ -284,9 +336,11 @@ def load_status() -> dict:
     }
 
 
-def open_engine(path: str, dim: int, prefer_native: bool = True):
+def open_engine(path: str, dim: int, prefer_native: bool = True,
+                durability: str = "flush"):
     """Open the native engine if the library is available, else the
-    format-compatible Python fallback."""
+    format-compatible Python fallback.  ``durability`` is one of
+    "buffered" | "flush" (default) | "fsync" — see DURABILITY_LEVELS."""
     if prefer_native and native_available():
-        return NativeStorageEngine(path, dim)
-    return PyStorageEngine(path, dim)
+        return NativeStorageEngine(path, dim, durability)
+    return PyStorageEngine(path, dim, durability)
