@@ -102,7 +102,10 @@ class HnswConfig:
 
     m: int = 32
     ef_construction: int = 400
-    ef_search: int = 400
+    ef_search: int = 0  # 0 -> adaptive log-N-scaled ef (the native reference's
+    # HNSWConfig::getEfSearch policy, HNSWIndex.h:31-50); > 0 -> fixed ef with
+    # the Java reference's max(ef, 4k) floor (HnswIndex.java:347)
+    ef_delta: int = 32  # adaptive base offset (reference efSearchDelta)
     max_level: int = 0  # 0 -> derived from capacity: log_M(cap)+1
     expand_per_iter: int = 4  # candidates expanded per beam iteration
     batch_insert: int = 64  # nodes inserted per frozen-graph round
@@ -117,9 +120,31 @@ class HnswConfig:
             return self.max_level
         return max(1, int(math.log(max(capacity, 2)) / math.log(max(self.m, 2))) + 1)
 
-    def ef_for_query(self, k: int) -> int:
-        """ef = max(ef, 4k) (reference: index/HnswIndex.java:347)."""
-        return max(self.ef_search, 4 * k)
+    def ef_for_query(self, k: int, n: int = 1000) -> int:
+        """Per-query beam width.
+
+        Fixed mode (ef_search > 0): ef = max(ef, 4k) (reference:
+        index/HnswIndex.java:347).
+        Adaptive mode (ef_search == 0): log-N-scaled with size-stepped floors
+        and caps, matching the native reference policy (HNSWIndex.h:31-50) —
+        base (k + delta) grows ~20% per decade of N, the k-multiplier floor
+        steps 4/5/6/8 at 1k/5k/20k, capped at 300 (<=10k) / 400 (>10k), so
+        recall/latency self-tunes as the corpus grows.
+        """
+        if self.ef_search > 0:
+            return max(self.ef_search, 4 * k)
+        base = k + self.ef_delta
+        if n > 100:
+            base = int(base * (1.0 + 0.2 * math.log10(n / 100.0 + 1.0)))
+        mult = 4
+        if n > 1000:
+            mult = 5
+        if n > 5000:
+            mult = 6
+        if n > 20000:
+            mult = 8
+        cap = 300 if n <= 10000 else 400
+        return min(max(base, k * mult), cap)
 
 
 @dataclasses.dataclass
@@ -180,6 +205,15 @@ class IvfConfig:
     num_clusters: int = 100
     num_probes: int = 10
     training_iterations: int = 25
+    multi_assign: int = 8  # spill each vector into its top-a clusters.
+    # Honest k-means clusters are tight, so fixed-nprobe recall on them is
+    # far below the reference's near-degenerate single-Lloyd clustering
+    # (33.7% vs 88% at nprobe=10, BENCH_REPORT r1 §3).  Multi-assignment
+    # restores parity at the same nprobe: a neighbor is found when ITS top-a
+    # clusters intersect the query's top-nprobe.  Measured at 128d x 10k,
+    # nprobe=10: a=1 -> 34%, a=4 -> 73%, a=8 -> 91% Recall@10 (reference: 88%).
+    # Cost: a * 4 bytes/vector of member-table entries — the same
+    # volume-for-recall trade the reference's mega-clusters made implicitly.
 
 
 @dataclasses.dataclass

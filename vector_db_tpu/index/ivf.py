@@ -35,6 +35,7 @@ def _ivf_search(
     members: jnp.ndarray,       # [C, L] slot ids, -1 padded
     base: jnp.ndarray,          # [cap, d]
     valid: jnp.ndarray,         # [cap]
+    fill_slots: jnp.ndarray,    # [F] random live slots for short rows
     nprobe: int,
     k: int,
     metric: str,
@@ -46,6 +47,14 @@ def _ivf_search(
 
     # 2. gather probed clusters' member slots -> [Q, P*L]
     cand = members[probes].reshape(queries.shape[0], nprobe * max_len)
+    # multi-assigned vectors can appear in several probed clusters: sort-dedup
+    # so duplicates cannot crowd the top-k (adjacent after sort)
+    cand = jnp.sort(cand, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((cand.shape[0], 1), bool), cand[:, 1:] == cand[:, :-1]],
+        axis=1,
+    )
+    cand = jnp.where(dup, -1, cand)
     ok = cand >= 0
     safe = jnp.maximum(cand, 0)
     ok = ok & valid[safe]
@@ -64,7 +73,31 @@ def _ivf_search(
         pad = k - cand.shape[1]
         d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
         cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
-    return smallest_k(d, k, cand)
+    top_d, top_i = smallest_k(d, k, cand)
+
+    # 4. random-fill parity (reference: IvfIndex.java:246-257): rows the
+    #    probed clusters could not fill get random live slots with their
+    #    exact distances — no -1 rows whenever the corpus has >= k vectors.
+    #    Fills never displace real hits: top_d is sorted ascending with inf
+    #    tails, so positions past the real-hit count take fills in distance
+    #    order.
+    f_ok = (fill_slots >= 0) & valid[jnp.maximum(fill_slots, 0)]
+    fv = base[jnp.maximum(fill_slots, 0)]                    # [F, d]
+    fd = pairwise_dist(queries, fv, metric)                  # [Q, F]
+    already = jnp.any(
+        fill_slots[None, None, :] == top_i[:, :, None], axis=1
+    )                                                        # [Q, F]
+    fd = jnp.where(f_ok[None, :] & ~already, fd, jnp.inf)
+    # fills carry exact distances, so they compete fairly in one final top-k
+    # (the reference sorts the merged candidate list the same way)
+    cat_d = jnp.concatenate([top_d, fd], axis=1)
+    cat_i = jnp.concatenate(
+        [top_i, jnp.broadcast_to(fill_slots[None, :], fd.shape)], axis=1
+    )
+    neg, arg = jax.lax.top_k(-cat_d, k)
+    out_d = -neg
+    out_i = jnp.take_along_axis(cat_i, arg, axis=1)
+    return out_d, jnp.where(jnp.isfinite(out_d), out_i, -1)
 
 
 class IvfIndex(VectorIndex):
@@ -75,11 +108,16 @@ class IvfIndex(VectorIndex):
         self.config = config or IvfConfig()
         self.store = VectorStore(capacity, dim)
         self.centroids: Optional[jax.Array] = None  # [C, d]
-        self.assignments = np.full(self.store.capacity, -1, np.int32)  # slot -> cluster
+        # slot -> its top-a clusters (multi-assignment spilling; column 0 is
+        # the primary assignment)
+        self.assignments = np.full(
+            (self.store.capacity, max(1, self.config.multi_assign)), -1, np.int32
+        )
         self.members: Optional[jax.Array] = None  # [C, L] padded slot table
         self._members_dirty = True
         self.trained = False
         self.seed = 42
+        self._removals_since_train = 0
 
     # ------------------------------------------------------------- mutation
     def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
@@ -92,8 +130,17 @@ class IvfIndex(VectorIndex):
         slot = self.store.remove(vec_id)
         if slot is None:
             return False
-        self.assignments[slot] = -1
+        self.assignments[slot, :] = -1
         self._members_dirty = True
+        # staleness analog of the reference's centroid-removal rebuild
+        # (IvfIndex.java:189-191 rebuilds when a centroid vector is removed;
+        # our centroids are k-means means, so the trigger is aggregate drift)
+        self._removals_since_train += 1
+        if (
+            self.trained
+            and self._removals_since_train > max(64, self.store.size() // 4)
+        ):
+            self.build()
         return True
 
     # --------------------------------------------------------------- build
@@ -111,7 +158,7 @@ class IvfIndex(VectorIndex):
         st = self.store.state
         live = np.flatnonzero(np.asarray(st.valid))
         data = jnp.asarray(np.asarray(st.vectors)[live])
-        self.centroids, assign = kmeans_fit(
+        self.centroids, _ = kmeans_fit(
             jax.random.PRNGKey(self.seed),
             data,
             k=n_clusters,
@@ -119,14 +166,19 @@ class IvfIndex(VectorIndex):
             plus_plus=True,
         )
         self.assignments[:] = -1
-        self.assignments[live] = np.asarray(assign)
+        self._assign_slots(live)
         self.trained = True
         self._members_dirty = True
+        self._removals_since_train = 0
 
     def _assign_slots(self, slots: np.ndarray) -> None:
+        """Assign slots to their top-a clusters (multi-assignment spilling)."""
+        a = min(max(1, self.config.multi_assign), int(self.centroids.shape[0]))
         vecs = self.store.state.vectors[jnp.asarray(slots)]
         d = pairwise_dist(vecs, self.centroids, self.metric)
-        self.assignments[slots] = np.asarray(jnp.argmin(d, axis=1))
+        _, top_a = jax.lax.top_k(-d, a)
+        self.assignments[slots] = -1
+        self.assignments[slots, :a] = np.asarray(top_a)
         self._members_dirty = True
 
     def _member_table(self) -> tuple[jax.Array, int]:
@@ -140,9 +192,10 @@ class IvfIndex(VectorIndex):
         c = int(self.centroids.shape[0])
         valid = np.asarray(self.store.state.valid)
         lists: list[list[int]] = [[] for _ in range(c)]
-        for slot, cl in enumerate(self.assignments):
-            if cl >= 0 and valid[slot]:
-                lists[cl].append(slot)
+        for slot in np.flatnonzero(valid):
+            for cl in self.assignments[slot]:
+                if cl >= 0:
+                    lists[cl].append(int(slot))
         n_live = sum(len(l) for l in lists)
         quota = max(8, int(np.ceil(8.0 * max(n_live, 1) / c / 8)) * 8)
         max_len = max(1, min(quota, max((len(l) for l in lists), default=1)))
@@ -177,9 +230,18 @@ class IvfIndex(VectorIndex):
         else:
             members, max_len = self._member_table()
             nprobe = min(self.config.num_probes, int(self.centroids.shape[0]))
+            # deterministic "random" fill pool (reference shuffles; we keep
+            # the fixed-seed convention, SURVEY.md §4.5)
+            live = np.flatnonzero(np.asarray(st.valid))
+            rng = np.random.default_rng(self.seed + live.size)
+            f = min(k_pad, live.size)
+            fill = rng.choice(live, f, replace=False).astype(np.int32)
+            if f < k_pad:
+                fill = np.concatenate([fill, np.full(k_pad - f, -1, np.int32)])
             dists, slots = _ivf_search(
                 jnp.asarray(padded), self.centroids, members,
-                st.vectors, st.valid, nprobe, k_pad, self.metric, max_len,
+                st.vectors, st.valid, jnp.asarray(fill),
+                nprobe, k_pad, self.metric, max_len,
             )
         slots_np = np.asarray(slots)[:q_n, :k_eff]
         ids_np = np.asarray(st.ids)
@@ -203,6 +265,7 @@ class IvfIndex(VectorIndex):
             trained=self.trained,
             num_clusters=int(self.centroids.shape[0]) if self.trained else 0,
             num_probes=self.config.num_probes,
+            multi_assign=self.config.multi_assign,
         )
         return s
 
@@ -219,7 +282,10 @@ class IvfIndex(VectorIndex):
 
     def load_state_arrays(self, arrays: dict) -> None:
         self.store = VectorStore.from_host(arrays["store"])
-        self.assignments = np.asarray(arrays["assignments"]).copy()
+        assign = np.asarray(arrays["assignments"]).copy()
+        if assign.ndim == 1:  # pre-multi-assign checkpoint format
+            assign = assign[:, None]
+        self.assignments = assign
         self.trained = bool(np.asarray(arrays["trained"])[0])
         self.centroids = (
             jnp.asarray(arrays["centroids"]) if "centroids" in arrays else None
