@@ -20,6 +20,29 @@ def dataset():
     return vecs, brute
 
 
+@pytest.fixture(scope="module")
+def clustered():
+    """Clustered corpus — the regime LSH/Annoy are designed for (the
+    reference's published 75%/85% recall rows, README.md:225-232, come from
+    structured data; on isotropic 16-d Gaussian noise the true 10-NN are
+    barely closer than random pairs, so no hashing scheme can separate them
+    without scanning everything)."""
+    rng = np.random.default_rng(42)
+    dim, nc, per = 16, 40, 10
+    centers = rng.standard_normal((nc, dim)).astype(np.float32) * 3.0
+    vecs = (
+        centers[:, None, :]
+        + 0.15 * rng.standard_normal((nc, per, dim))
+    ).reshape(-1, dim).astype(np.float32)
+    brute = BruteForceIndex(dim, 512)
+    brute.add_batch(range(len(vecs)), vecs)
+    q = vecs[::13][:30] + 0.05 * rng.standard_normal((30, dim)).astype(
+        np.float32
+    )
+    gt, _ = brute.search_batch(q, 10)
+    return vecs, q, gt
+
+
 class TestLsh:
     def _build(self, vecs):
         idx = LshIndex(16, 512, "l2", LshConfig(num_tables=8, num_bits=8, bucket_width=4.0))
@@ -32,17 +55,38 @@ class TestLsh:
         ids, d = idx.search_batch(vecs[:20], 1)
         assert (ids[:, 0] == np.arange(20)).all()
 
-    def test_recall_floor(self, dataset):
-        # reference floor: LSH ~75% (README.md:225-232); near-duplicate
-        # queries collide reliably
+    def test_recall_floor_honest(self, clustered):
+        # reference floor: LSH ~75% (README.md:225-232).  Backfill DISABLED:
+        # every returned id came out of a real bucket collision, so this
+        # measures LSH quality, not the exact-scan fallback.
+        vecs, q, g = clustered
+        idx = LshIndex(
+            16, 512, "l2",
+            LshConfig(num_tables=8, num_bits=8, bucket_width=4.0,
+                      backfill=False),
+        )
+        idx.add_batch(range(len(vecs)), vecs)
+        a, _ = idx.search_batch(q, 10)
+        recall = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(30)])
+        assert recall >= 0.75
+        # the counter exposes exactly how many rows collisions missed
+        assert idx.stats()["backfill_rows"] < 0.2 * 30 * 10
+
+    def test_random_data_exposes_backfill(self, dataset):
+        # on isotropic noise the collision sets are nearly empty; the
+        # counters must expose that instead of silently masking it
         vecs, brute = dataset
-        idx = self._build(vecs)
+        idx = LshIndex(
+            16, 512, "l2",
+            LshConfig(num_tables=8, num_bits=8, bucket_width=4.0,
+                      backfill=False),
+        )
+        idx.add_batch(range(len(vecs)), vecs)
         rng = np.random.default_rng(1)
         q = vecs[:30] + 0.05 * rng.standard_normal((30, 16)).astype(np.float32)
         a, _ = idx.search_batch(q, 10)
-        g, _ = brute.search_batch(q, 10)
-        recall = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(30)])
-        assert recall >= 0.6
+        assert idx.stats()["backfill_rows"] > 0
+        assert (a < 0).any()  # honest: short rows stay -1 when disabled
 
     def test_backfill_when_no_collisions(self, dataset):
         vecs, _ = dataset
@@ -94,16 +138,29 @@ class TestAnnoy:
         ids, _ = idx.search_batch(vecs[:20], 1)
         assert (ids[:, 0] == np.arange(20)).all()
 
-    def test_recall_floor(self, dataset):
-        # reference floor: ANNOY ~85% (README.md:225-232)
+    def test_recall_floor_honest(self, dataset):
+        # reference floor: ANNOY ~85% (README.md:225-232).  Backfill DISABLED
+        # so the forest itself must deliver the recall (measured 1.0 here).
         vecs, brute = dataset
-        idx = self._build(vecs)
+        idx = self._build(vecs, backfill=False)
         rng = np.random.default_rng(2)
         q = vecs[:30] + 0.05 * rng.standard_normal((30, 16)).astype(np.float32)
         a, _ = idx.search_batch(q, 10)
         g, _ = brute.search_batch(q, 10)
         recall = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(30)])
-        assert recall >= 0.6
+        assert recall >= 0.85
+        assert idx.stats()["backfill_rows"] == 0
+
+    def test_recall_floor_clustered(self, clustered):
+        vecs, q, g = clustered
+        cfg = AnnoyConfig(num_trees=8, leaf_size=16, backfill=False)
+        idx = AnnoyIndex(16, 512, "l2", cfg)
+        idx.rebuild_threshold = 100
+        idx.add_batch(range(len(vecs)), vecs)
+        idx.build()
+        a, _ = idx.search_batch(q, 10)
+        recall = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(30)])
+        assert recall >= 0.85
 
     def test_pending_vectors_searchable(self, dataset):
         vecs, _ = dataset

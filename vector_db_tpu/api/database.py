@@ -205,8 +205,8 @@ class VectorDatabase:
             self._max = m
             return self
 
-        def with_index_type(self, t: IndexType) -> "VectorDatabase.Builder":
-            self._type = t
+        def with_index_type(self, t) -> "VectorDatabase.Builder":
+            self._type = t if isinstance(t, IndexType) else IndexType(str(t))
             return self
 
         def with_metric(self, metric: str) -> "VectorDatabase.Builder":

@@ -250,6 +250,55 @@ def blocked_knn_fast(
     return top_d, top_i
 
 
+def blocked_rerank(
+    q: Array,
+    base: Array,
+    cand: Array,
+    k: int,
+    metric: str = METRIC_L2,
+    rb: int = 512,
+) -> tuple[Array, Array]:
+    """Exact re-rank of [Q, R] candidate slots in blocks of ``rb`` with a
+    running top-k merge — never materialises the full [Q, R, d] gather
+    (at R=8192, Q=1024, d=512 that is a 16 GB allocation).
+
+    The TPU analog of the reference flagship's exact re-rank stage
+    (HnswPqIndex.java:647-664); -1 candidates are ignored.
+    Returns (dists [Q, k], slots [Q, k]) ascending.
+    """
+    q_n, r = cand.shape
+    r_pad = (-r) % rb
+    if r_pad:
+        cand = jnp.pad(cand, ((0, 0), (0, r_pad)), constant_values=-1)
+    n_blocks = (r + r_pad) // rb
+    q_norms = jnp.sum(q * q, axis=1)
+
+    def body(carry, blk):
+        top_d, top_i = carry
+        cnd = jax.lax.dynamic_slice_in_dim(cand, blk * rb, rb, axis=1)
+        safe = jnp.maximum(cnd, 0)
+        vecs = base[safe]                                  # [Q, rb, d]
+        if metric == METRIC_L2:
+            dots = jnp.einsum("qd,qrd->qr", q, vecs,
+                              preferred_element_type=jnp.float32)
+            vn = jnp.sum(vecs * vecs, axis=2)
+            d = jnp.maximum(q_norms[:, None] + vn - 2.0 * dots, 0.0)
+        else:
+            qn = jnp.sqrt(jnp.maximum(q_norms, 1e-12))[:, None]
+            vn = jnp.linalg.norm(vecs, axis=2)
+            dots = jnp.einsum("qd,qrd->qr", q, vecs)
+            d = 1.0 - dots / jnp.maximum(qn * vn, 1e-12)
+        d = jnp.where(cnd >= 0, d, jnp.inf)
+        cat_d = jnp.concatenate([top_d, d], axis=1)
+        cat_i = jnp.concatenate([top_i, cnd], axis=1)
+        neg, arg = jax.lax.top_k(-cat_d, k)
+        return ((-neg), jnp.take_along_axis(cat_i, arg, 1)), None
+
+    init = (jnp.full((q_n, k), jnp.inf), jnp.full((q_n, k), -1, jnp.int32))
+    (d, slots), _ = jax.lax.scan(body, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return d, slots
+
+
 def knn_full(
     q: Array,
     base: Array,

@@ -141,6 +141,7 @@ def sharded_flagship(mesh: Mesh, k: int, refine: int):
 
     def local(q, codebooks, codes_s, valid_s, base_s, ids_s):
         from ..ops import adc
+        from ..ops.distance import blocked_rerank
 
         tables = adc.build_distance_tables(q, codebooks)
         r = min(refine, codes_s.shape[0])
@@ -148,13 +149,12 @@ def sharded_flagship(mesh: Mesh, k: int, refine: int):
             tables, codes_s, valid_s, r,
             block_n=min(4096, codes_s.shape[0]), impl="gather",
         )
-        safe = jnp.maximum(cand, 0)
-        vecs = base_s[safe]
-        d = jnp.sum((vecs - q[:, None, :]) ** 2, axis=2)
-        d = jnp.where(cand >= 0, d, jnp.inf)
-        negl, argl = jax.lax.top_k(-d, min(k, r))
-        loc = jnp.take_along_axis(cand, argl, 1)
-        ext = jnp.where(jnp.isfinite(-negl), ids_s[jnp.maximum(loc, 0)], -1)
+        # blocked exact re-rank: same OOM-safety as the single-chip path
+        # (a naive [Q, R, d] gather is 16 GB at R=8192, Q=1024, d=512)
+        negd, loc = blocked_rerank(q, base_s, cand, min(k, r),
+                                   rb=min(512, r))
+        negl = -negd
+        ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
         # merge shard-local results over ICI
         d_all = jax.lax.all_gather(-negl, AXIS)
         e_all = jax.lax.all_gather(ext, AXIS)
@@ -222,56 +222,288 @@ def sharded_kmeans_step(mesh: Mesh):
     )
 
 
-class ShardedDatabase:
-    """Thin multi-chip wrapper: a read-mostly corpus-sharded search service.
+# --------------------------------------------------------------------------
+# sharded end-to-end PQ training + encode (the distributed build pipeline)
+# --------------------------------------------------------------------------
 
-    Builds from any single-chip index's store (host arrays), shards the
-    corpus across the mesh, and serves exact or flagship searches.  The
-    single-writer host model is unchanged; re-shard after bulk mutations.
+def sharded_subspace_kmeans(mesh: Mesh, num_subspaces: int, iters: int):
+    """Full data-parallel per-subspace PQ training as ONE device program.
+
+    Data stays sharded on the mesh axis; all subspace codebooks train
+    simultaneously (the vmapped analog of the reference's per-subspace loop,
+    HnswPqIndex.java:194-293): assign = argmin over a batched distance
+    einsum, update = psum-reduced one-hot sums, `iters` Lloyd iterations
+    under one `lax.scan`.
+
+    Returned fn: (data_s [N,d] sharded, init_cb [S,K,sd] replicated,
+    w_s [N] sharded validity weights) -> codebooks [S,K,sd] replicated.
     """
 
-    def __init__(self, mesh: Mesh, vectors: np.ndarray, ids: np.ndarray,
-                 valid: np.ndarray, codes: np.ndarray | None = None,
-                 codebooks: np.ndarray | None = None):
-        self.mesh = mesh
-        s = mesh.devices.size
-        n = vectors.shape[0]
-        pad = (-n) % s
-        if pad:
-            vectors = np.pad(vectors, ((0, pad), (0, 0)))
-            ids = np.pad(ids, (0, pad), constant_values=-1)
-            valid = np.pad(valid, (0, pad))
-            if codes is not None:
-                codes = np.pad(codes, ((0, pad), (0, 0)))
-        norms = (vectors.astype(np.float32) ** 2).sum(1)
-        (self.vectors, self.ids, self.valid, self.norms) = shard_corpus(
-            mesh, jnp.asarray(vectors), jnp.asarray(ids), jnp.asarray(valid),
-            jnp.asarray(norms),
-        )
-        self.codes = None
-        self.codebooks = None
-        if codes is not None and codebooks is not None:
-            (self.codes,) = shard_corpus(mesh, jnp.asarray(codes))
-            (self.codebooks,) = replicate(mesh, jnp.asarray(codebooks))
-        self._knn_cache: dict = {}
+    def fit(data_s, init_cb, w_s):
+        n_s, d = data_s.shape
+        s, kc, sd = init_cb.shape
+        sub = data_s.reshape(n_s, s, sd).transpose(1, 0, 2)      # [S, n, sd]
+        sub_n = jnp.sum(sub * sub, axis=2)                       # [S, n]
 
+        def one_iter(cb, _):
+            cb_n = jnp.sum(cb * cb, axis=2)                      # [S, K]
+            cross = jnp.einsum("snd,skd->snk", sub, cb,
+                               preferred_element_type=jnp.float32)
+            dist = sub_n[:, :, None] + cb_n[:, None, :] - 2.0 * cross
+            assign = jnp.argmin(dist, axis=2)                    # [S, n]
+            onehot = jax.nn.one_hot(assign, kc, dtype=jnp.float32)
+            onehot = onehot * w_s[None, :, None]                 # mask dead rows
+            counts = jax.lax.psum(jnp.sum(onehot, axis=1), AXIS)  # [S, K]
+            sums = jax.lax.psum(
+                jnp.einsum("snk,snd->skd", onehot, sub,
+                           preferred_element_type=jnp.float32),
+                AXIS,
+            )
+            new = jnp.where(counts[:, :, None] > 0,
+                            sums / jnp.maximum(counts[:, :, None], 1.0), cb)
+            return new, None
+
+        cb, _ = jax.lax.scan(one_iter, init_cb, None, length=iters)
+        return cb
+
+    return jax.jit(
+        jax.shard_map(
+            fit,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(), P(AXIS)),
+            out_specs=P(),
+            check_vma=False,  # psum makes the output replicated
+        )
+    )
+
+
+def sharded_encode(mesh: Mesh):
+    """Shard-local PQ encode: vectors sharded, codebooks replicated ->
+    codes sharded (the DP analog of the reference's 4-thread parallel
+    encode, PQIndex.cpp:227-245)."""
+    from ..ops import adc
+
+    return jax.jit(
+        jax.shard_map(
+            lambda v_s, cb: adc.pq_encode(v_s, cb),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P()),
+            out_specs=P(AXIS, None),
+        )
+    )
+
+
+class ShardedDatabase:
+    """Multi-chip corpus-sharded database: CRUD + sharded build + search.
+
+    The corpus lives block-sharded across the mesh's devices at a fixed
+    per-shard capacity.  The host keeps numpy mirrors (the single-writer
+    model); mutations mark their shard dirty and only dirty shards are
+    re-transferred before the next search (`jax.make_array_from_single_
+    device_arrays` reassembles the global sharded array without touching
+    clean shards).  Training runs the data-parallel subspace k-means above;
+    encoding is shard-local.  Searches are the corpus-sharded programs
+    (all_gather top-k merges over ICI).
+    """
+
+    def __init__(self, mesh: Mesh, vectors: np.ndarray | None = None,
+                 ids: np.ndarray | None = None,
+                 valid: np.ndarray | None = None,
+                 codes: np.ndarray | None = None,
+                 codebooks: np.ndarray | None = None,
+                 dim: int | None = None, capacity: int | None = None,
+                 num_subspaces: int = 8):
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size)
+        self._devices = list(mesh.devices.flat)
+        if vectors is not None:
+            n, dim = vectors.shape
+            capacity = capacity or n
+        if dim is None:
+            raise ValueError("need either vectors or dim=")
+        capacity = max(capacity or 1024, self.n_shards)
+        self.per_shard = -(-capacity // self.n_shards)
+        self.capacity = self.per_shard * self.n_shards
+        self.dim = dim
+        self.num_subspaces = num_subspaces
+        # host mirrors (single-writer)
+        self._h_vec = np.zeros((self.capacity, dim), np.float32)
+        self._h_ids = np.full(self.capacity, -1, np.int32)
+        self._h_valid = np.zeros(self.capacity, bool)
+        self._h_codes = np.zeros((self.capacity, num_subspaces), np.uint8)
+        self._slot_of: dict[int, int] = {}
+        self._fill = np.zeros(self.n_shards, np.int64)  # per-shard next-free
+        self._free: list[list[int]] = [[] for _ in range(self.n_shards)]
+        self._dirty: set[int] = set(range(self.n_shards))
+        self._dev_pieces: dict[str, list] = {}
+        self.codebooks = None
+        self._knn_cache: dict = {}
+        if codebooks is not None:
+            self.num_subspaces = int(np.asarray(codebooks).shape[0])
+            self._h_codes = np.zeros(
+                (self.capacity, self.num_subspaces), np.uint8
+            )
+            (self.codebooks,) = replicate(mesh, jnp.asarray(codebooks))
+        if vectors is not None:
+            n = vectors.shape[0]
+            ids = (np.arange(n, dtype=np.int32) if ids is None
+                   else np.asarray(ids, np.int64))
+            valid = np.ones(n, bool) if valid is None else np.asarray(valid)
+            live = np.flatnonzero(valid)
+            self.add_batch(ids[live], np.asarray(vectors, np.float32)[live])
+            if codes is not None:
+                # imported codes follow the slots just assigned
+                codes = np.asarray(codes)
+                for i in live:
+                    self._h_codes[self._slot_of[int(ids[i])]] = codes[i]
+
+    # ----------------------------------------------------------- mutation
+    def add_batch(self, ids, vectors) -> list[int]:
+        vectors = np.asarray(vectors, np.float32)
+        accepted = []
+        for ext_id, vec in zip(np.asarray(ids).tolist(), vectors):
+            ext_id = int(ext_id)
+            if ext_id in self._slot_of or ext_id < 0:
+                continue
+            # least-loaded shard; reuse freed slots before advancing the fill
+            load = self._fill - np.asarray([len(f) for f in self._free])
+            shard = int(np.argmin(load))
+            if self._free[shard]:
+                slot = self._free[shard].pop()
+            elif self._fill[shard] < self.per_shard:
+                slot = shard * self.per_shard + int(self._fill[shard])
+                self._fill[shard] += 1
+            else:
+                break  # capacity full
+            self._h_vec[slot] = vec
+            self._h_ids[slot] = ext_id
+            self._h_valid[slot] = True
+            self._slot_of[ext_id] = slot
+            self._dirty.add(shard)
+            accepted.append(ext_id)
+        if accepted and self.codebooks is not None:
+            self._encode_dirty()
+        return accepted
+
+    def remove(self, ext_id: int) -> bool:
+        slot = self._slot_of.pop(int(ext_id), None)
+        if slot is None:
+            return False
+        self._h_valid[slot] = False
+        self._h_ids[slot] = -1
+        self._free[slot // self.per_shard].append(slot)
+        self._dirty.add(slot // self.per_shard)
+        return True
+
+    def size(self) -> int:
+        return int(self._h_valid.sum())
+
+    # ----------------------------------------------------------- build
+    def train_pq(self, num_centroids: int = 16, iters: int = 10,
+                 seed: int = 42) -> None:
+        """Sharded end-to-end PQ build: train codebooks with the
+        data-parallel subspace k-means, then encode every shard locally."""
+        s = self.num_subspaces
+        sd = self.dim // s
+        live = np.flatnonzero(self._h_valid)
+        if live.size < num_centroids:
+            raise ValueError("not enough live vectors to train")
+        rng = np.random.default_rng(seed)
+        pick = rng.choice(live, size=num_centroids, replace=False)
+        init = self._h_vec[np.sort(pick)].reshape(num_centroids, s, sd)
+        init_cb = jnp.asarray(init.transpose(1, 0, 2))          # [S, K, sd]
+        self._refresh()
+        fit = self._knn_cache.get(("fit", s, iters))
+        if fit is None:
+            fit = sharded_subspace_kmeans(self.mesh, s, iters)
+            self._knn_cache[("fit", s, iters)] = fit
+        w = self.valid.astype(jnp.float32)
+        cb = fit(self.vectors, init_cb, w)
+        (self.codebooks,) = replicate(self.mesh, cb)
+        self._encode_all()
+
+    def _encode_all(self) -> None:
+        enc = self._knn_cache.get("encode")
+        if enc is None:
+            enc = sharded_encode(self.mesh)
+            self._knn_cache["encode"] = enc
+        self._refresh()
+        codes = enc(self.vectors, self.codebooks)
+        self._h_codes = np.array(codes)  # writable host mirror
+        self._dev_pieces.pop("codes", None)
+        self._put_field("codes")
+
+    def _encode_dirty(self) -> None:
+        # encode only mutated shards' rows host->device once at refresh;
+        # the shard-local encode of a few rows is cheaper done with the
+        # replicated codebooks on host-sized batches
+        from ..ops import adc
+
+        cb_host = jax.device_get(self.codebooks)
+        for shard in sorted(self._dirty):
+            lo, hi = shard * self.per_shard, (shard + 1) * self.per_shard
+            rows = self._h_valid[lo:hi]
+            if rows.any():
+                enc = adc.pq_encode(
+                    jnp.asarray(self._h_vec[lo:hi][rows]),
+                    jnp.asarray(cb_host),
+                )
+                self._h_codes[lo:hi][rows] = np.asarray(enc)
+
+    # ----------------------------------------------------------- transfer
+    def _put_field(self, name: str) -> None:
+        host = {
+            "vectors": self._h_vec,
+            "ids": self._h_ids,
+            "valid": self._h_valid,
+            "norms": (self._h_vec.astype(np.float32) ** 2).sum(1),
+            "codes": self._h_codes,
+        }[name]
+        spec = P(AXIS, *([None] * (host.ndim - 1)))
+        sharding = NamedSharding(self.mesh, spec)
+        pieces = self._dev_pieces.get(name)
+        if pieces is None:
+            pieces = [None] * self.n_shards
+            dirty = range(self.n_shards)
+        else:
+            dirty = sorted(self._dirty)
+        for shard in dirty:
+            lo, hi = shard * self.per_shard, (shard + 1) * self.per_shard
+            pieces[shard] = jax.device_put(host[lo:hi], self._devices[shard])
+        self._dev_pieces[name] = pieces
+        arr = jax.make_array_from_single_device_arrays(
+            host.shape, sharding, pieces
+        )
+        setattr(self, {"vectors": "vectors", "ids": "ids", "valid": "valid",
+                       "norms": "norms", "codes": "codes"}[name], arr)
+
+    def _refresh(self) -> None:
+        if not self._dirty and self._dev_pieces:
+            return
+        for name in ("vectors", "ids", "valid", "norms", "codes"):
+            self._put_field(name)
+        self._dirty.clear()
+
+    # ----------------------------------------------------------- search
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Corpus-sharded exact search -> (external ids, dists)."""
+        self._refresh()
         fn = self._knn_cache.get(("exact", k))
         if fn is None:
             fn = sharded_knn(self.mesh, k)
             self._knn_cache[("exact", k)] = fn
-        d, idx = fn(jnp.asarray(queries, jnp.float32), self.vectors, self.valid, self.norms)
+        d, idx = fn(jnp.asarray(queries, jnp.float32), self.vectors,
+                    self.valid, self.norms)
         idx_np = np.asarray(idx)
-        ids_np = np.asarray(jax.device_get(self.ids))
-        ext = np.where(idx_np >= 0, ids_np[np.maximum(idx_np, 0)], -1)
+        ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
 
     def search_flagship(self, queries: np.ndarray, k: int, refine: int = 1024
                         ) -> tuple[np.ndarray, np.ndarray]:
-        """Corpus-sharded ADC scan + refine -> (external ids, dists)."""
-        if self.codes is None:
-            raise ValueError("no PQ codes attached")
+        """Corpus-sharded ADC scan + blocked exact refine -> (ids, dists)."""
+        if self.codebooks is None:
+            raise ValueError("no PQ codebooks: call train_pq() first")
+        self._refresh()
         fn = self._knn_cache.get(("flag", k, refine))
         if fn is None:
             fn = sharded_flagship(self.mesh, k, refine)
