@@ -1,0 +1,116 @@
+"""Memory-bound mode benchmark: adc_fast_search QPS/recall frontier.
+
+512d x 100k, 32x PQ (64 subspaces x 8 bits), Q=1024, k=10, seed 42 — the
+VERDICT round-1 target config.  Sweeps the pool size (bucket/winners) and
+reports recall + serialized device QPS on two corpora:
+
+  * gaussian — i.i.d. N(0,1): the information-theoretic worst case for PQ
+    (max entropy, nothing to exploit; real embeddings are never like this)
+  * spectral — N(0,1) @ diag((i+1)^-0.5): a power-law eigenvalue decay like
+    real embedding models produce
+
+Usage: python benchmarks/bench_adc_fast.py [gaussian|spectral|both]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def timed(fn, *args, reps=10):
+    @jax.jit
+    def loop(*a):
+        def body(i, eps):
+            out = fn(*a, eps)
+            return out * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    _ = float(loop(*args))
+    t0 = time.time()
+    _ = float(loop(*args))
+    return (time.time() - t0) / reps
+
+
+def make_data(kind, n, dim, nq):
+    gen = jax.jit(
+        lambda key, shape: jax.random.normal(key, shape, jnp.float32),
+        static_argnames="shape",
+    )
+    vj = gen(jax.random.PRNGKey(42), (n, dim))
+    qj = gen(jax.random.PRNGKey(7), (nq, dim))
+    if kind == "spectral":
+        scale = jnp.asarray((np.arange(dim) + 1.0) ** -0.5, jnp.float32)
+        vj = vj * scale[None, :]
+        qj = qj * scale[None, :]
+    return jax.block_until_ready(vj), qj
+
+
+def main(which="both"):
+    from vector_db_tpu.ops import adc
+    from vector_db_tpu.ops.distance import blocked_knn
+    from vector_db_tpu.ops.kmeans import subspace_kmeans_fit
+
+    dim, n, nq, k = 512, 100_000, 1024, 10
+    kinds = ["gaussian", "spectral"] if which == "both" else [which]
+    for kind in kinds:
+        log(f"\n=== {kind} corpus: {dim}d x {n}, Q={nq}, k={k}, 32x PQ ===")
+        vj, qj = make_data(kind, n, dim, nq)
+        t0 = time.time()
+        gt_d, gt_i = blocked_knn(qj, vj, jnp.ones(n, bool), k, block_n=16384)
+        gt = np.asarray(gt_i)
+        gt_sets = [set(gt[i].tolist()) for i in range(nq)]
+        log(f"ground truth: {time.time()-t0:.1f}s")
+
+        t0 = time.time()
+        sample = vj[:20000]
+        cb = subspace_kmeans_fit(
+            jax.random.PRNGKey(42), sample, num_subspaces=64, k=256, iters=25
+        )
+        codes = adc.pq_encode(vj, cb)
+        codes_t = jnp.transpose(codes, (1, 0))
+        cbt = adc.codebooks_to_cbt(cb)
+        jax.block_until_ready(cbt)
+        log(f"train+encode: {time.time()-t0:.1f}s")
+
+        valid = jnp.ones(n, bool)
+        ids = jnp.arange(n, dtype=jnp.int32)
+
+        for bucket, winners in ((128, 1), (64, 1), (32, 1), (32, 2), (16, 2)):
+            pool = winners * n // bucket
+
+            def run(q, eps):
+                d, ext = adc.adc_fast_search(
+                    q + eps, codes_t, cbt, valid, vj, ids, k,
+                    bucket=bucket, winners=winners,
+                )
+                return d[0, 0]
+
+            d, ext = adc.adc_fast_search(
+                np.asarray(qj), codes_t, cbt, valid, vj, ids, k,
+                bucket=bucket, winners=winners,
+            )
+            ext_np = np.asarray(ext)
+            recall = float(np.mean(
+                [len(set(ext_np[i].tolist()) & gt_sets[i]) / k
+                 for i in range(nq)]
+            ))
+            dt = timed(run, qj)
+            log(f"bucket={bucket} winners={winners} pool={pool}: "
+                f"recall={recall:.4f}  {dt*1e3:.2f} ms  {nq/dt:.0f} QPS")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:] or ["both"])

@@ -1,0 +1,168 @@
+"""Fast memory-bound mode tests: decode kernel + adc_fast_search pipeline
+(interpret mode on the CPU backend; TPU numbers live in BENCH_REPORT.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vector_db_tpu.ops import adc
+from vector_db_tpu.ops.pallas_kernels import pq_decode_recon_t
+
+
+@pytest.fixture(scope="module")
+def pq_state():
+    rng = np.random.default_rng(42)
+    s, k_tab, sd, n = 8, 16, 4, 600
+    cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+    codes = rng.integers(0, k_tab, size=(n, s)).astype(np.uint8)
+    return s, k_tab, sd, n, cb, codes
+
+
+class TestDecodeKernel:
+    def test_matches_numpy_decode(self, pq_state):
+        s, k_tab, sd, n, cb, codes = pq_state
+        cbt = adc.codebooks_to_cbt(jnp.asarray(cb))
+        recon_t = pq_decode_recon_t(jnp.asarray(codes.T.copy()), cbt,
+                                    block_n=256)
+        want = np.concatenate(
+            [cb[si, codes[:, si], :] for si in range(s)], axis=1
+        ).T
+        np.testing.assert_allclose(
+            np.asarray(recon_t, np.float32), want, atol=0.02
+        )
+
+    def test_k256_table(self):
+        rng = np.random.default_rng(1)
+        s, k_tab, sd, n = 4, 256, 2, 256
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        codes = rng.integers(0, k_tab, size=(n, s)).astype(np.uint8)
+        cbt = adc.codebooks_to_cbt(jnp.asarray(cb))
+        recon_t = pq_decode_recon_t(jnp.asarray(codes.T.copy()), cbt,
+                                    block_n=256)
+        want = np.concatenate(
+            [cb[si, codes[:, si], :] for si in range(s)], axis=1
+        ).T
+        np.testing.assert_allclose(
+            np.asarray(recon_t, np.float32), want, atol=0.05
+        )
+
+    def test_uneven_n_padding(self, pq_state):
+        s, k_tab, sd, n, cb, codes = pq_state
+        cbt = adc.codebooks_to_cbt(jnp.asarray(cb))
+        recon_t = pq_decode_recon_t(jnp.asarray(codes.T[:, :300].copy()),
+                                    cbt, block_n=256)
+        assert recon_t.shape == (s * sd, 300)
+
+
+class TestAdcFastSearch:
+    def test_exact_on_grid_data(self):
+        """Vectors that sit exactly on centroids: PQ distance == exact
+        distance, so the pipeline must return the true nearest neighbors."""
+        rng = np.random.default_rng(7)
+        s, k_tab, sd = 4, 16, 4
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        picks = rng.integers(0, k_tab, size=(256, s))
+        base = np.concatenate(
+            [cb[si, picks[:, si], :] for si in range(s)], axis=1
+        ).astype(np.float32)
+        codes = picks.astype(np.uint8)
+        q = base[:8] + 0.01 * rng.normal(size=(8, s * sd)).astype(np.float32)
+        d, ext = adc.adc_fast_search(
+            jnp.asarray(q), jnp.asarray(codes.T.copy()),
+            adc.codebooks_to_cbt(jnp.asarray(cb)),
+            jnp.ones(256, bool), jnp.asarray(base),
+            jnp.arange(256, dtype=jnp.int32), 1, bucket=4, winners=2,
+        )
+        # top-1 == the grid point each query was perturbed from (unless two
+        # picks coincide, in which case either copy is exact-correct)
+        got = np.asarray(ext)[:, 0]
+        for i in range(8):
+            assert np.allclose(base[got[i]], base[i], atol=1e-5)
+
+    def test_recall_floor_clustered(self):
+        from vector_db_tpu.ops.distance import blocked_knn
+        from vector_db_tpu.ops.kmeans import subspace_kmeans_fit
+
+        rng = np.random.default_rng(3)
+        dim, nc, per = 32, 30, 20
+        centers = rng.normal(size=(nc, dim)).astype(np.float32) * 3
+        base = (
+            centers[:, None, :] + 0.2 * rng.normal(size=(nc, per, dim))
+        ).reshape(-1, dim).astype(np.float32)
+        n = len(base)
+        q = base[::17][:16] + 0.05 * rng.normal(size=(16, dim)).astype(
+            np.float32
+        )
+        gt_d, gt_i = blocked_knn(
+            jnp.asarray(q), jnp.asarray(base), jnp.ones(n, bool), 10,
+            block_n=512,
+        )
+        cb = subspace_kmeans_fit(
+            jax.random.PRNGKey(42), jnp.asarray(base), num_subspaces=8,
+            k=16, iters=8,
+        )
+        codes = adc.pq_encode(jnp.asarray(base), cb)
+        d, ext = adc.adc_fast_search(
+            jnp.asarray(q), jnp.transpose(codes, (1, 0)),
+            adc.codebooks_to_cbt(cb), jnp.ones(n, bool), jnp.asarray(base),
+            jnp.arange(n, dtype=jnp.int32), 10, bucket=8, winners=2,
+        )
+        gt_np = np.asarray(gt_i)
+        ext_np = np.asarray(ext)
+        recall = np.mean([
+            len(set(ext_np[i].tolist()) & set(gt_np[i].tolist())) / 10
+            for i in range(16)
+        ])
+        assert recall >= 0.9
+
+    def test_respects_valid_and_distances_sorted(self, pq_state):
+        s, k_tab, sd, n, cb, codes = pq_state
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(n, s * sd)).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[::2] = False
+        q = base[:4]
+        d, ext = adc.adc_fast_search(
+            jnp.asarray(q), jnp.asarray(codes.T.copy()),
+            adc.codebooks_to_cbt(jnp.asarray(cb)),
+            jnp.asarray(valid), jnp.asarray(base),
+            jnp.arange(n, dtype=jnp.int32), 5, bucket=4, winners=1,
+        )
+        ext_np = np.asarray(ext)
+        assert (ext_np % 2 == 1).all()  # only odd (valid) slots
+        d_np = np.asarray(d)
+        assert (np.diff(d_np, axis=1) >= -1e-6).all()
+
+
+class TestIndexIntegration:
+    def test_adc_fast_mode_via_index(self):
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        rng = np.random.default_rng(11)
+        dim, n = 32, 800
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        cfg = HnswPqConfig(
+            num_subspaces=8, num_centroids=32, training_samples=800,
+            search_mode="adc_fast", adc_bucket=8, adc_winners=2,
+        )
+        idx = HnswPqIndex(dim, 1024, "l2", cfg)
+        idx.add_batch(range(n), base)
+        assert idx.trained
+        ids, d = idx.search_batch(base[:8], 5)
+        assert (ids[:, 0] == np.arange(8)).all()
+        # delete never resurfaces through the fast path
+        idx.remove(3)
+        ids, _ = idx.search_batch(base[3:4], 5)
+        assert 3 not in ids[0]
+
+
+class TestAutoMode:
+    def test_crossover_selection(self):
+        from vector_db_tpu.index.hnsw_pq import _auto_scan_mode
+
+        assert _auto_scan_mode(1024, 100_000, False) == "scan_exact"
+        assert _auto_scan_mode(1024, 1_000_000, False) == "scan_pallas"
+        assert _auto_scan_mode(64, 1_000_000, False) == "scan_exact"
+        assert _auto_scan_mode(1024, 1_000_000, True) == "graph"

@@ -94,3 +94,69 @@ class TestDimensionSweep:
         assert ids[0] == 42
         assert db.get_compression_ratio() >= 4.0
         db.close()
+
+
+class TestConcurrentStress:
+    """Analog of the reference's concurrent-search stress
+    (native/test/test_performance.cpp:170-232: 1/2/4/8-thread searches) plus
+    readers racing a mutating host (search while add_batch/rebuild runs) —
+    the single-writer/functional-state model must keep every reader
+    consistent."""
+
+    @pytest.mark.parametrize("threads", [1, 2, 4, 8])
+    def test_thread_sweep_flagship(self, rng, threads):
+        dim, n = 16, 400
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = (VectorDatabase.builder().with_dimension(dim)
+              .with_max_elements(512).with_index_type(IndexType.HNSWPQ)
+              .build())
+        db.add_batch(range(n), vecs)
+        q = vecs[:8]
+        want = [[r.id for r in row] for row in db.search_batch(q, 5)]
+
+        def worker(_):
+            return [[r.id for r in row] for row in db.search_batch(q, 5)]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
+            results = list(ex.map(worker, range(threads * 4)))
+        assert all(r == want for r in results)
+        db.close()
+
+    def test_search_during_rebuild_and_batch_adds(self, rng):
+        dim, n = 16, 300
+        vecs = rng.standard_normal((2 * n, dim)).astype(np.float32)
+        db = (VectorDatabase.builder().with_dimension(dim)
+              .with_max_elements(1024).with_index_type(IndexType.HNSWPQ)
+              .build())
+        db.add_batch(range(n), vecs[:n])
+        stop = []
+
+        def searcher(_):
+            ok = True
+            for _ in range(10):
+                rows = db.search_batch(vecs[:4], 3)
+                for row in rows:
+                    ok &= all(r.id >= 0 for r in row)
+                    ok &= all(
+                        row[j].distance <= row[j + 1].distance + 1e-5
+                        for j in range(len(row) - 1)
+                    )
+            return ok
+
+        def mutator(_):
+            db.add_batch(range(n, n + 50), vecs[n:n + 50])
+            db.rebuild_index()
+            db.add_batch(range(n + 50, n + 100), vecs[n + 50:n + 100])
+            db.rebuild_index()
+            return True
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=5) as ex:
+            futs = [ex.submit(mutator, 0)] + [
+                ex.submit(searcher, i) for i in range(4)
+            ]
+            assert all(f.result() for f in futs)
+        # post-race state is fully consistent
+        ids = [r.id for r in db.search(vecs[n + 60], 1)]
+        assert ids[0] == n + 60
+        assert db.size() == n + 100
+        db.close()

@@ -169,7 +169,8 @@ class HnswPqConfig:
     # restricts the scan to nprobe clusters (the ScaNN-style partition +
     # PQ-score + re-rank pipeline for the memory-bound regime)
     nprobe: int = 32
-    search_mode: str = "auto"  # auto | scan_exact | scan_pallas | adc | graph.
+    search_mode: str = "auto"  # auto | scan_exact | scan_pallas | adc |
+    # adc_fast | graph.
     # "auto"/"scan_exact": blocked MXU exact scan over the raw store with
     #   approx_max_k block reduction — measured 209k QPS / 99.87% Recall@10 at
     #   512d/100k on one v5e chip, vs ~1k QPS for XLA-gather ADC.  On TPU,
@@ -182,8 +183,16 @@ class HnswPqConfig:
     #   618k / 99.7% — use when Q x N won't fit HBM.
     # "adc": ADC scan (+ optional IVF pruning) + exact refine — the
     #   memory-bound path; uses only codes + codebooks for candidate scoring.
+    # "adc_fast": the FAST memory-bound path — Pallas decode kernel + MXU
+    #   scan over the reconstruction + unranked bucket pool + exact refine
+    #   (ops/adc.adc_fast_search).  Scoring reads only codes + codebooks.
     # "graph": HNSW traversal with ADC distances + exact refine.
     scan_recall_target: float = 0.99  # approx_max_k target; 1.0 -> exact
+    adc_bucket: int = 32  # adc_fast pool granularity: keep the best
+    # `adc_winners` per `adc_bucket` corpus slots -> pool = winners*N/bucket
+    # rows re-ranked exactly; smaller bucket / more winners = higher recall,
+    # more refine traffic
+    adc_winners: int = 1
 
 
 @dataclasses.dataclass

@@ -73,6 +73,9 @@ class HnswPqIndex(VectorIndex):
         self._members: Optional[jax.Array] = None
         self._overflow: Optional[jax.Array] = None
         self._members_dirty = True
+        # adc_fast derived state (codes transposed + gather-layout codebooks),
+        # rebuilt lazily after any encode/train
+        self._fast_cache: Optional[tuple[jax.Array, jax.Array]] = None
 
     # ------------------------------------------------------------- helpers
     def _sample_levels(self, n: int) -> np.ndarray:
@@ -254,6 +257,16 @@ class HnswPqIndex(VectorIndex):
         vecs = self.store.state.vectors[jnp.asarray(slots)]
         new_codes = adc.pq_encode(vecs, self.codebooks)
         self.codes = self.codes.at[jnp.asarray(slots)].set(new_codes)
+        self._fast_cache = None
+
+    def _fast_tables(self) -> tuple[jax.Array, jax.Array]:
+        """codes_t [S, cap] uint8 + cbt [S*sd, K] for adc_fast_search."""
+        if self._fast_cache is None:
+            self._fast_cache = (
+                jnp.transpose(self.codes, (1, 0)),
+                adc.codebooks_to_cbt(self.codebooks),
+            )
+        return self._fast_cache
 
     # ------------------------------------------------------------- graph ops
     def _insert_graph(self, slots: np.ndarray) -> None:
@@ -315,9 +328,11 @@ class HnswPqIndex(VectorIndex):
 
         refine = min(max(pow2(self.config.refine_k), k_pad), st.capacity)
         mode = self.config.search_mode
-        if self.config.use_graph and mode == "auto":
-            mode = "graph"
-        if mode in ("auto", "scan_exact", "scan_pallas"):
+        if mode == "auto":
+            mode = _auto_scan_mode(
+                padded.shape[0], st.capacity, self.config.use_graph
+            )
+        if mode in ("scan_exact", "scan_pallas"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
             if mode == "scan_pallas":
                 from ..ops.pallas_kernels import fused_scan_topk
@@ -335,6 +350,22 @@ class HnswPqIndex(VectorIndex):
                     st.ids, k_pad, self.metric,
                     min(32768, st.capacity), self.config.scan_recall_target,
                 )
+            ext_np = np.asarray(ext)[:q_n, :k_eff]
+            out_ids = np.full((q_n, k), -1, np.int32)
+            out_d = np.full((q_n, k), np.inf, np.float32)
+            out_ids[:, :k_eff] = ext_np
+            out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
+            return out_ids, out_d
+        if mode == "adc_fast":
+            # fast memory-bound path: decode-kernel scan + unranked pool +
+            # exact refine (scoring reads only codes + codebooks)
+            ct, cbt = self._fast_tables()
+            bucket = max(2, min(self.config.adc_bucket, st.capacity // 2))
+            dists, ext = adc.adc_fast_search(
+                jnp.asarray(padded), ct, cbt, st.valid, st.vectors, st.ids,
+                k_pad, bucket=bucket, winners=self.config.adc_winners,
+                metric=self.metric,
+            )
             ext_np = np.asarray(ext)[:q_n, :k_eff]
             out_ids = np.full((q_n, k), -1, np.int32)
             out_d = np.full((q_n, k), np.inf, np.float32)
@@ -441,6 +472,7 @@ class HnswPqIndex(VectorIndex):
     def load_state_arrays(self, arrays: dict) -> None:
         self.store = VectorStore.from_host(arrays["store"])
         self.codes = jnp.asarray(arrays["codes"])
+        self._fast_cache = None
         self.trained = bool(np.asarray(arrays["trained"])[0])
         self._level_counter = int(np.asarray(arrays["level_counter"])[0])
         self.codebooks = (
@@ -461,6 +493,24 @@ class HnswPqIndex(VectorIndex):
 
 
 import functools
+
+
+def _auto_scan_mode(q_n: int, capacity: int, use_graph: bool) -> str:
+    """search_mode="auto" resolution from MEASURED crossovers (BENCH_REPORT
+    §5/§7, one v5e chip):
+
+      * graph only when explicitly configured (the parity/incremental path —
+        sequential beam expansion cannot feed a systolic array)
+      * the XLA full-row scan wins while the [Q, N] distance matrix is
+        comfortable (<= 512 MB): 618k QPS at 512d x 100k
+      * beyond that the fused Pallas kernel wins (30.4k vs 24.2k QPS at 1M):
+        its peak memory is the [Q, N/128] winner matrix, never [Q, N]
+    """
+    if use_graph:
+        return "graph"
+    if q_n * capacity * 4 > 512 * 1024 * 1024:
+        return "scan_pallas"
+    return "scan_exact"
 
 
 @functools.partial(

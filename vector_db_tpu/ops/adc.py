@@ -141,3 +141,97 @@ def adc_distances(tables: Array, codes: Array) -> Array:
     """Full [Q, N] ADC distance matrix (small-N path / single-pair use —
     the analog of ADCUtils::computeADCDistance, ADCUtils.cpp:11-17)."""
     return _adc_block_gather(tables, codes)
+
+
+# ---------------------------------------------------------------------------
+# fast memory-bound mode: decode-kernel scan + unranked pool + exact refine
+# ---------------------------------------------------------------------------
+
+def codebooks_to_cbt(codebooks: Array) -> Array:
+    """[S, K, sd] -> the decode kernel's [S*sd, K] gather layout."""
+    s, k, sd = codebooks.shape
+    return jnp.transpose(codebooks, (0, 2, 1)).reshape(s * sd, k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bucket", "winners", "metric", "rerank_block")
+)
+def adc_fast_search(
+    queries: Array,
+    codes_t: Array,
+    cbt: Array,
+    valid: Array,
+    base: Array,
+    ids: Array,
+    k: int,
+    bucket: int = 32,
+    winners: int = 1,
+    metric: str = "l2",
+    rerank_block: int = 512,
+) -> tuple[Array, Array]:
+    """The fast codes-only scoring pipeline, ONE device program:
+
+      1. decode codes -> reconstructed vectors (Pallas dynamic_gather kernel;
+         ADC distance == exact distance to the reconstruction, so the scan
+         below is *exactly* the ADC scan at MXU speed)
+      2. one [Q, d] x [d, N] bf16 matmul -> quantized distances
+      3. UNRANKED candidate pool: the best `winners` per `bucket` lanes
+         (a reshape-min, one pass) — no giant top-R sort.  A ranked pool is
+         unnecessary: the exact re-rank orders everything that matters, so
+         selection only has to *contain* the true neighbors.  This is what
+         makes the stage cheap: jax.lax.approx_max_k at R=2048..8192 costs
+         48..87 ms on this chip (PartialReduce degenerates toward a full
+         sort as k grows), while the reshape-min is ~1 ms.
+      4. blocked exact re-rank of the pool (raw vectors touched ONLY here,
+         like the reference's refine, HnswPqIndex.java:647-664).
+
+    Candidate scoring reads only `codes_t` + `cbt` (+ a transient [d, N]
+    bf16 reconstruction buffer that never persists).  Pool size = winners *
+    N / bucket; recall/QPS tradeoff comes from `bucket`/`winners`.
+
+    queries [Q, d] f32; codes_t [S, N] uint8; cbt [S*sd, K] f32;
+    valid [N] bool; base [N, d] f32 raw store; ids [N] external ids.
+    Returns (dists [Q, k], external ids [Q, k]) ascending.
+    """
+    from .distance import blocked_rerank
+    from .pallas_kernels import pq_decode_recon_t
+
+    q_n, d = queries.shape
+    n = codes_t.shape[1]
+    recon_t = pq_decode_recon_t(codes_t, cbt)                   # [d, N] bf16
+    qb = queries.astype(jnp.bfloat16)
+    cross = jax.lax.dot_general(
+        qb, recon_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                           # [Q, N]
+    r32 = recon_t.astype(jnp.float32)
+    code_norms = jnp.sum(r32 * r32, axis=0)                     # [N]
+    dist = code_norms[None, :] - 2.0 * cross  # + ||q||^2 == const per row
+    dist = jnp.where(valid[None, :], dist, jnp.inf)
+
+    # unranked pool: best-`winners`-per-bucket, zero sorting.  Buckets are
+    # STRIDED (slot i joins bucket i % nb), not contiguous: real corpora are
+    # insertion-order correlated (clusters arrive together), and contiguous
+    # buckets would cap a dense true-neighbor run at `winners` survivors
+    # (measured: 31% recall on a cluster-ordered corpus vs 97% strided).
+    n_pad = (-n) % bucket
+    if n_pad:
+        dist = jnp.pad(dist, ((0, 0), (0, n_pad)), constant_values=jnp.inf)
+    nb = (n + n_pad) // bucket
+    d3 = dist.reshape(q_n, bucket, nb)                          # strided sets
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, nb), 1)
+    pools = []
+    for _ in range(winners):
+        arg = jnp.argmin(d3, axis=1).astype(jnp.int32)          # [Q, nb]
+        pools.append(arg * nb + col)
+        if winners > 1:
+            row = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 1)
+            d3 = jnp.where(row == arg[:, None, :], jnp.inf, d3)
+    pool = jnp.concatenate(pools, axis=1)                       # [Q, W]
+    pool = jnp.where(valid[jnp.minimum(pool, n - 1)] & (pool < n), pool, -1)
+
+    # exact re-rank (the only stage that reads raw vectors)
+    out_d, slots = blocked_rerank(queries, base, pool, k, metric,
+                                  rb=rerank_block)
+    ext = jnp.where(jnp.isfinite(out_d), ids[jnp.maximum(slots, 0)], -1)
+    return out_d, ext
