@@ -145,12 +145,62 @@ static void test_batch_append() {
 
 #include <unistd.h>
 
+#include <atomic>
+#include <thread>
+
+// Concurrent stress (reference analog: test_performance.cpp:170-232 runs
+// 1/2/4/8-thread searches): one writer streams appends while reader threads
+// load snapshots from their own handles on the same directory.  The engine's
+// contract is per-handle confinement + crash-consistent files, so readers
+// must always see a prefix of acknowledged writes, never torn data.
+static void test_concurrent_readers_during_appends() {
+  reset_dir();
+  const int kWrites = 400;
+  std::atomic<int> acked{0};
+  std::atomic<bool> ok{true};
+
+  std::thread writer([&] {
+    int64_t h = vdb_open(kDir, 4);
+    float v[4];
+    for (int i = 0; i < kWrites; ++i) {
+      for (int j = 0; j < 4; ++j) v[j] = (float)i;
+      if (vdb_append_add(h, i, v) != 1) { ok = false; break; }
+      vdb_flush(h);
+      acked.store(i + 1, std::memory_order_release);
+    }
+    vdb_close(h);
+  });
+
+  auto reader = [&](int /*tid*/) {
+    std::vector<int32_t> ids(kWrites + 8);
+    std::vector<float> vecs((kWrites + 8) * 4);
+    for (int round = 0; round < 20; ++round) {
+      int floor_acked = acked.load(std::memory_order_acquire);
+      int64_t h = vdb_open(kDir, 4);
+      int n = vdb_load(h, kWrites + 8, ids.data(), vecs.data());
+      vdb_close(h);
+      if (n < 0) { ok = false; return; }
+      // every record a reader sees must be intact (id i carries value i)
+      for (int r = 0; r < n; ++r) {
+        if (vecs[r * 4] != (float)ids[r]) { ok = false; return; }
+      }
+      // and at least the writes acknowledged before the read must be there
+      if (n < floor_acked) { ok = false; return; }
+    }
+  };
+  std::thread r1(reader, 1), r2(reader, 2), r3(reader, 3), r4(reader, 4);
+  writer.join(); r1.join(); r2.join(); r3.join(); r4.join();
+  CHECK(ok.load());
+  tests_run++;
+}
+
 int main() {
   test_roundtrip();
   test_delete_and_lastwrite();
   test_snapshot_and_reopen();
   test_torn_write_recovery();
   test_batch_append();
+  test_concurrent_readers_during_appends();
   printf("OK: %d storage tests passed\n", tests_run);
   return 0;
 }
