@@ -222,6 +222,50 @@ def probe_refine(nq=1024, n=102400, d=512):
             f"({bytes32/2/dt16/1e9:.0f} GB/s, {nq/dt16:.0f} QPS)")
 
 
+# ---------------------------------------------------------------- probe 3b
+def probe_refine_packed(nq=1024, n=102400, d=512):
+    """bf16 rows bit-packed into an f32-typed array: halves gather bytes at
+    f32 gather efficiency (bf16-typed gathers measured SLOWER than f32)."""
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    base16 = jnp.asarray(base).astype(jnp.bfloat16)            # [N, d]
+    packed = jax.lax.bitcast_convert_type(
+        base16.reshape(n, d // 2, 2), jnp.float32
+    )                                                          # [N, d/2] f32
+    q = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+
+    for r in (512, 2048, 6144):
+        cand = jnp.asarray(rng.integers(0, n, size=(nq, r)).astype(np.int32))
+
+        def rerank(qq, pk, cc, eps, rb=512):
+            qq = (qq + eps)
+            q_norms = jnp.sum(qq * qq, axis=1)
+            qb = qq.astype(jnp.bfloat16)
+
+            def body(carry, blk):
+                cnd = jax.lax.dynamic_slice_in_dim(cc, blk * rb, rb, axis=1)
+                vp = pk[cnd]                                   # [Q, rb, d/2]
+                v16 = jax.lax.bitcast_convert_type(
+                    vp, jnp.bfloat16
+                ).reshape(nq, rb, d)
+                dots = jnp.einsum("qd,qrd->qr", qb, v16,
+                                  preferred_element_type=jnp.float32)
+                v32 = v16.astype(jnp.float32)
+                vn = jnp.sum(v32 * v32, axis=2)
+                dd = q_norms[:, None] + vn - 2.0 * dots
+                return jnp.minimum(carry, jnp.min(dd, axis=1)), None
+
+            init = jnp.full((nq,), jnp.inf, jnp.float32)
+            out, _ = jax.lax.scan(body, init,
+                                  jnp.arange(r // rb, dtype=jnp.int32))
+            return out[0]
+
+        dt = timed(lambda qq, cc, eps: rerank(qq, packed, cc, eps), q, cand)
+        bytes_l = nq * r * d * 2
+        log(f"refine-packed R={r}: {dt*1e3:.2f} ms "
+            f"({bytes_l/dt/1e9:.0f} GB/s logical-bf16, {nq/dt:.0f} QPS)")
+
+
 # ---------------------------------------------------------------- probe 4
 def probe_topr(nq=1024, n=102400):
     rng = np.random.default_rng(3)
@@ -250,5 +294,7 @@ if __name__ == "__main__":
         probe_decode()
     if which in ("all", "refine"):
         probe_refine()
+    if which in ("all", "refine_packed"):
+        probe_refine_packed()
     if which in ("all", "topr"):
         probe_topr()

@@ -166,3 +166,70 @@ class TestAutoMode:
         assert _auto_scan_mode(1024, 1_000_000, False) == "scan_pallas"
         assert _auto_scan_mode(64, 1_000_000, False) == "scan_exact"
         assert _auto_scan_mode(1024, 1_000_000, True) == "graph"
+
+
+class TestChunkedLargeN:
+    def test_chunked_matches_unchunked(self):
+        rng = np.random.default_rng(13)
+        s, k_tab, sd, n = 8, 16, 4, 1000
+        dim = s * sd
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        codes = np.asarray(adc.pq_encode(jnp.asarray(base), jnp.asarray(cb)))
+        valid = np.ones(n, bool)
+        valid[100:120] = False
+        q = base[:8]
+        args = (jnp.asarray(q), jnp.asarray(codes.T.copy()),
+                adc.codebooks_to_cbt(jnp.asarray(cb)), jnp.asarray(valid),
+                jnp.asarray(base), jnp.arange(n, dtype=jnp.int32), 5)
+        d_full, e_full = adc.adc_fast_search(*args, bucket=4, winners=2)
+        d_chunk, e_chunk = adc.adc_fast_search(*args, bucket=4, winners=2,
+                                               chunk_n=256)
+        # same pool contents modulo bucket boundaries -> same exact top-5
+        # on well-separated data; assert distances match
+        np.testing.assert_allclose(np.asarray(d_chunk)[:, 0],
+                                   np.asarray(d_full)[:, 0], rtol=1e-4)
+        assert (np.asarray(e_chunk)[:, 0] == np.asarray(e_full)[:, 0]).all()
+
+
+class TestApproxPool:
+    def test_approx_mode_matches_bucket_on_easy_data(self):
+        rng = np.random.default_rng(21)
+        s, k_tab, sd, n = 8, 16, 4, 512
+        dim = s * sd
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        codes = np.asarray(adc.pq_encode(jnp.asarray(base), jnp.asarray(cb)))
+        valid = np.ones(n, bool)
+        valid[7] = False
+        q = base[:6]
+        args = (jnp.asarray(q), jnp.asarray(codes.T.copy()),
+                adc.codebooks_to_cbt(jnp.asarray(cb)), jnp.asarray(valid),
+                jnp.asarray(base), jnp.arange(n, dtype=jnp.int32), 3)
+        d_a, e_a = adc.adc_fast_search(*args, bucket=4, winners=2,
+                                       pool_mode="approx")
+        d_b, e_b = adc.adc_fast_search(*args, bucket=4, winners=2,
+                                       pool_mode="bucket")
+        # both pools are ~n/2 wide here; exact refine makes top-1 agree
+        assert (np.asarray(e_a)[:, 0] == np.asarray(e_b)[:, 0]).all()
+        assert 7 not in np.asarray(e_a)  # deleted slot never returned
+
+    def test_cached_code_norms_identical(self):
+        rng = np.random.default_rng(22)
+        s, k_tab, sd, n = 8, 16, 4, 512
+        dim = s * sd
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        codes = np.asarray(adc.pq_encode(jnp.asarray(base), jnp.asarray(cb)))
+        ct = jnp.asarray(codes.T.copy())
+        cbt = adc.codebooks_to_cbt(jnp.asarray(cb))
+        valid = jnp.ones(n, bool)
+        from vector_db_tpu.ops.pallas_kernels import pq_decode_recon_t
+        r32 = pq_decode_recon_t(ct, cbt).astype(jnp.float32)
+        cached = jnp.sum(r32 * r32, axis=0)
+        args = (jnp.asarray(base[:5]), ct, cbt, valid, jnp.asarray(base),
+                jnp.arange(n, dtype=jnp.int32), 4)
+        d1, e1 = adc.adc_fast_search(*args, bucket=8, winners=1)
+        d2, e2 = adc.adc_fast_search(*args, bucket=8, winners=1,
+                                     code_norms=cached)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

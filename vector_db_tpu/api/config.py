@@ -193,6 +193,10 @@ class HnswPqConfig:
     # rows re-ranked exactly; smaller bucket / more winners = higher recall,
     # more refine traffic
     adc_winners: int = 1
+    adc_pool: str = "bucket"  # adc_fast pool selection: "bucket" (fast,
+    # right for structured corpora) | "approx" (ranked top-R via
+    # approx_max_k; slower but keeps the deep-quantized-rank candidates that
+    # isotropic/structureless corpora need — see ops/adc._score_pool_chunk)
 
 
 @dataclasses.dataclass

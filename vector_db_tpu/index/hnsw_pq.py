@@ -259,13 +259,16 @@ class HnswPqIndex(VectorIndex):
         self.codes = self.codes.at[jnp.asarray(slots)].set(new_codes)
         self._fast_cache = None
 
-    def _fast_tables(self) -> tuple[jax.Array, jax.Array]:
-        """codes_t [S, cap] uint8 + cbt [S*sd, K] for adc_fast_search."""
+    def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
+        norms [cap] for adc_fast_search (the C2 norms-cache analog)."""
         if self._fast_cache is None:
-            self._fast_cache = (
-                jnp.transpose(self.codes, (1, 0)),
-                adc.codebooks_to_cbt(self.codebooks),
-            )
+            ct = jnp.transpose(self.codes, (1, 0))
+            cbt = adc.codebooks_to_cbt(self.codebooks)
+            from ..ops.pallas_kernels import pq_decode_recon_t
+
+            r32 = pq_decode_recon_t(ct, cbt).astype(jnp.float32)
+            self._fast_cache = (ct, cbt, jnp.sum(r32 * r32, axis=0))
         return self._fast_cache
 
     # ------------------------------------------------------------- graph ops
@@ -359,12 +362,17 @@ class HnswPqIndex(VectorIndex):
         if mode == "adc_fast":
             # fast memory-bound path: decode-kernel scan + unranked pool +
             # exact refine (scoring reads only codes + codebooks)
-            ct, cbt = self._fast_tables()
+            ct, cbt, cnorms = self._fast_tables()
             bucket = max(2, min(self.config.adc_bucket, st.capacity // 2))
+            # stream in chunks once [Q, N] distances would exceed 512 MB
+            chunk = (131072
+                     if padded.shape[0] * st.capacity * 4 > 512 * 1024 * 1024
+                     else 0)
             dists, ext = adc.adc_fast_search(
                 jnp.asarray(padded), ct, cbt, st.valid, st.vectors, st.ids,
                 k_pad, bucket=bucket, winners=self.config.adc_winners,
-                metric=self.metric,
+                metric=self.metric, chunk_n=chunk,
+                pool_mode=self.config.adc_pool, code_norms=cnorms,
             )
             ext_np = np.asarray(ext)[:q_n, :k_eff]
             out_ids = np.full((q_n, k), -1, np.int32)

@@ -15,6 +15,7 @@ kernel-provider seam, selectable per call; the scan is memory-bound on the
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -154,7 +155,9 @@ def codebooks_to_cbt(codebooks: Array) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bucket", "winners", "metric", "rerank_block")
+    jax.jit,
+    static_argnames=("k", "bucket", "winners", "metric", "rerank_block",
+                     "chunk_n", "pool_mode"),
 )
 def adc_fast_search(
     queries: Array,
@@ -168,6 +171,9 @@ def adc_fast_search(
     winners: int = 1,
     metric: str = "l2",
     rerank_block: int = 512,
+    chunk_n: int = 0,
+    pool_mode: str = "bucket",
+    code_norms: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """The fast codes-only scoring pipeline, ONE device program:
 
@@ -194,44 +200,110 @@ def adc_fast_search(
     Returns (dists [Q, k], external ids [Q, k]) ascending.
     """
     from .distance import blocked_rerank
-    from .pallas_kernels import pq_decode_recon_t
 
     q_n, d = queries.shape
     n = codes_t.shape[1]
-    recon_t = pq_decode_recon_t(codes_t, cbt)                   # [d, N] bf16
     qb = queries.astype(jnp.bfloat16)
-    cross = jax.lax.dot_general(
-        qb, recon_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                           # [Q, N]
-    r32 = recon_t.astype(jnp.float32)
-    code_norms = jnp.sum(r32 * r32, axis=0)                     # [N]
-    dist = code_norms[None, :] - 2.0 * cross  # + ||q||^2 == const per row
-    dist = jnp.where(valid[None, :], dist, jnp.inf)
+    # validity rides in the norms: +inf at dead slots (saves a [Q, N] where)
+    masked_norms = code_norms_from_codes(codes_t, cbt, valid, code_norms)
 
-    # unranked pool: best-`winners`-per-bucket, zero sorting.  Buckets are
-    # STRIDED (slot i joins bucket i % nb), not contiguous: real corpora are
-    # insertion-order correlated (clusters arrive together), and contiguous
-    # buckets would cap a dense true-neighbor run at `winners` survivors
-    # (measured: 31% recall on a cluster-ordered corpus vs 97% strided).
-    n_pad = (-n) % bucket
-    if n_pad:
-        dist = jnp.pad(dist, ((0, 0), (0, n_pad)), constant_values=jnp.inf)
-    nb = (n + n_pad) // bucket
-    d3 = dist.reshape(q_n, bucket, nb)                          # strided sets
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, nb), 1)
-    pools = []
-    for _ in range(winners):
-        arg = jnp.argmin(d3, axis=1).astype(jnp.int32)          # [Q, nb]
-        pools.append(arg * nb + col)
-        if winners > 1:
-            row = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 1)
-            d3 = jnp.where(row == arg[:, None, :], jnp.inf, d3)
-    pool = jnp.concatenate(pools, axis=1)                       # [Q, W]
-    pool = jnp.where(valid[jnp.minimum(pool, n - 1)] & (pool < n), pool, -1)
+    if chunk_n <= 0 or chunk_n >= n:
+        pool = _score_pool_chunk(qb, codes_t, cbt, masked_norms, bucket,
+                                 winners, pool_mode)
+    else:
+        # large-N path: stream the corpus in chunks so peak memory is the
+        # per-chunk [d, chunk] reconstruction + [Q, chunk] distances, never
+        # [Q, N] (the adc_fast analog of the blocked/fused large-N scans)
+        n_pad = (-n) % chunk_n
+        ct = (jnp.pad(codes_t, ((0, 0), (0, n_pad))) if n_pad else codes_t)
+        mn = (jnp.pad(masked_norms, (0, n_pad), constant_values=jnp.inf)
+              if n_pad else masked_norms)
+        n_total = n + n_pad
+        starts = jnp.arange(0, n_total, chunk_n, dtype=jnp.int32)
+
+        def one_chunk(start):
+            ct_blk = jax.lax.dynamic_slice_in_dim(ct, start, chunk_n, axis=1)
+            mn_blk = jax.lax.dynamic_slice_in_dim(mn, start, chunk_n)
+            local = _score_pool_chunk(qb, ct_blk, cbt, mn_blk, bucket,
+                                      winners, pool_mode)
+            return jnp.where(local >= 0, local + start, -1)
+
+        pools = jax.lax.map(one_chunk, starts)                  # [C, Q, w]
+        pool = jnp.moveaxis(pools, 0, 1).reshape(q_n, -1)
+    pool = jnp.where(pool < n, pool, -1)
 
     # exact re-rank (the only stage that reads raw vectors)
     out_d, slots = blocked_rerank(queries, base, pool, k, metric,
                                   rb=rerank_block)
     ext = jnp.where(jnp.isfinite(out_d), ids[jnp.maximum(slots, 0)], -1)
     return out_d, ext
+
+
+def code_norms_from_codes(
+    codes_t: Array, cbt: Array, valid: Array,
+    code_norms: Optional[Array] = None,
+) -> Array:
+    """[N] squared reconstruction norms with +inf at dead slots.  Pass a
+    cached `code_norms` (no inf folding) to skip the decode pass — the index
+    layer caches it per encode generation (the C2 norms-cache analog)."""
+    if code_norms is None:
+        from .pallas_kernels import pq_decode_recon_t
+
+        r32 = pq_decode_recon_t(codes_t, cbt).astype(jnp.float32)
+        code_norms = jnp.sum(r32 * r32, axis=0)
+    return jnp.where(valid, code_norms, jnp.inf)
+
+
+def _score_pool_chunk(
+    qb: Array, codes_t: Array, cbt: Array, masked_norms: Array,
+    bucket: int, winners: int, pool_mode: str = "bucket",
+) -> Array:
+    """Score one corpus (chunk) from its codes and return the UNRANKED
+    candidate pool of local slot indices (-1 padded).
+
+    Decode kernel -> one bf16 matmul -> pool selection:
+
+      * pool_mode="bucket": best `winners` per STRIDED bucket (slot i joins
+        bucket i % nb), one reshape-argmin pass, pool = winners*ceil(n/
+        bucket).  Strided, not contiguous: real corpora are insertion-order
+        correlated (clusters arrive together), and contiguous buckets would
+        cap a dense true-neighbor run at `winners` survivors (measured: 31%
+        recall on a cluster-ordered corpus vs 97% strided).  Any bucketed
+        reduction loses quantized-rank-r candidates at ~exp(-(bucket-1)r/n),
+        so this mode fits corpora where true neighbors have LOW quantized
+        rank (i.e. anything with structure).
+      * pool_mode="approx": jax.lax.approx_max_k with k = winners*ceil(n/
+        bucket) — a RANKED top-R.  ~50-90 ms at R>=2048 on one v5e chip
+        (PartialReduce degenerates toward a sort as k grows) but it keeps
+        deep-rank candidates, which isotropic (structureless) corpora need.
+    """
+    from .pallas_kernels import pq_decode_recon_t
+
+    q_n = qb.shape[0]
+    n = codes_t.shape[1]
+    recon_t = pq_decode_recon_t(codes_t, cbt)                   # [d, n] bf16
+    cross = jax.lax.dot_general(
+        qb, recon_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                           # [Q, n]
+    dist = masked_norms[None, :] - 2.0 * cross  # + ||q||^2 == const per row
+
+    n_pad = (-n) % bucket
+    nb = (n + n_pad) // bucket
+    if pool_mode == "approx":
+        r = min(winners * nb, n)
+        neg, idx = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
+        return jnp.where(jnp.isfinite(-neg), idx.astype(jnp.int32), -1)
+    if n_pad:
+        dist = jnp.pad(dist, ((0, 0), (0, n_pad)), constant_values=jnp.inf)
+    d3 = dist.reshape(q_n, bucket, nb)                          # strided sets
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, nb), 1)
+    pools = []
+    for _ in range(winners):
+        val = jnp.min(d3, axis=1)
+        arg = jnp.argmin(d3, axis=1).astype(jnp.int32)          # [Q, nb]
+        pools.append(jnp.where(jnp.isfinite(val), arg * nb + col, -1))
+        if winners > 1:
+            row = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 1)
+            d3 = jnp.where(row == arg[:, None, :], jnp.inf, d3)
+    return jnp.concatenate(pools, axis=1)                       # [Q, W]
