@@ -76,31 +76,47 @@ def main(which="both"):
 
         t0 = time.time()
         sample = vj[:20000]
+        # variance-balanced dimension permutation (the index default)
+        v = np.asarray(jnp.var(sample, axis=0))
+        perm = jnp.asarray(adc.balanced_subspace_perm(v, 64))
         cb = subspace_kmeans_fit(
-            jax.random.PRNGKey(42), sample, num_subspaces=64, k=256, iters=25
+            jax.random.PRNGKey(42), sample[:, perm], num_subspaces=64, k=256,
+            iters=25,
         )
-        codes = adc.pq_encode(vj, cb)
+        codes = adc.pq_encode(vj[:, perm], cb)
         codes_t = jnp.transpose(codes, (1, 0))
         cbt = adc.codebooks_to_cbt(cb)
         jax.block_until_ready(cbt)
-        log(f"train+encode: {time.time()-t0:.1f}s")
+        log(f"train+encode (balanced perm): {time.time()-t0:.1f}s")
 
         valid = jnp.ones(n, bool)
         ids = jnp.arange(n, dtype=jnp.int32)
+        from vector_db_tpu.ops.pallas_kernels import pq_decode_recon_t
 
-        for bucket, winners in ((128, 1), (64, 1), (32, 1), (32, 2), (16, 2)):
+        r32 = pq_decode_recon_t(codes_t, cbt).astype(jnp.float32)
+        cnorms = jnp.sum(r32 * r32, axis=0)
+
+        configs = CONFIGS or [
+            ("bucket", 512, 1), ("bucket", 256, 1), ("bucket", 128, 1),
+            ("bucket", 64, 1), ("bucket", 32, 1), ("bucket", 32, 2),
+            ("bucket", 16, 2),
+            ("approx", 32, 1), ("approx", 16, 1),
+        ]
+        for pool_mode, bucket, winners in configs:
             pool = winners * n // bucket
 
             def run(q, eps):
                 d, ext = adc.adc_fast_search(
                     q + eps, codes_t, cbt, valid, vj, ids, k,
-                    bucket=bucket, winners=winners,
+                    bucket=bucket, winners=winners, pool_mode=pool_mode,
+                    code_norms=cnorms, perm=perm,
                 )
                 return d[0, 0]
 
             d, ext = adc.adc_fast_search(
                 np.asarray(qj), codes_t, cbt, valid, vj, ids, k,
-                bucket=bucket, winners=winners,
+                bucket=bucket, winners=winners, pool_mode=pool_mode,
+                code_norms=cnorms, perm=perm,
             )
             ext_np = np.asarray(ext)
             recall = float(np.mean(
@@ -108,9 +124,17 @@ def main(which="both"):
                  for i in range(nq)]
             ))
             dt = timed(run, qj)
-            log(f"bucket={bucket} winners={winners} pool={pool}: "
+            log(f"{pool_mode} bucket={bucket} winners={winners} pool={pool}: "
                 f"recall={recall:.4f}  {dt*1e3:.2f} ms  {nq/dt:.0f} QPS")
 
 
+CONFIGS: list = []
+
 if __name__ == "__main__":
-    main(*sys.argv[1:] or ["both"])
+    argv = sys.argv[1:]
+    which = argv[0] if argv else "both"
+    # extra args: mode:bucket:winners triples, e.g. approx:32:1
+    for spec in argv[1:]:
+        m, b, w = spec.split(":")
+        CONFIGS.append((m, int(b), int(w)))
+    main(which)

@@ -233,3 +233,61 @@ class TestApproxPool:
         d2, e2 = adc.adc_fast_search(*args, bucket=8, winners=1,
                                      code_norms=cached)
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+class TestBalancedPerm:
+    def test_perm_is_valid_and_balanced(self):
+        v = (np.arange(64) + 1.0) ** -1.0
+        perm = adc.balanced_subspace_perm(v, 8)
+        assert sorted(perm.tolist()) == list(range(64))
+        loads = v[perm].reshape(8, 8).sum(1)
+        # dim 0 alone carries more variance than the per-subspace average, so
+        # perfect balance is impossible; assert we're near that floor and far
+        # from the consecutive-slice imbalance (20.5x on this spectrum)
+        assert loads.max() / loads.min() < 2.5
+
+    def test_perm_improves_spectral_recall(self):
+        from vector_db_tpu.api.config import PqConfig
+        from vector_db_tpu.index.pq import PqIndex
+        from vector_db_tpu.index.brute import BruteForceIndex
+
+        rng = np.random.default_rng(31)
+        dim, n = 64, 1500
+        scale = (np.arange(dim) + 1.0) ** -0.5
+        base = (rng.normal(size=(n, dim)) * scale).astype(np.float32)
+        q = (rng.normal(size=(24, dim)) * scale).astype(np.float32)
+        brute = BruteForceIndex(dim, 2048)
+        brute.add_batch(range(n), base)
+        gt, _ = brute.search_batch(q, 10)
+
+        recalls = {}
+        for bal in (False, True):
+            idx = PqIndex(dim, 2048, "l2",
+                          PqConfig(num_subspaces=8, balance_dims=bal))
+            idx.add_batch(range(n), base)
+            idx.build()
+            ids, _ = idx.search_batch(q, 10)
+            recalls[bal] = np.mean(
+                [len(set(ids[i]) & set(gt[i])) / 10 for i in range(24)]
+            )
+        assert recalls[True] > recalls[False] + 0.1, recalls
+
+    def test_perm_roundtrips_through_persistence(self):
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        rng = np.random.default_rng(33)
+        dim, n = 32, 600
+        scale = (np.arange(dim) + 1.0) ** -0.5
+        base = (rng.normal(size=(n, dim)) * scale).astype(np.float32)
+        cfg = HnswPqConfig(num_subspaces=8, num_centroids=32,
+                           training_samples=600, search_mode="adc_fast",
+                           adc_bucket=8, adc_winners=2)
+        idx = HnswPqIndex(dim, 1024, "l2", cfg)
+        idx.add_batch(range(n), base)
+        assert idx.perm is not None
+        idx2 = HnswPqIndex(dim, 1024, "l2", cfg)
+        idx2.load_state_arrays(idx.state_arrays())
+        a, _ = idx.search_batch(base[:6], 5)
+        b, _ = idx2.search_batch(base[:6], 5)
+        np.testing.assert_array_equal(a, b)

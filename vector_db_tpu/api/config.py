@@ -197,6 +197,10 @@ class HnswPqConfig:
     # right for structured corpora) | "approx" (ranked top-R via
     # approx_max_k; slower but keeps the deep-quantized-rank candidates that
     # isotropic/structureless corpora need — see ops/adc._score_pool_chunk)
+    balance_dims: bool = True  # variance-balanced dimension permutation
+    # before PQ (ops/adc.balanced_subspace_perm) — equalises per-subspace
+    # variance on decaying-spectrum corpora; no-op cost, big recall win on
+    # real embeddings, exactly neutral on isotropic data
 
 
 @dataclasses.dataclass
@@ -208,6 +212,7 @@ class PqConfig:
     num_centroids: int = 256
     training_iterations: int = 10
     refine_k: int = 0  # 0 -> pure ADC ranking (reference behaviour)
+    balance_dims: bool = True  # see HnswPqConfig.balance_dims
 
 
 @dataclasses.dataclass

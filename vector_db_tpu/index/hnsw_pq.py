@@ -75,7 +75,10 @@ class HnswPqIndex(VectorIndex):
         self._members_dirty = True
         # adc_fast derived state (codes transposed + gather-layout codebooks),
         # rebuilt lazily after any encode/train
-        self._fast_cache: Optional[tuple[jax.Array, jax.Array]] = None
+        self._fast_cache: Optional[tuple] = None
+        # variance-balancing dimension permutation (set at train time when
+        # config.balance_dims; PQ space = vectors[:, perm])
+        self.perm: Optional[jax.Array] = None
 
     # ------------------------------------------------------------- helpers
     def _sample_levels(self, n: int) -> np.ndarray:
@@ -159,6 +162,15 @@ class HnswPqIndex(VectorIndex):
             rng = np.random.default_rng(self.seed)
             sample = rng.choice(sample, cap_samples, replace=False)
         data = st.vectors[jnp.asarray(np.sort(sample))]
+        if self.config.balance_dims:
+            # variance-balanced dimension permutation (see ops/adc.
+            # balanced_subspace_perm): variances computed on device, the
+            # tiny [d] vector is the only transfer
+            v = np.asarray(jnp.var(data, axis=0))
+            self.perm = jnp.asarray(
+                adc.balanced_subspace_perm(v, self.config.num_subspaces)
+            )
+            data = data[:, self.perm]
         self.codebooks = subspace_kmeans_fit(
             jax.random.PRNGKey(self.seed),
             data,
@@ -255,6 +267,8 @@ class HnswPqIndex(VectorIndex):
         if slots.size == 0 or self.codebooks is None:
             return
         vecs = self.store.state.vectors[jnp.asarray(slots)]
+        if self.perm is not None:
+            vecs = vecs[:, self.perm]
         new_codes = adc.pq_encode(vecs, self.codebooks)
         self.codes = self.codes.at[jnp.asarray(slots)].set(new_codes)
         self._fast_cache = None
@@ -373,6 +387,7 @@ class HnswPqIndex(VectorIndex):
                 k_pad, bucket=bucket, winners=self.config.adc_winners,
                 metric=self.metric, chunk_n=chunk,
                 pool_mode=self.config.adc_pool, code_norms=cnorms,
+                perm=self.perm,
             )
             ext_np = np.asarray(ext)[:q_n, :k_eff]
             out_ids = np.full((q_n, k), -1, np.int32)
@@ -383,7 +398,9 @@ class HnswPqIndex(VectorIndex):
         if (mode == "graph" or self.config.use_graph) and int(self.graph.entry) >= 0:
             # graph path: ADC-distance traversal + exact re-rank (reference
             # search shape, HnswPqIndex.java:616-664)
-            tables = adc.build_distance_tables(jnp.asarray(padded), self.codebooks)
+            q_pq = (padded if self.perm is None
+                    else np.asarray(padded)[:, np.asarray(self.perm)])
+            tables = adc.build_distance_tables(jnp.asarray(q_pq), self.codebooks)
             ef = min(max(pow2(self.config.ef_search), refine), st.capacity)
             _, cand = hnsw_pq_search(
                 self.graph, self.codes, tables, st.valid, ef,
@@ -400,7 +417,7 @@ class HnswPqIndex(VectorIndex):
             dists, ext = flagship_search_pruned(
                 jnp.asarray(padded), self.codebooks, self.codes, st.valid,
                 st.vectors, st.ids, self.coarse_centroids, members, overflow,
-                k_pad, refine, nprobe, max_len, self.metric,
+                k_pad, refine, nprobe, max_len, self.metric, self.perm,
             )
         else:
             # exhaustive fused scan
@@ -408,6 +425,7 @@ class HnswPqIndex(VectorIndex):
                 jnp.asarray(padded), self.codebooks, self.codes, st.valid,
                 st.vectors, st.ids, k_pad, refine,
                 self.adc_impl, min(4096, st.capacity), self.metric,
+                self.perm,
             )
         ext_np = np.asarray(ext)[:q_n, :k_eff]
         out_ids = np.full((q_n, k), -1, np.int32)
@@ -472,6 +490,8 @@ class HnswPqIndex(VectorIndex):
         }
         if self.codebooks is not None:
             out["codebooks"] = np.asarray(self.codebooks)
+        if self.perm is not None:
+            out["perm"] = np.asarray(self.perm)
         if self.coarse_centroids is not None:
             out["coarse_centroids"] = np.asarray(self.coarse_centroids)
             out["coarse_assign"] = self.coarse_assign
@@ -486,6 +506,7 @@ class HnswPqIndex(VectorIndex):
         self.codebooks = (
             jnp.asarray(arrays["codebooks"]) if "codebooks" in arrays else None
         )
+        self.perm = jnp.asarray(arrays["perm"]) if "perm" in arrays else None
         g = arrays["graph"]
         self.graph = hg.HnswGraph(
             neighbors=jnp.asarray(g["neighbors"]),
@@ -543,13 +564,15 @@ def exact_scan_search(queries, base, norms, valid, ids, k, metric,
     jax.jit, static_argnames=("k", "refine", "impl", "block_n", "metric")
 )
 def flagship_search(
-    queries, codebooks, codes, valid, base, ids, k, refine, impl, block_n, metric
+    queries, codebooks, codes, valid, base, ids, k, refine, impl, block_n,
+    metric, perm=None,
 ):
     """The whole flagship search as ONE device program: distance tables ->
     exhaustive blocked ADC scan with fused top-R -> exact re-rank -> external
     ids.  One dispatch per query batch (the reference pays a JNI crossing per
     call, VectorDBJNI.cpp:142-159; we pay one jit dispatch for the batch)."""
-    tables = adc.build_distance_tables(queries, codebooks)
+    q_pq = queries if perm is None else queries[:, perm]
+    tables = adc.build_distance_tables(q_pq, codebooks)
     _, cand = adc.adc_scan_topk(tables, codes, valid, refine,
                                 block_n=block_n, impl=impl)
     d, slots = _blocked_rerank(queries, base, cand, k, metric)
@@ -565,14 +588,15 @@ from ..ops.distance import blocked_rerank as _blocked_rerank  # noqa: E402
 )
 def flagship_search_pruned(
     queries, codebooks, codes, valid, base, ids, centroids, members, overflow,
-    k, refine, nprobe, max_len, metric,
+    k, refine, nprobe, max_len, metric, perm=None,
 ):
     """IVF-pruned flagship search, fused: coarse probe selection (one small
     matmul) -> gather probed clusters' codes -> ADC scoring -> top-R ->
     exact re-rank -> external ids.  The ScaNN-style partition/score/re-rank
     pipeline that keeps QPS flat as N grows (the exhaustive scan is O(N))."""
     q_n = queries.shape[0]
-    tables = adc.build_distance_tables(queries, codebooks)
+    q_pq = queries if perm is None else queries[:, perm]
+    tables = adc.build_distance_tables(q_pq, codebooks)
     # probe selection
     cd = (
         jnp.sum(queries * queries, axis=1)[:, None]

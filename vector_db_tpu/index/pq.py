@@ -45,7 +45,14 @@ class PqIndex(VectorIndex):
         self.codes = jnp.zeros((self.store.capacity, sub), jnp.uint8)
         self.trained = False
         self.seed = 42  # fixed seed everywhere (SURVEY.md §4.5)
-        self.adc_impl = "gather"
+        # ADC backend seam (the SIMDDispatcher analog): "decode" = Pallas
+        # decode kernel + MXU matmul (fast path, ~100x the table scans);
+        # "gather"/"onehot" = blocked distance-table scans (oracles)
+        self.adc_impl = "decode"
+        self._fast_cache: Optional[tuple] = None
+        # variance-balancing dimension permutation (train-time,
+        # config.balance_dims; PQ space = vectors[:, perm])
+        self.perm: Optional[jax.Array] = None
 
     # ------------------------------------------------------------- mutation
     def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
@@ -70,6 +77,12 @@ class PqIndex(VectorIndex):
         # compact live rows to the front so k-means sees a dense sample
         live = np.flatnonzero(np.asarray(st.valid))
         data = jnp.asarray(np.asarray(st.vectors)[live])
+        if self.config.balance_dims:
+            v = np.asarray(jnp.var(data, axis=0))
+            self.perm = jnp.asarray(
+                adc.balanced_subspace_perm(v, self.config.num_subspaces)
+            )
+            data = data[:, self.perm]
         self.codebooks = subspace_kmeans_fit(
             jax.random.PRNGKey(self.seed),
             data,
@@ -90,8 +103,21 @@ class PqIndex(VectorIndex):
         if slots.size == 0:
             return
         vecs = self.store.state.vectors[jnp.asarray(slots)]
+        if self.perm is not None:
+            vecs = vecs[:, self.perm]
         new_codes = adc.pq_encode(vecs, self.codebooks)
         self.codes = self.codes.at[jnp.asarray(slots)].set(new_codes)
+        self._fast_cache = None
+
+    def _fast_tables(self):
+        if self._fast_cache is None:
+            ct = jnp.transpose(self.codes, (1, 0))
+            cbt = adc.codebooks_to_cbt(self.codebooks)
+            from ..ops.pallas_kernels import pq_decode_recon_t
+
+            r32 = pq_decode_recon_t(ct, cbt).astype(jnp.float32)
+            self._fast_cache = (ct, cbt, jnp.sum(r32 * r32, axis=0))
+        return self._fast_cache
 
     # --------------------------------------------------------------- search
     def search_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -113,7 +139,6 @@ class PqIndex(VectorIndex):
             )
             return self._to_external(q_n, k, k_eff, slots, dists)
 
-        tables = adc.build_distance_tables(jnp.asarray(padded), self.codebooks)
         refine_k = self.config.refine_k
         if self.metric == "cosine":
             # ADC tables are subspace squared-L2; with refine_k=0 those values
@@ -121,21 +146,33 @@ class PqIndex(VectorIndex):
             # refine so the result currency matches every other index (the
             # L2-ranked ADC shortlist is the candidate generator only).
             refine_k = max(refine_k, 4 * k_eff, 64)
-        if refine_k and refine_k > k_eff:
-            # ADC shortlist then exact re-rank over the raw store
-            r = min(pow2(refine_k), st.capacity)
-            _, cand = adc.adc_scan_topk(
+
+        def adc_topk(r):
+            if self.adc_impl == "decode":
+                ct, cbt, cnorms = self._fast_tables()
+                return adc.adc_decode_topk(
+                    jnp.asarray(padded), ct, cbt, st.valid, r,
+                    code_norms=cnorms, perm=self.perm,
+                )
+            q_pq = (padded if self.perm is None
+                    else np.asarray(padded)[:, np.asarray(self.perm)])
+            tables = adc.build_distance_tables(
+                jnp.asarray(q_pq), self.codebooks
+            )
+            return adc.adc_scan_topk(
                 tables, self.codes, st.valid, r,
                 block_n=min(4096, st.capacity), impl=self.adc_impl,
             )
+
+        if refine_k and refine_k > k_eff:
+            # ADC shortlist then exact re-rank over the raw store
+            r = min(pow2(refine_k), st.capacity)
+            _, cand = adc_topk(r)
             dists, slots = _refine_exact(
                 jnp.asarray(padded), st.vectors, cand, k_pad, self.metric
             )
         else:
-            dists, slots = adc.adc_scan_topk(
-                tables, self.codes, st.valid, k_pad,
-                block_n=min(4096, st.capacity), impl=self.adc_impl,
-            )
+            dists, slots = adc_topk(k_pad)
         return self._to_external(q_n, k, k_eff, slots, dists)
 
     def _to_external(self, q_n, k, k_eff, slots, dists):
@@ -172,15 +209,19 @@ class PqIndex(VectorIndex):
         out["trained"] = np.asarray([self.trained])
         if self.codebooks is not None:
             out["codebooks"] = np.asarray(self.codebooks)
+        if self.perm is not None:
+            out["perm"] = np.asarray(self.perm)
         return out
 
     def load_state_arrays(self, arrays: dict) -> None:
         self.store = VectorStore.from_host(arrays["store"])
         self.codes = jnp.asarray(arrays["codes"])
+        self._fast_cache = None
         self.trained = bool(np.asarray(arrays["trained"])[0])
         self.codebooks = (
             jnp.asarray(arrays["codebooks"]) if "codebooks" in arrays else None
         )
+        self.perm = jnp.asarray(arrays["perm"]) if "perm" in arrays else None
 
 
 import functools

@@ -148,10 +148,48 @@ def adc_distances(tables: Array, codes: Array) -> Array:
 # fast memory-bound mode: decode-kernel scan + unranked pool + exact refine
 # ---------------------------------------------------------------------------
 
+def _scan_dtype():
+    # the CPU backend (tests / interpret mode) lacks BF16xBF16=F32 dots;
+    # TPU uses bf16 inputs with f32 accumulation on the MXU
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
 def codebooks_to_cbt(codebooks: Array) -> Array:
     """[S, K, sd] -> the decode kernel's [S*sd, K] gather layout."""
     s, k, sd = codebooks.shape
     return jnp.transpose(codebooks, (0, 2, 1)).reshape(s * sd, k)
+
+
+def balanced_subspace_perm(variances, num_subspaces: int):
+    """Variance-balanced dimension permutation for PQ subspaces.
+
+    PQ slices consecutive dims into subspaces, which is catastrophic on
+    corpora with decaying spectra (real embeddings): the first subspace gets
+    all the variance, the last gets noise, yet both spend 8 bits.  This
+    assigns dims greedily (descending variance -> least-loaded subspace with
+    free capacity), equalising per-subspace variance.  L2 is permutation-
+    invariant, so quantized distances are unchanged in meaning — only the
+    cells get uniformly tighter.  (The cheap, deterministic cousin of OPQ's
+    learned rotation; measured on a (i+1)^-1 power-law spectrum at 512d:
+    Recall@10 at pool 781 rises 71% -> see BENCH_REPORT.)
+
+    Returns perm [d] int — position j of the permuted vector takes original
+    dim perm[j]; subspace s owns positions [s*sd, (s+1)*sd).
+    """
+    import numpy as np
+
+    v = np.asarray(variances, np.float64)
+    d = v.shape[0]
+    sd = d // num_subspaces
+    order = np.argsort(-v, kind="stable")
+    totals = np.zeros(num_subspaces)
+    members: list[list[int]] = [[] for _ in range(num_subspaces)]
+    for dim in order:
+        open_s = [s for s in range(num_subspaces) if len(members[s]) < sd]
+        s = min(open_s, key=lambda s: (totals[s], s))
+        members[s].append(int(dim))
+        totals[s] += v[dim]
+    return np.concatenate([np.asarray(m, np.int64) for m in members])
 
 
 @functools.partial(
@@ -174,6 +212,7 @@ def adc_fast_search(
     chunk_n: int = 0,
     pool_mode: str = "bucket",
     code_norms: Optional[Array] = None,
+    perm: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """The fast codes-only scoring pipeline, ONE device program:
 
@@ -203,7 +242,11 @@ def adc_fast_search(
 
     q_n, d = queries.shape
     n = codes_t.shape[1]
-    qb = queries.astype(jnp.bfloat16)
+    # the scan runs in PQ space (optionally dimension-permuted, see
+    # balanced_subspace_perm — L2 is permutation-invariant so the refine
+    # below still uses the raw queries/store)
+    q_scan = queries if perm is None else queries[:, perm]
+    qb = q_scan.astype(_scan_dtype())
     # validity rides in the norms: +inf at dead slots (saves a [Q, N] where)
     masked_norms = code_norms_from_codes(codes_t, cbt, valid, code_norms)
 
@@ -237,6 +280,44 @@ def adc_fast_search(
                                   rb=rerank_block)
     ext = jnp.where(jnp.isfinite(out_d), ids[jnp.maximum(slots, 0)], -1)
     return out_d, ext
+
+
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def adc_decode_topk(
+    queries: Array,
+    codes_t: Array,
+    cbt: Array,
+    valid: Array,
+    k: int,
+    code_norms: Optional[Array] = None,
+    recall_target: float = 0.95,
+    perm: Optional[Array] = None,
+) -> tuple[Array, Array]:
+    """Ranked ADC top-k via the decode kernel: decode -> one bf16 matmul ->
+    approx_max_k.  Returns TRUE ADC distance values (|q - recon|^2, with the
+    query norm added back), ascending; -1/inf padded.
+
+    This replaces the gather/one-hot table scans whenever ranked quantized
+    distances are wanted directly (flat PQ search): same distances as
+    `adc_scan_topk` up to bf16 rounding, at MXU speed instead of gather
+    speed (measured ~100x on one v5e chip at 512d x 100k).
+    """
+    masked = code_norms_from_codes(codes_t, cbt, valid, code_norms)
+    from .pallas_kernels import pq_decode_recon_t
+
+    if perm is not None:
+        queries = queries[:, perm]
+    recon_t = pq_decode_recon_t(codes_t, cbt)
+    dt = _scan_dtype()
+    cross = jax.lax.dot_general(
+        queries.astype(dt), recon_t.astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    q_norms = jnp.sum(queries * queries, axis=1)
+    dist = q_norms[:, None] + masked[None, :] - 2.0 * cross
+    neg, idx = jax.lax.approx_max_k(-dist, k, recall_target=recall_target)
+    idx = jnp.where(jnp.isfinite(-neg), idx.astype(jnp.int32), -1)
+    return jnp.maximum(-neg, 0.0), idx
 
 
 def code_norms_from_codes(
@@ -283,7 +364,7 @@ def _score_pool_chunk(
     n = codes_t.shape[1]
     recon_t = pq_decode_recon_t(codes_t, cbt)                   # [d, n] bf16
     cross = jax.lax.dot_general(
-        qb, recon_t, (((1,), (0,)), ((), ())),
+        qb, recon_t.astype(qb.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                           # [Q, n]
     dist = masked_norms[None, :] - 2.0 * cross  # + ||q||^2 == const per row
