@@ -133,22 +133,21 @@ def dp_knn(mesh: Mesh, k: int):
 
 def sharded_flagship(mesh: Mesh, k: int, refine: int):
     """Corpus-sharded HNSW+PQ scan path: codes and raw vectors sharded;
-    per-chip ADC top-R + local exact re-rank, then one all_gather + merge.
+    per-chip ADC top-R (decode kernel + MXU) + local blocked exact re-rank,
+    then one all_gather + merge.
 
     Returned fn: (q, codebooks, codes [N,S], valid [N], base [N,d],
-    ids [N]) -> (dists [Q,k], external ids [Q,k]).
+    ids [N], perm [d]) -> (dists [Q,k], external ids [Q,k]).
     """
 
-    def local(q, codebooks, codes_s, valid_s, base_s, ids_s):
+    def local(q, codebooks, codes_s, valid_s, base_s, ids_s, perm):
         from ..ops import adc
         from ..ops.distance import blocked_rerank
 
-        tables = adc.build_distance_tables(q, codebooks)
         r = min(refine, codes_s.shape[0])
-        _, cand = adc.adc_scan_topk(
-            tables, codes_s, valid_s, r,
-            block_n=min(4096, codes_s.shape[0]), impl="gather",
-        )
+        ct = jnp.transpose(codes_s, (1, 0))
+        cbt = adc.codebooks_to_cbt(codebooks)
+        _, cand = adc.adc_decode_topk(q, ct, cbt, valid_s, r, perm=perm)
         # blocked exact re-rank: same OOM-safety as the single-chip path
         # (a naive [Q, R, d] gather is 16 GB at R=8192, Q=1024, d=512)
         negd, loc = blocked_rerank(q, base_s, cand, min(k, r),
@@ -170,7 +169,8 @@ def sharded_flagship(mesh: Mesh, k: int, refine: int):
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS)),
+            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS),
+                      P()),
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated by the all_gather+merge
         )
@@ -239,9 +239,10 @@ def sharded_subspace_kmeans(mesh: Mesh, num_subspaces: int, iters: int):
     w_s [N] sharded validity weights) -> codebooks [S,K,sd] replicated.
     """
 
-    def fit(data_s, init_cb, w_s):
+    def fit(data_s, init_cb, w_s, perm):
         n_s, d = data_s.shape
         s, kc, sd = init_cb.shape
+        data_s = data_s[:, perm]
         sub = data_s.reshape(n_s, s, sd).transpose(1, 0, 2)      # [S, n, sd]
         sub_n = jnp.sum(sub * sub, axis=2)                       # [S, n]
 
@@ -270,7 +271,7 @@ def sharded_subspace_kmeans(mesh: Mesh, num_subspaces: int, iters: int):
         jax.shard_map(
             fit,
             mesh=mesh,
-            in_specs=(P(AXIS, None), P(), P(AXIS)),
+            in_specs=(P(AXIS, None), P(), P(AXIS), P()),
             out_specs=P(),
             check_vma=False,  # psum makes the output replicated
         )
@@ -285,9 +286,9 @@ def sharded_encode(mesh: Mesh):
 
     return jax.jit(
         jax.shard_map(
-            lambda v_s, cb: adc.pq_encode(v_s, cb),
+            lambda v_s, cb, perm: adc.pq_encode(v_s[:, perm], cb),
             mesh=mesh,
-            in_specs=(P(AXIS, None), P()),
+            in_specs=(P(AXIS, None), P(), P()),
             out_specs=P(AXIS, None),
         )
     )
@@ -337,6 +338,7 @@ class ShardedDatabase:
         self._dirty: set[int] = set(range(self.n_shards))
         self._dev_pieces: dict[str, list] = {}
         self.codebooks = None
+        self.perm = None  # variance-balanced PQ dim permutation (train_pq)
         self._knn_cache: dict = {}
         if codebooks is not None:
             self.num_subspaces = int(np.asarray(codebooks).shape[0])
@@ -409,8 +411,16 @@ class ShardedDatabase:
         if live.size < num_centroids:
             raise ValueError("not enough live vectors to train")
         rng = np.random.default_rng(seed)
+        from ..ops.adc import balanced_subspace_perm
+
+        perm_np = balanced_subspace_perm(
+            self._h_vec[live].var(axis=0), s
+        )
+        self.perm = jnp.asarray(perm_np)
         pick = rng.choice(live, size=num_centroids, replace=False)
-        init = self._h_vec[np.sort(pick)].reshape(num_centroids, s, sd)
+        init = self._h_vec[np.sort(pick)][:, perm_np].reshape(
+            num_centroids, s, sd
+        )
         init_cb = jnp.asarray(init.transpose(1, 0, 2))          # [S, K, sd]
         self._refresh()
         fit = self._knn_cache.get(("fit", s, iters))
@@ -418,7 +428,8 @@ class ShardedDatabase:
             fit = sharded_subspace_kmeans(self.mesh, s, iters)
             self._knn_cache[("fit", s, iters)] = fit
         w = self.valid.astype(jnp.float32)
-        cb = fit(self.vectors, init_cb, w)
+        (perm_rep,) = replicate(self.mesh, self.perm)
+        cb = fit(self.vectors, init_cb, w, perm_rep)
         (self.codebooks,) = replicate(self.mesh, cb)
         self._encode_all()
 
@@ -428,7 +439,8 @@ class ShardedDatabase:
             enc = sharded_encode(self.mesh)
             self._knn_cache["encode"] = enc
         self._refresh()
-        codes = enc(self.vectors, self.codebooks)
+        (perm_rep,) = replicate(self.mesh, self.perm)
+        codes = enc(self.vectors, self.codebooks, perm_rep)
         self._h_codes = np.array(codes)  # writable host mirror
         self._dev_pieces.pop("codes", None)
         self._put_field("codes")
@@ -440,12 +452,14 @@ class ShardedDatabase:
         from ..ops import adc
 
         cb_host = jax.device_get(self.codebooks)
+        perm_np = (np.arange(self.dim) if self.perm is None
+                   else np.asarray(self.perm))
         for shard in sorted(self._dirty):
             lo, hi = shard * self.per_shard, (shard + 1) * self.per_shard
             rows = self._h_valid[lo:hi]
             if rows.any():
                 enc = adc.pq_encode(
-                    jnp.asarray(self._h_vec[lo:hi][rows]),
+                    jnp.asarray(self._h_vec[lo:hi][rows][:, perm_np]),
                     jnp.asarray(cb_host),
                 )
                 self._h_codes[lo:hi][rows] = np.asarray(enc)
@@ -508,6 +522,9 @@ class ShardedDatabase:
         if fn is None:
             fn = sharded_flagship(self.mesh, k, refine)
             self._knn_cache[("flag", k, refine)] = fn
+        perm = (self.perm if self.perm is not None
+                else jnp.arange(self.dim, dtype=jnp.int64))
+        (perm_rep,) = replicate(self.mesh, perm)
         d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
-                    self.codes, self.valid, self.vectors, self.ids)
+                    self.codes, self.valid, self.vectors, self.ids, perm_rep)
         return np.asarray(ext), np.asarray(d)
