@@ -523,7 +523,7 @@ class ShardedDatabase:
             fn = sharded_flagship(self.mesh, k, refine)
             self._knn_cache[("flag", k, refine)] = fn
         perm = (self.perm if self.perm is not None
-                else jnp.arange(self.dim, dtype=jnp.int64))
+                else jnp.arange(self.dim, dtype=jnp.int32))
         (perm_rep,) = replicate(self.mesh, perm)
         d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
                     self.codes, self.valid, self.vectors, self.ids, perm_rep)
