@@ -47,12 +47,27 @@ def main():
         ("recommended (dim/8, 32x)", CompressionConfig.recommended_config(dim), IndexType.HNSWPQ),
         ("high recall (dim/4, 16x)", CompressionConfig.high_recall_config(dim), IndexType.HNSWPQ),
         ("high compression (dim/16, 64x)", CompressionConfig.high_compression_config(dim), IndexType.HNSWPQ),
+        # memory-bound scoring: candidate generation reads ONLY the 32x codes
+        # + codebooks (Pallas decode kernel + MXU scan); raw vectors are
+        # touched just for the exact top-pool refine
+        ("memory-bound (adc_fast, 32x)", CompressionConfig.recommended_config(dim), "adc_fast"),
     ]
 
     print(f"\n{'preset':32s} {'ratio':>6s} {'build s':>8s} {'ms/q':>7s} {'Recall@10':>10s}")
     print("-" * 70)
     for name, comp, itype in presets:
-        db = build_db(dim, n, comp, itype)
+        if itype == "adc_fast":
+            from vector_db_tpu.api.config import HnswPqConfig
+
+            sub = max(1, dim // 8)
+            cfg = HnswPqConfig(num_subspaces=sub, search_mode="adc_fast",
+                               adc_bucket=16, adc_winners=2)
+            b = (VectorDatabase.builder().with_dimension(dim)
+                 .with_max_elements(n).with_index_type(IndexType.HNSWPQ)
+                 .with_compression(comp).with_index_config(cfg))
+            db = b.build()
+        else:
+            db = build_db(dim, n, comp, itype)
         t0 = time.time()
         db.add_batch(range(n), vecs)
         db.rebuild_index()
