@@ -362,6 +362,15 @@ def _score_pool_chunk(
 
     q_n = qb.shape[0]
     n = codes_t.shape[1]
+    if pool_mode == "fused":
+        # one-kernel path: decode + matmul + bucket-min fused in VMEM (the
+        # [Q, n] distances and [d, n] reconstruction never touch HBM)
+        from .pallas_kernels import fused_adc_pool
+
+        nb_f = -(-n // bucket)
+        _, idx = fused_adc_pool(qb.astype(jnp.float32), codes_t, cbt,
+                                masked_norms, winners * nb_f)
+        return idx
     recon_t = pq_decode_recon_t(codes_t, cbt)                   # [d, n] bf16
     cross = jax.lax.dot_general(
         qb, recon_t.astype(qb.dtype), (((1,), (0,)), ((), ())),

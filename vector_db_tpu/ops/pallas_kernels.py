@@ -211,6 +211,167 @@ def pq_decode_recon_t(
     return out[:, :n]
 
 
+def _make_adc_pool_kernel(s: int, sd: int, k_tab: int, block_n: int,
+                          passes: int, nb_w: int):
+    """Fused ADC scan + pool kernel body: decode a code block in VMEM
+    (dynamic_gather, as in `pq_decode_recon_t`), matmul against the resident
+    query tile (MXU), and min-accumulate bucket winners — the quantized
+    distances never touch HBM.
+
+    Grid (q_tiles, jmod, jdiv), jdiv innermost: output window (i, jmod)
+    stays VMEM-resident across the jdiv sweep (the accumulator pattern);
+    the code block visited at (jmod, jdiv) is jdiv*nb_w + jmod, so bucket
+    (jmod*block_n + lane) collects slots spaced W = nb_w*block_n apart —
+    strided buckets, which decorrelates insertion order (see
+    ops/adc._score_pool_chunk).
+    """
+    lanes = LANES
+    chunks = block_n // lanes
+    d = s * sd
+
+    def kernel(q_ref, codes_ref, cbt_ref, norms_ref, val_ref, idx_ref,
+               recon_ref):
+        jm = pl.program_id(1)
+        jd = pl.program_id(2)
+
+        # ---- decode the code block into VMEM scratch (bf16) ----
+        lo = cbt_ref[:, 0:lanes]
+        if k_tab > lanes:
+            hi = cbt_ref[:, lanes:2 * lanes]
+        for c in range(chunks):
+            cc = codes_ref[:, c * lanes:(c + 1) * lanes]
+            idx2 = jnp.broadcast_to(
+                cc.reshape(s, 1, lanes), (s, sd, lanes)
+            ).reshape(d, lanes)
+            if k_tab > lanes:
+                g_lo = jnp.take_along_axis(lo, jnp.minimum(idx2, lanes - 1),
+                                           axis=1)
+                g_hi = jnp.take_along_axis(hi, jnp.maximum(idx2 - lanes, 0),
+                                           axis=1)
+                g = jnp.where(idx2 < lanes, g_lo, g_hi)
+            else:
+                g = jnp.take_along_axis(lo, idx2, axis=1)
+            recon_ref[:, c * lanes:(c + 1) * lanes] = g.astype(jnp.bfloat16)
+
+        # ---- score on the MXU ----
+        cross = jax.lax.dot_general(
+            q_ref[:, :], recon_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [QT, BN]
+        dist = norms_ref[0, :][None, :] - 2.0 * cross
+
+        # ---- min-accumulate bucket winners ----
+        qt = q_ref.shape[0]
+        block_i = jd * nb_w + jm
+        slot = (
+            block_i * block_n
+            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
+        )
+
+        @pl.when(jd == 0)
+        def _():
+            val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
+            idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
+
+        better = dist < val_ref[:, :]
+        val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
+        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "block_n", "q_tile", "interpret")
+)
+def fused_adc_pool(
+    q: Array,
+    codes_t: Array,
+    cbt: Array,
+    masked_norms: Array,
+    w: int,
+    block_n: int = 512,
+    q_tile: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Fused decode + ADC scan + strided-bucket pool, one kernel.
+
+    q [Q, d] (any float); codes_t [S, N] ints; cbt [S*sd, K<=256] f32;
+    masked_norms [N] f32 (+inf at dead slots).  Returns UNRANKED pool
+    (vals [Q, w] quantized distances sans ||q||^2, idx [Q, w] slots, -1 where
+    empty).  Peak HBM traffic: codes once + outputs — the [Q, N] distance
+    matrix and [d, N] reconstruction stay in VMEM tiles.
+
+    w is rounded up to a multiple of block_n; N is padded to a multiple of w.
+    NOTE: the decode is redone per query tile — keep q_tile >= Q (default
+    1024) so each code block decodes once; shrink block_n instead if VMEM
+    runs out (accumulators are 8*q_tile*block_n bytes + scratch).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    s, n = codes_t.shape
+    d_aug, k_tab = cbt.shape
+    sd = d_aug // s
+    qn, d = q.shape
+    assert d == d_aug, (d, d_aug)
+    if k_tab > 2 * LANES:
+        raise ValueError(f"K={k_tab} > 256 unsupported")
+    if k_tab not in (LANES, 2 * LANES):
+        cbt = jnp.pad(cbt, ((0, 0), (0, LANES - k_tab)))
+        k_tab = LANES
+    block_n = min(block_n, max(LANES, w))
+    w = -(-w // block_n) * block_n
+    nb_w = w // block_n
+    n_pad = (-n) % w
+    if n_pad:
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, n_pad)))
+        masked_norms = jnp.pad(masked_norms, (0, n_pad),
+                               constant_values=jnp.inf)
+    n_total = n + n_pad
+    passes = n_total // w
+    q_pad = (-qn) % q_tile
+    qb = q.astype(jnp.bfloat16)
+    if q_pad:
+        qb = jnp.pad(qb, ((0, q_pad), (0, 0)))
+    qp = qb.shape[0]
+    norms2d = masked_norms[None, :]
+
+    vals, idxs = pl.pallas_call(
+        _make_adc_pool_kernel(s, sd, k_tab, block_n, passes, nb_w),
+        grid=(qp // q_tile, nb_w, passes),
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, jm, jd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_aug, k_tab), lambda i, jm, jd: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, w), jnp.float32),
+            jax.ShapeDtypeStruct((qp, w), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((d_aug, block_n), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n_total * d_aug,
+            bytes_accessed=(n_total * (s * 4 + 4)
+                            + (qp // q_tile) * n_total * 0
+                            + 2 * qp * w * 4 + qp * d_aug * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qb, codes_t.astype(jnp.int32), cbt, norms2d)
+    idxs = jnp.where(jnp.isfinite(vals) & (idxs < n), idxs, -1)
+    return vals[:qn], idxs[:qn]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_n", "interpret", "winners")
 )
