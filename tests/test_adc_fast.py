@@ -350,3 +350,45 @@ class TestFusedPoolMode:
         # pools differ only in bucket stride; exact refine makes top-1 agree
         assert (np.asarray(e_f)[:, 0] == np.asarray(e_b)[:, 0]).all()
         assert 9 not in np.asarray(e_f)
+
+
+class TestPackedRefine:
+    def test_packed_matches_f32_neighbors(self):
+        rng = np.random.default_rng(61)
+        s, k_tab, sd, n = 8, 16, 4, 800
+        dim = s * sd
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        codes = np.asarray(adc.pq_encode(jnp.asarray(base), jnp.asarray(cb)))
+        valid = jnp.ones(n, bool)
+        q = base[:8]
+        from vector_db_tpu.ops.distance import pack_bf16_rows
+        packed = pack_bf16_rows(jnp.asarray(base))
+        args = (jnp.asarray(q), jnp.asarray(codes.T.copy()),
+                adc.codebooks_to_cbt(jnp.asarray(cb)), valid,
+                jnp.asarray(base), jnp.arange(n, dtype=jnp.int32), 5)
+        d32, e32 = adc.adc_fast_search(*args, bucket=4, winners=2)
+        d16, e16 = adc.adc_fast_search(*args, bucket=4, winners=2,
+                                       packed_base=packed)
+        assert (np.asarray(e16)[:, 0] == np.asarray(e32)[:, 0]).all()
+        np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
+                                   rtol=2e-2, atol=0.5)
+
+    def test_index_bf16_refine_store(self):
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        rng = np.random.default_rng(62)
+        dim, n = 32, 600
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        cfg = HnswPqConfig(num_subspaces=8, num_centroids=32,
+                           training_samples=600, search_mode="adc_fast",
+                           adc_bucket=8, adc_winners=2, refine_store="bf16")
+        idx = HnswPqIndex(dim, 1024, "l2", cfg)
+        idx.add_batch(range(n), base)
+        ids, _ = idx.search_batch(base[:8], 3)
+        assert (ids[:, 0] == np.arange(8)).all()
+        # mutation invalidates the shadow
+        idx.add_batch([900], base[:1] * 0.5)
+        ids, _ = idx.search_batch(base[:1] * 0.5, 1)
+        assert ids[0, 0] == 900

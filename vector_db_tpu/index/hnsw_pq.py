@@ -79,6 +79,9 @@ class HnswPqIndex(VectorIndex):
         # variance-balancing dimension permutation (set at train time when
         # config.balance_dims; PQ space = vectors[:, perm])
         self.perm: Optional[jax.Array] = None
+        # bf16-packed refine shadow (config.refine_store="bf16"), keyed on
+        # the store's immutable vectors array
+        self._packed_cache: Optional[tuple] = None
 
     # ------------------------------------------------------------- helpers
     def _sample_levels(self, n: int) -> np.ndarray:
@@ -382,12 +385,22 @@ class HnswPqIndex(VectorIndex):
             chunk = (131072
                      if padded.shape[0] * st.capacity * 4 > 512 * 1024 * 1024
                      else 0)
+            packed = None
+            if self.config.refine_store == "bf16":
+                if (self._packed_cache is None
+                        or self._packed_cache[0] is not st.vectors):
+                    from ..ops.distance import pack_bf16_rows
+
+                    self._packed_cache = (
+                        st.vectors, pack_bf16_rows(st.vectors)
+                    )
+                packed = self._packed_cache[1]
             dists, ext = adc.adc_fast_search(
                 jnp.asarray(padded), ct, cbt, st.valid, st.vectors, st.ids,
                 k_pad, bucket=bucket, winners=self.config.adc_winners,
                 metric=self.metric, chunk_n=chunk,
                 pool_mode=self.config.adc_pool, code_norms=cnorms,
-                perm=self.perm,
+                perm=self.perm, packed_base=packed,
             )
             ext_np = np.asarray(ext)[:q_n, :k_eff]
             out_ids = np.full((q_n, k), -1, np.int32)

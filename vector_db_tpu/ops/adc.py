@@ -213,6 +213,7 @@ def adc_fast_search(
     pool_mode: str = "bucket",
     code_norms: Optional[Array] = None,
     perm: Optional[Array] = None,
+    packed_base: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """The fast codes-only scoring pipeline, ONE device program:
 
@@ -275,9 +276,17 @@ def adc_fast_search(
         pool = jnp.moveaxis(pools, 0, 1).reshape(q_n, -1)
     pool = jnp.where(pool < n, pool, -1)
 
-    # exact re-rank (the only stage that reads raw vectors)
-    out_d, slots = blocked_rerank(queries, base, pool, k, metric,
-                                  rb=rerank_block)
+    # exact re-rank (the only stage that reads raw vectors); with a
+    # bf16-packed refine store the gather moves half the bytes (see
+    # ops/distance.pack_bf16_rows)
+    if packed_base is not None:
+        from .distance import blocked_rerank_packed
+
+        out_d, slots = blocked_rerank_packed(queries, packed_base, pool, k,
+                                             metric, rb=rerank_block)
+    else:
+        out_d, slots = blocked_rerank(queries, base, pool, k, metric,
+                                      rb=rerank_block)
     ext = jnp.where(jnp.isfinite(out_d), ids[jnp.maximum(slots, 0)], -1)
     return out_d, ext
 

@@ -299,6 +299,70 @@ def blocked_rerank(
     return d, slots
 
 
+def pack_bf16_rows(base: Array) -> Array:
+    """[N, d] f32 -> [N, d/2] f32-TYPED array holding bf16 pairs.
+
+    bf16-typed gathers are SLOWER than f32 on this chip (measured 45 vs
+    110 GB/s), so the bf16 refine store is bit-packed into f32 words: the
+    gather moves half the bytes at full f32 efficiency and the block
+    bitcasts back to bf16 for the distance math.
+    """
+    n, d = base.shape
+    b16 = base.astype(jnp.bfloat16)
+    return jax.lax.bitcast_convert_type(b16.reshape(n, d // 2, 2),
+                                        jnp.float32)
+
+
+def blocked_rerank_packed(
+    q: Array,
+    packed: Array,
+    cand: Array,
+    k: int,
+    metric: str = METRIC_L2,
+    rb: int = 512,
+) -> tuple[Array, Array]:
+    """`blocked_rerank` against a bf16-packed refine store (see
+    pack_bf16_rows).  Distance error vs f32 rows is ~0.03% — far below
+    neighbor-gap scale — while refine traffic halves."""
+    q_n, r = cand.shape
+    d = packed.shape[1] * 2
+    r_pad = (-r) % rb
+    if r_pad:
+        cand = jnp.pad(cand, ((0, 0), (0, r_pad)), constant_values=-1)
+    n_blocks = (r + r_pad) // rb
+    q_norms = jnp.sum(q * q, axis=1)
+    dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    qc = q.astype(dt)
+
+    def body(carry, blk):
+        top_d, top_i = carry
+        cnd = jax.lax.dynamic_slice_in_dim(cand, blk * rb, rb, axis=1)
+        safe = jnp.maximum(cnd, 0)
+        vp = packed[safe]                                  # [Q, rb, d/2] f32
+        v16 = jax.lax.bitcast_convert_type(vp, jnp.bfloat16).reshape(
+            q_n, rb, d
+        )
+        dots = jnp.einsum("qd,qrd->qr", qc, v16.astype(dt),
+                          preferred_element_type=jnp.float32)
+        v32 = v16.astype(jnp.float32)
+        vn = jnp.sum(v32 * v32, axis=2)
+        if metric == METRIC_L2:
+            dd = jnp.maximum(q_norms[:, None] + vn - 2.0 * dots, 0.0)
+        else:
+            qn_ = jnp.sqrt(jnp.maximum(q_norms, 1e-12))[:, None]
+            dd = 1.0 - dots / jnp.maximum(qn_ * jnp.sqrt(vn), 1e-12)
+        dd = jnp.where(cnd >= 0, dd, jnp.inf)
+        cat_d = jnp.concatenate([top_d, dd], axis=1)
+        cat_i = jnp.concatenate([top_i, cnd], axis=1)
+        neg, arg = jax.lax.top_k(-cat_d, k)
+        return ((-neg), jnp.take_along_axis(cat_i, arg, 1)), None
+
+    init = (jnp.full((q_n, k), jnp.inf), jnp.full((q_n, k), -1, jnp.int32))
+    (dd, slots), _ = jax.lax.scan(body, init,
+                                  jnp.arange(n_blocks, dtype=jnp.int32))
+    return dd, slots
+
+
 def knn_full(
     q: Array,
     base: Array,
