@@ -102,21 +102,26 @@ def main(which="both"):
             ("bucket", 16, 2),
             ("approx", 32, 1), ("approx", 16, 1),
         ]
-        for pool_mode, bucket, winners in configs:
+        from vector_db_tpu.ops.distance import pack_bf16_rows
+
+        packed_store = pack_bf16_rows(vj)
+        for spec in configs:
+            pool_mode, bucket, winners = spec[:3]
+            packed = packed_store if "packed" in spec[3:] else None
             pool = winners * n // bucket
 
             def run(q, eps):
                 d, ext = adc.adc_fast_search(
                     q + eps, codes_t, cbt, valid, vj, ids, k,
                     bucket=bucket, winners=winners, pool_mode=pool_mode,
-                    code_norms=cnorms, perm=perm,
+                    code_norms=cnorms, perm=perm, packed_base=packed,
                 )
                 return d[0, 0]
 
             d, ext = adc.adc_fast_search(
                 np.asarray(qj), codes_t, cbt, valid, vj, ids, k,
                 bucket=bucket, winners=winners, pool_mode=pool_mode,
-                code_norms=cnorms, perm=perm,
+                code_norms=cnorms, perm=perm, packed_base=packed,
             )
             ext_np = np.asarray(ext)
             recall = float(np.mean(
@@ -124,8 +129,10 @@ def main(which="both"):
                  for i in range(nq)]
             ))
             dt = timed(run, qj)
-            log(f"{pool_mode} bucket={bucket} winners={winners} pool={pool}: "
-                f"recall={recall:.4f}  {dt*1e3:.2f} ms  {nq/dt:.0f} QPS")
+            tag = "+packed" if packed is not None else ""
+            log(f"{pool_mode}{tag} bucket={bucket} winners={winners} "
+                f"pool={pool}: recall={recall:.4f}  {dt*1e3:.2f} ms  "
+                f"{nq/dt:.0f} QPS")
 
 
 CONFIGS: list = []
@@ -133,8 +140,8 @@ CONFIGS: list = []
 if __name__ == "__main__":
     argv = sys.argv[1:]
     which = argv[0] if argv else "both"
-    # extra args: mode:bucket:winners triples, e.g. approx:32:1
+    # extra args: mode:bucket:winners[:packed], e.g. fused:256:1:packed
     for spec in argv[1:]:
-        m, b, w = spec.split(":")
-        CONFIGS.append((m, int(b), int(w)))
+        parts = spec.split(":")
+        CONFIGS.append((parts[0], int(parts[1]), int(parts[2]), *parts[3:]))
     main(which)
