@@ -108,6 +108,10 @@ def main(which="both"):
         for spec in configs:
             pool_mode, bucket, winners = spec[:3]
             packed = packed_store if "packed" in spec[3:] else None
+            sel = 0
+            for extra in spec[3:]:
+                if str(extra).startswith("sel"):
+                    sel = int(str(extra)[3:])
             pool = winners * n // bucket
 
             def run(q, eps):
@@ -115,6 +119,7 @@ def main(which="both"):
                     q + eps, codes_t, cbt, valid, vj, ids, k,
                     bucket=bucket, winners=winners, pool_mode=pool_mode,
                     code_norms=cnorms, perm=perm, packed_base=packed,
+                    select_r=sel,
                 )
                 return d[0, 0]
 
@@ -122,6 +127,7 @@ def main(which="both"):
                 np.asarray(qj), codes_t, cbt, valid, vj, ids, k,
                 bucket=bucket, winners=winners, pool_mode=pool_mode,
                 code_norms=cnorms, perm=perm, packed_base=packed,
+                select_r=sel,
             )
             ext_np = np.asarray(ext)
             recall = float(np.mean(
@@ -130,6 +136,8 @@ def main(which="both"):
             ))
             dt = timed(run, qj)
             tag = "+packed" if packed is not None else ""
+            if sel:
+                tag += f"+sel{sel}"
             log(f"{pool_mode}{tag} bucket={bucket} winners={winners} "
                 f"pool={pool}: recall={recall:.4f}  {dt*1e3:.2f} ms  "
                 f"{nq/dt:.0f} QPS")

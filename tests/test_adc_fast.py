@@ -392,3 +392,41 @@ class TestPackedRefine:
         idx.add_batch([900], base[:1] * 0.5)
         ids, _ = idx.search_batch(base[:1] * 0.5, 1)
         assert ids[0, 0] == 900
+
+
+class TestSelectNarrowing:
+    def test_select_r_preserves_top_results(self):
+        rng = np.random.default_rng(71)
+        s, k_tab, sd, n = 8, 16, 4, 1024
+        dim = s * sd
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        codes = np.asarray(adc.pq_encode(jnp.asarray(base), jnp.asarray(cb)))
+        q = base[:6]
+        args = (jnp.asarray(q), jnp.asarray(codes.T.copy()),
+                adc.codebooks_to_cbt(jnp.asarray(cb)), jnp.ones(n, bool),
+                jnp.asarray(base), jnp.arange(n, dtype=jnp.int32), 3)
+        d_w, e_w = adc.adc_fast_search(*args, bucket=2, winners=1)
+        d_n, e_n = adc.adc_fast_search(*args, bucket=2, winners=1,
+                                       select_r=128)
+        # self-retrieval survives the narrowing
+        assert (np.asarray(e_n)[:, 0] == np.arange(6)).all()
+        assert (np.asarray(e_w)[:, 0] == np.arange(6)).all()
+
+    def test_select_r_with_fused_and_chunks(self):
+        rng = np.random.default_rng(72)
+        s, k_tab, sd, n = 4, 16, 4, 1024
+        dim = s * sd
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        codes = np.asarray(adc.pq_encode(jnp.asarray(base), jnp.asarray(cb)))
+        q = base[:4]
+        args = (jnp.asarray(q), jnp.asarray(codes.T.copy()),
+                adc.codebooks_to_cbt(jnp.asarray(cb)), jnp.ones(n, bool),
+                jnp.asarray(base), jnp.arange(n, dtype=jnp.int32), 3)
+        d1, e1 = adc.adc_fast_search(*args, bucket=4, winners=1,
+                                     pool_mode="fused", select_r=64)
+        assert (np.asarray(e1)[:, 0] == np.arange(4)).all()
+        d2, e2 = adc.adc_fast_search(*args, bucket=4, winners=1,
+                                     chunk_n=256, select_r=64)
+        assert (np.asarray(e2)[:, 0] == np.arange(4)).all()

@@ -204,6 +204,10 @@ class HnswPqConfig:
     refine_store: str = "f32"  # adc_fast refine source: "f32" reads the raw
     # store; "bf16" keeps a bit-packed bf16 shadow (ops/distance.
     # pack_bf16_rows) — half the refine traffic, ~0.03% distance error
+    adc_select_r: int = 0  # > 0 -> narrow the (wide, cheap) pool to a ranked
+    # top-R with one tiny approx_max_k over pool VALUES before the refine
+    # gathers — the hybrid that beats both pure bucket pools (selection loss)
+    # and full-distance ranked selection (20-90 ms)
 
 
 @dataclasses.dataclass

@@ -401,6 +401,7 @@ class HnswPqIndex(VectorIndex):
                 metric=self.metric, chunk_n=chunk,
                 pool_mode=self.config.adc_pool, code_norms=cnorms,
                 perm=self.perm, packed_base=packed,
+                select_r=self.config.adc_select_r,
             )
             ext_np = np.asarray(ext)[:q_n, :k_eff]
             out_ids = np.full((q_n, k), -1, np.int32)

@@ -195,7 +195,7 @@ def balanced_subspace_perm(variances, num_subspaces: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "bucket", "winners", "metric", "rerank_block",
-                     "chunk_n", "pool_mode"),
+                     "chunk_n", "pool_mode", "select_r"),
 )
 def adc_fast_search(
     queries: Array,
@@ -214,6 +214,7 @@ def adc_fast_search(
     code_norms: Optional[Array] = None,
     perm: Optional[Array] = None,
     packed_base: Optional[Array] = None,
+    select_r: int = 0,
 ) -> tuple[Array, Array]:
     """The fast codes-only scoring pipeline, ONE device program:
 
@@ -252,8 +253,8 @@ def adc_fast_search(
     masked_norms = code_norms_from_codes(codes_t, cbt, valid, code_norms)
 
     if chunk_n <= 0 or chunk_n >= n:
-        pool = _score_pool_chunk(qb, codes_t, cbt, masked_norms, bucket,
-                                 winners, pool_mode)
+        pool_vals, pool = _score_pool_chunk(qb, codes_t, cbt, masked_norms,
+                                            bucket, winners, pool_mode)
     else:
         # large-N path: stream the corpus in chunks so peak memory is the
         # per-chunk [d, chunk] reconstruction + [Q, chunk] distances, never
@@ -268,13 +269,22 @@ def adc_fast_search(
         def one_chunk(start):
             ct_blk = jax.lax.dynamic_slice_in_dim(ct, start, chunk_n, axis=1)
             mn_blk = jax.lax.dynamic_slice_in_dim(mn, start, chunk_n)
-            local = _score_pool_chunk(qb, ct_blk, cbt, mn_blk, bucket,
-                                      winners, pool_mode)
-            return jnp.where(local >= 0, local + start, -1)
+            lv, local = _score_pool_chunk(qb, ct_blk, cbt, mn_blk, bucket,
+                                          winners, pool_mode)
+            return lv, jnp.where(local >= 0, local + start, -1)
 
-        pools = jax.lax.map(one_chunk, starts)                  # [C, Q, w]
+        pvals, pools = jax.lax.map(one_chunk, starts)           # [C, Q, w]
         pool = jnp.moveaxis(pools, 0, 1).reshape(q_n, -1)
+        pool_vals = jnp.moveaxis(pvals, 0, 1).reshape(q_n, -1)
     pool = jnp.where(pool < n, pool, -1)
+    if 0 < select_r < pool.shape[1]:
+        # narrow the wide cheap pool with a tiny ranked select before the
+        # refine gathers (approx_max_k over the pool VALUES — [Q, W] is
+        # hundreds of times smaller than [Q, N], so this costs ~1 ms where
+        # ranked selection over the full distances costs 20-90 ms)
+        pv = jnp.where(pool >= 0, pool_vals, jnp.inf)
+        _, sel = jax.lax.approx_max_k(-pv, select_r, recall_target=0.99)
+        pool = jnp.take_along_axis(pool, sel, axis=1)
 
     # exact re-rank (the only stage that reads raw vectors); with a
     # bf16-packed refine store the gather moves half the bytes (see
@@ -377,9 +387,9 @@ def _score_pool_chunk(
         from .pallas_kernels import fused_adc_pool
 
         nb_f = -(-n // bucket)
-        _, idx = fused_adc_pool(qb.astype(jnp.float32), codes_t, cbt,
-                                masked_norms, winners * nb_f)
-        return idx
+        vals, idx = fused_adc_pool(qb.astype(jnp.float32), codes_t, cbt,
+                                   masked_norms, winners * nb_f)
+        return vals, idx
     recon_t = pq_decode_recon_t(codes_t, cbt)                   # [d, n] bf16
     cross = jax.lax.dot_general(
         qb, recon_t.astype(qb.dtype), (((1,), (0,)), ((), ())),
@@ -392,17 +402,19 @@ def _score_pool_chunk(
     if pool_mode == "approx":
         r = min(winners * nb, n)
         neg, idx = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
-        return jnp.where(jnp.isfinite(-neg), idx.astype(jnp.int32), -1)
+        return -neg, jnp.where(jnp.isfinite(-neg), idx.astype(jnp.int32), -1)
     if n_pad:
         dist = jnp.pad(dist, ((0, 0), (0, n_pad)), constant_values=jnp.inf)
     d3 = dist.reshape(q_n, bucket, nb)                          # strided sets
     col = jax.lax.broadcasted_iota(jnp.int32, (q_n, nb), 1)
-    pools = []
+    pools, pvals = [], []
     for _ in range(winners):
         val = jnp.min(d3, axis=1)
         arg = jnp.argmin(d3, axis=1).astype(jnp.int32)          # [Q, nb]
         pools.append(jnp.where(jnp.isfinite(val), arg * nb + col, -1))
+        pvals.append(val)
         if winners > 1:
             row = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 1)
             d3 = jnp.where(row == arg[:, None, :], jnp.inf, d3)
-    return jnp.concatenate(pools, axis=1)                       # [Q, W]
+    return (jnp.concatenate(pvals, axis=1),
+            jnp.concatenate(pools, axis=1))                     # [Q, W]
