@@ -69,8 +69,14 @@ def main(which="both"):
         log(f"\n=== {kind} corpus: {dim}d x {n}, Q={nq}, k={k}, 32x PQ ===")
         vj, qj = make_data(kind, n, dim, nq)
         t0 = time.time()
-        gt_d, gt_i = blocked_knn(qj, vj, jnp.ones(n, bool), k, block_n=16384)
-        gt = np.asarray(gt_i)
+        gt_path = f"/tmp/adc_gt_{kind}_{dim}_{n}_{nq}_{k}.npy"
+        try:
+            gt = np.load(gt_path)
+        except OSError:
+            gt_d, gt_i = blocked_knn(qj, vj, jnp.ones(n, bool), k,
+                                     block_n=16384)
+            gt = np.asarray(gt_i)
+            np.save(gt_path, gt)
         gt_sets = [set(gt[i].tolist()) for i in range(nq)]
         log(f"ground truth: {time.time()-t0:.1f}s")
 

@@ -107,6 +107,10 @@ def main():
         hnsw.config.ef_search = ef
         ids, qq = api_qps(hnsw, q_np, k)
         log(f"- ef={ef}: recall {rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)")
+    hnsw.config.ef_search = 0  # adaptive log-N policy (HNSWIndex.h:31-50)
+    ids, qq = api_qps(hnsw, q_np, k)
+    log(f"- ef=adaptive ({hnsw.config.ef_for_query(k, n)} @10k): recall "
+        f"{rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)")
     log()
 
     # ---------------- config 3: IVF nprobe sweep 128d x 10k ---------------
@@ -169,8 +173,78 @@ def main():
     log(f"- vs reference: {qps5/2391:.1f}x QPS at higher recall")
     log()
 
+    # ---------------- config 6: LSH 512d x 100k ---------------------------
+    log("## 6. LSH, 512d x 100k (blocked candidate scan, no O(Q*N) buffers)")
+    from vector_db_tpu.api.config import LshConfig
+    from vector_db_tpu.index.lsh import LshIndex
+
+    lsh = LshIndex(dim, n5, "l2", LshConfig())
+    lsh.store.bulk_load(range(n5), vj5)
+    t0 = time.time(); lsh.build(); log(f"- build: {time.time()-t0:.1f}s")
+    q5_256 = np.asarray(qj5[:256])
+    ids, qq = api_qps(lsh, q5_256, k)
+    log(f"- default (backfill on): recall {rec(ids, gts5[:256], k):.1%}, "
+        f"{qq:,.0f} QPS (api)  [reference: 75% @ 1ms, 128d x 10k]")
+    lsh.config.backfill = False
+    ids, qq = api_qps(lsh, q5_256, k)
+    bf = lsh.stats().get("backfill_rows", 0)
+    log(f"- honest (backfill off): recall {rec(ids, gts5[:256], k):.1%}, "
+        f"{qq:,.0f} QPS (api), backfill_events={bf}")
+    log()
+
+    # ------------- config 7: memory-bound adc_fast 512d x 100k ------------
+    log("## 7. Memory-bound mode (adc_fast: scoring reads only codes+codebooks)")
+    log("spectral corpus (power-law eigenspectrum — the realistic case PQ")
+    log("targets; isotropic gaussian worst case in the appendix frontier):")
+    scale = jnp.asarray((np.arange(dim) + 1.0) ** -0.5, jnp.float32)
+    vj7 = gen(jax.random.PRNGKey(42), (n5, dim)) * scale[None, :]
+    qj7 = gen(jax.random.PRNGKey(7), (nq, dim)) * scale[None, :]
+    gts7 = gt_sets(qj7, vj7, k)
+    cfg7 = HnswPqConfig(num_subspaces=64, training_samples=20000,
+                        search_mode="adc_fast", adc_bucket=256,
+                        adc_pool="approx", adc_select_r=128,
+                        refine_store="bf16")
+    mb = HnswPqIndex(dim, n5, "l2", cfg7)
+    t0 = time.time(); mb.bulk_load(range(n5), vj7)
+    log(f"- build (ingest+train+encode): {time.time()-t0:.1f}s")
+    ids, _ = mb.search_batch(np.asarray(qj7), k)
+    r7 = rec(ids, gts7, k)
+    from vector_db_tpu.ops import adc as adc_ops
+    from vector_db_tpu.ops.distance import pack_bf16_rows
+
+    st7 = mb.store.state
+    codes_t, cbt, cnorms = mb._fast_tables()
+    packed = pack_bf16_rows(st7.vectors)
+
+    @jax.jit
+    def mb_loop(q):
+        def body(i, eps):
+            d, _ = adc_ops.adc_fast_search(
+                q + eps, codes_t, cbt, st7.valid, st7.vectors, st7.ids, k,
+                bucket=256, winners=1, pool_mode="approx",
+                code_norms=cnorms, perm=mb.perm, packed_base=packed,
+                select_r=128)
+            return d[0, 0] * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+    _ = float(mb_loop(qj7))
+    t0 = time.time(); _ = float(mb_loop(qj7))
+    qps7 = nq / ((time.time() - t0) / reps)
+    log(f"- approx pool + select_r=128 + bf16 refine: recall {r7:.2%}, "
+        f"{qps7:,.0f} QPS (device)  [target: >=120k QPS @ >=97.6%]")
+    log()
+
+    report = "\n".join(lines) + "\n"
+    # preserve hand-maintained sections (scale demos, frontiers) across reruns
+    try:
+        with open("BENCH_REPORT.md") as f:
+            old = f.read()
+        marker = "<!-- appendix -->"
+        if marker in old:
+            report += "\n" + marker + old.split(marker, 1)[1]
+    except OSError:
+        pass
     with open("BENCH_REPORT.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(report)
     print("\nwrote BENCH_REPORT.md")
 
 

@@ -318,8 +318,9 @@ def fused_adc_pool(
     if k_tab not in (LANES, 2 * LANES):
         cbt = jnp.pad(cbt, ((0, 0), (0, LANES - k_tab)))
         k_tab = LANES
-    block_n = min(block_n, max(LANES, w))
-    w = -(-w // block_n) * block_n
+    w_aligned = -(-w // LANES) * LANES  # block shapes must be lane-aligned
+    block_n = min(block_n, max(LANES, w_aligned))
+    w = -(-w_aligned // block_n) * block_n
     nb_w = w // block_n
     n_pad = (-n) % w
     if n_pad:
