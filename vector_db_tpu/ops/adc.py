@@ -253,6 +253,12 @@ def adc_fast_search(
     masked_norms = code_norms_from_codes(codes_t, cbt, valid, code_norms)
 
     if chunk_n <= 0 or chunk_n >= n:
+        if pool_mode == "approx" and select_r > 0:
+            # the approx pool is already RANKED, so a separate narrowing
+            # pass would be redundant work: ask approx_max_k for the
+            # top-select_r directly (measured: approx r=390 + select->128
+            # costs 15.1 ms where approx r=128 alone costs 9.2 at 100k)
+            bucket = max(1, -(-n * winners // select_r))
         pool_vals, pool = _score_pool_chunk(qb, codes_t, cbt, masked_norms,
                                             bucket, winners, pool_mode)
     else:

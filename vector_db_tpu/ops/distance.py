@@ -267,6 +267,8 @@ def blocked_rerank(
     Returns (dists [Q, k], slots [Q, k]) ascending.
     """
     q_n, r = cand.shape
+    # never let block padding inflate the gather (see blocked_rerank_packed)
+    rb = min(rb, max(128, -(-r // 128) * 128))
     r_pad = (-r) % rb
     if r_pad:
         cand = jnp.pad(cand, ((0, 0), (0, r_pad)), constant_values=-1)
@@ -326,6 +328,9 @@ def blocked_rerank_packed(
     neighbor-gap scale — while refine traffic halves."""
     q_n, r = cand.shape
     d = packed.shape[1] * 2
+    # never let block padding inflate the gather: a 128-candidate pool in a
+    # 512-block would fetch and score 4x too many rows
+    rb = min(rb, max(128, -(-r // 128) * 128))
     r_pad = (-r) % rb
     if r_pad:
         cand = jnp.pad(cand, ((0, 0), (0, r_pad)), constant_values=-1)
