@@ -430,3 +430,43 @@ class TestSelectNarrowing:
         d2, e2 = adc.adc_fast_search(*args, bucket=4, winners=1,
                                      chunk_n=256, select_r=64)
         assert (np.asarray(e2)[:, 0] == np.arange(4)).all()
+
+
+class TestApproxRankedDirect:
+    def test_approx_select_r_requests_ranked_pool_directly(self):
+        """pool_mode='approx' + select_r asks approx_max_k for top-select_r
+        directly (no redundant narrowing pass) and matches brute top-k."""
+        rng = np.random.default_rng(73)
+        s, k_tab, sd, n = 8, 16, 4, 2048
+        dim = s * sd
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        codes = np.asarray(adc.pq_encode(jnp.asarray(base), jnp.asarray(cb)))
+        q = base[:8]
+        args = (jnp.asarray(q), jnp.asarray(codes.T.copy()),
+                adc.codebooks_to_cbt(jnp.asarray(cb)), jnp.ones(n, bool),
+                jnp.asarray(base), jnp.arange(n, dtype=jnp.int32), 5)
+        # bucket value is ignored/overridden when approx + select_r
+        d1, e1 = adc.adc_fast_search(*args, bucket=7, winners=1,
+                                     pool_mode="approx", select_r=256)
+        d2, e2 = adc.adc_fast_search(*args, bucket=8, winners=1,
+                                     pool_mode="approx", select_r=256)
+        assert (np.asarray(e1)[:, 0] == np.arange(8)).all()
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+        # exact distances from the refine: self-distance ~ 0
+        assert float(np.asarray(d1)[:, 0].max()) < 1e-3
+
+    def test_approx_select_r_respects_winners(self):
+        rng = np.random.default_rng(74)
+        s, k_tab, sd, n = 4, 16, 4, 1024
+        dim = s * sd
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        base = rng.normal(size=(n, dim)).astype(np.float32)
+        codes = np.asarray(adc.pq_encode(jnp.asarray(base), jnp.asarray(cb)))
+        q = base[:4]
+        args = (jnp.asarray(q), jnp.asarray(codes.T.copy()),
+                adc.codebooks_to_cbt(jnp.asarray(cb)), jnp.ones(n, bool),
+                jnp.asarray(base), jnp.arange(n, dtype=jnp.int32), 3)
+        d, e = adc.adc_fast_search(*args, bucket=4, winners=2,
+                                   pool_mode="approx", select_r=128)
+        assert (np.asarray(e)[:, 0] == np.arange(4)).all()
