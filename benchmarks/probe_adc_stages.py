@@ -129,6 +129,37 @@ def main():
             return d[0, 0]
         log(f"packed refine R={r_}: {timed(s5, qf)*1e3:.2f} ms")
 
+    # decode tile-size sweep
+    for bn in (1024, 2048, 4096):
+        def sD(q, eps):
+            r = pq_decode_recon_t(codes_t, cbt, block_n=bn)
+            return r[0, 0].astype(jnp.float32) + q[0, 0] * 0 + eps * 0
+        try:
+            log(f"decode block_n={bn}: {timed(sD, qp)*1e3:.2f} ms")
+        except Exception as e:
+            log(f"decode block_n={bn} FAILED: {str(e)[:120]}")
+
+    # pre-cast codes to int32 on HBM (is the uint8->int32 cast in the 3ms?)
+    codes_i32 = codes_t.astype(jnp.int32)
+    jax.block_until_ready(codes_i32)
+    def sE(q, eps):
+        r = pq_decode_recon_t(codes_i32, cbt)
+        return r[0, 0].astype(jnp.float32) + q[0, 0] * 0 + eps * 0
+    log(f"decode (pre-cast int32 codes): {timed(sE, qp)*1e3:.2f} ms")
+
+    # full pipeline reference point: approx ranked-direct 128 + packed refine
+    from vector_db_tpu.ops.adc import adc_fast_search
+    valid = jnp.ones(n, bool)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    qf32 = jnp.asarray(np.asarray(qj))
+    def sF(q, eps):
+        d, _ = adc_fast_search(q + eps, codes_t, cbt, valid, vj, ids, 10,
+                               bucket=32, winners=1, pool_mode="approx",
+                               code_norms=cnorms, perm=perm,
+                               packed_base=packed, select_r=128)
+        return d[0, 0]
+    log(f"full pipeline approx+sel128+packed: {timed(sF, qf32)*1e3:.2f} ms")
+
     # stage 6: select (approx over pool vals [Q, 390] -> 128)
     pv = jnp.abs(gen(jax.random.PRNGKey(3), (nq, 390)))
     def s6(q, eps):
