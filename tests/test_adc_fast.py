@@ -470,3 +470,29 @@ class TestApproxRankedDirect:
         d, e = adc.adc_fast_search(*args, bucket=4, winners=2,
                                    pool_mode="approx", select_r=128)
         assert (np.asarray(e)[:, 0] == np.arange(4)).all()
+
+
+class TestDecodeCross:
+    def test_decode_cross_equivalence(self, pq_state):
+        s, k_tab, sd, n, cb, codes = pq_state
+        rng = np.random.default_rng(6)
+        q = jnp.asarray(rng.normal(size=(5, s * sd)).astype(np.float32))
+        cbt = adc.codebooks_to_cbt(jnp.asarray(cb))
+        ct = jnp.asarray(codes.T.copy())
+        recon = pq_decode_recon_t(ct, cbt, block_n=256).astype(jnp.float32)
+        want = np.asarray(q @ recon)
+        got = np.asarray(adc._decode_cross(q, ct, cbt))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_odd_subdim(self):
+        rng = np.random.default_rng(7)
+        s, k_tab, sd, n = 4, 16, 3, 300
+        cb = rng.normal(size=(s, k_tab, sd)).astype(np.float32)
+        codes = rng.integers(0, k_tab, size=(n, s)).astype(np.uint8)
+        cbt = adc.codebooks_to_cbt(jnp.asarray(cb))
+        ct = jnp.asarray(codes.T.copy())
+        q = jnp.asarray(rng.normal(size=(3, s * sd)).astype(np.float32))
+        recon = pq_decode_recon_t(ct, cbt, block_n=256).astype(jnp.float32)
+        want = np.asarray(q @ recon)
+        got = np.asarray(adc._decode_cross(q, ct, cbt))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

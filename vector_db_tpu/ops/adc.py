@@ -328,16 +328,9 @@ def adc_decode_topk(
     speed (measured ~100x on one v5e chip at 512d x 100k).
     """
     masked = code_norms_from_codes(codes_t, cbt, valid, code_norms)
-    from .pallas_kernels import pq_decode_recon_t
-
     if perm is not None:
         queries = queries[:, perm]
-    recon_t = pq_decode_recon_t(codes_t, cbt)
-    dt = _scan_dtype()
-    cross = jax.lax.dot_general(
-        queries.astype(dt), recon_t.astype(dt), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    cross = _decode_cross(queries.astype(_scan_dtype()), codes_t, cbt)
     q_norms = jnp.sum(queries * queries, axis=1)
     dist = q_norms[:, None] + masked[None, :] - 2.0 * cross
     neg, idx = jax.lax.approx_max_k(-dist, k, recall_target=recall_target)
@@ -358,6 +351,29 @@ def code_norms_from_codes(
         r32 = pq_decode_recon_t(codes_t, cbt).astype(jnp.float32)
         code_norms = jnp.sum(r32 * r32, axis=0)
     return jnp.where(valid, code_norms, jnp.inf)
+
+
+def _decode_cross(qb: Array, codes_t: Array, cbt: Array) -> Array:
+    """q . reconstruction cross terms [Q, n] f32 via the decode kernel +
+    one bf16 MXU matmul.
+
+    Negative result worth keeping (measured, one v5e chip, 512d x 100k): a
+    pair-packed decode variant (two bf16 dims per f32 word -> HALF the
+    dynamic_gather rows, query side contracts [Q, d/2, 2] against the pair
+    view) ran SLOWER (3.26 vs 2.88 ms) — the decode kernel is bound by
+    per-chunk fixed costs, not gather-row count.  What DOES matter is lane
+    alignment of n: a [:, :n] slice to a non-multiple-of-128 n forces an
+    unaligned relayout of the whole [d, n] reconstruction and slows every
+    downstream op (~+1.6 ms end to end); the index layer always passes its
+    128-aligned capacity, so the fast path is the default in practice.
+    """
+    from .pallas_kernels import pq_decode_recon_t
+
+    recon_t = pq_decode_recon_t(codes_t, cbt)                   # [d, n] bf16
+    return jax.lax.dot_general(
+        qb, recon_t.astype(qb.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _score_pool_chunk(
@@ -396,11 +412,7 @@ def _score_pool_chunk(
         vals, idx = fused_adc_pool(qb.astype(jnp.float32), codes_t, cbt,
                                    masked_norms, winners * nb_f)
         return vals, idx
-    recon_t = pq_decode_recon_t(codes_t, cbt)                   # [d, n] bf16
-    cross = jax.lax.dot_general(
-        qb, recon_t.astype(qb.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                           # [Q, n]
+    cross = _decode_cross(qb, codes_t, cbt)                     # [Q, n]
     dist = masked_norms[None, :] - 2.0 * cross  # + ||q||^2 == const per row
 
     n_pad = (-n) % bucket
