@@ -174,22 +174,31 @@ def main():
     log()
 
     # ---------------- config 6: LSH 512d x 100k ---------------------------
-    log("## 6. LSH, 512d x 100k (blocked candidate scan, no O(Q*N) buffers)")
+    log("## 6. LSH (blocked candidate scan, no O(Q*N) buffers; "
+        "auto-calibrated bucket width)")
     from vector_db_tpu.api.config import LshConfig
     from vector_db_tpu.index.lsh import LshIndex
 
     lsh = LshIndex(dim, n5, "l2", LshConfig())
     lsh.store.bulk_load(range(n5), vj5)
-    t0 = time.time(); lsh.build(); log(f"- build: {time.time()-t0:.1f}s")
+    t0 = time.time(); lsh.build()
+    log(f"- build (512d x 100k): {time.time()-t0:.1f}s  "
+        f"(auto width {lsh._effective_width():.1f})")
     q5_256 = np.asarray(qj5[:256])
-    ids, qq = api_qps(lsh, q5_256, k)
-    log(f"- default (backfill on): recall {rec(ids, gts5[:256], k):.1%}, "
-        f"{qq:,.0f} QPS (api)  [reference: 75% @ 1ms, 128d x 10k]")
     lsh.config.backfill = False
     ids, qq = api_qps(lsh, q5_256, k)
     bf = lsh.stats().get("backfill_rows", 0)
-    log(f"- honest (backfill off): recall {rec(ids, gts5[:256], k):.1%}, "
-        f"{qq:,.0f} QPS (api), backfill_events={bf}")
+    log(f"- honest (backfill off), 512d x 100k: "
+        f"recall {rec(ids, gts5[:256], k):.1%}, {qq:,.0f} QPS (api), "
+        f"short_rows={bf}")
+    # the reference's own LSH benchmark config: 128d x 10k
+    lsh3 = LshIndex(dim3, n, "l2", LshConfig(backfill=False))
+    lsh3.store.bulk_load(range(n), vj3)
+    lsh3.build()
+    ids, qq = api_qps(lsh3, q3, k)
+    log(f"- honest (backfill off), 128d x 10k: "
+        f"recall {rec(ids, gts3, k):.1%}, {qq:,.0f} QPS (api)  "
+        f"[reference w/ random-fill: 75% @ 1ms]")
     log()
 
     # ------------- config 7: memory-bound adc_fast 512d x 100k ------------

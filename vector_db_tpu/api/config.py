@@ -248,7 +248,11 @@ class LshConfig:
 
     num_tables: int = 10
     num_bits: int = 16
-    bucket_width: float = 4.0
+    bucket_width: float = 0.0  # <= 0 -> data-calibrated at build() (~10x the
+    # median nn distance of a corpus sample, index/lsh._auto_width).  The
+    # reference's fixed 4.0 only matches its own 128d uniform[-1,1] scale —
+    # at 512d it yields zero collisions; pass an explicit width for strict
+    # reference parity
     backfill: bool = True  # exact-scan fill when collisions < k (reference
     # random-fills, LshIndex.java:261-265); False -> honest LSH-only results
     # (-1 padded rows), with backfill events counted in stats either way
