@@ -79,7 +79,7 @@ class TestLsh:
         idx = LshIndex(
             16, 512, "l2",
             LshConfig(num_tables=8, num_bits=8, bucket_width=4.0,
-                      backfill=False),
+                      hamming_radius=0, backfill=False),
         )
         idx.add_batch(range(len(vecs)), vecs)
         rng = np.random.default_rng(1)

@@ -145,7 +145,7 @@ class TestLshRound2:
         vecs = rng.standard_normal((256, 8)).astype(np.float32)
         # microscopic bucket width => almost no collisions => backfill
         cfg = LshConfig(num_tables=2, num_bits=16, bucket_width=1e-4,
-                        backfill=False)
+                        hamming_radius=0, backfill=False)
         idx = LshIndex(8, 256, "l2", cfg)
         idx.add_batch(range(len(vecs)), vecs)
         ids, _ = idx.search_batch(rng.standard_normal((4, 8)).astype(np.float32), 10)
@@ -154,7 +154,7 @@ class TestLshRound2:
         assert idx.stats()["backfill_queries"] > 0
 
         cfg2 = LshConfig(num_tables=2, num_bits=16, bucket_width=1e-4,
-                         backfill=True)
+                         hamming_radius=0, backfill=True)
         idx2 = LshIndex(8, 256, "l2", cfg2)
         idx2.add_batch(range(len(vecs)), vecs)
         ids2, _ = idx2.search_batch(rng.standard_normal((4, 8)).astype(np.float32), 10)

@@ -6,13 +6,21 @@ TPU-native analog of the reference's LSH (reference: index/LshIndex.java —
 regenerates hash fns :303-339; native/index/LSHIndex.cpp — 10 tables x 20
 sign bits, collision counting :78-117).
 
-TPU-first design: bucket ids for all vectors live as a device matrix
-``bucket_ids [T, cap] int32`` (projections = ONE matmul + floor + a hash-mix
-reduction).  Search computes the query's bucket ids the same way and takes
-``candidate = any_t(bucket_ids[t, n] == q_bucket[t])`` — a full-N integer
-comparison (memory-bound, trivially fast) instead of host-side hash maps —
-then exact re-ranks the collision set, exactly like the reference's
-candidate-union + re-rank but as two fused device ops.
+TPU-first design: codes for all vectors live as a device matrix
+``bucket_ids [T, cap] int32``; search compares the query's codes against it
+full-N (memory-bound integer ops instead of host-side hash maps) and exact
+re-ranks the collision set — the reference's candidate-union + re-rank as
+two fused device ops.  Two modes:
+
+  * multi-probe sign-LSH (default, ``hamming_radius > 0``): bit-packed
+    SimHash codes, candidate iff Hamming distance <= r in some table — the
+    array form of multi-probe LSH.  Scale-free and honestly recalls 79-96%
+    where exact-bucket matching recalls ~0 (see LshConfig).
+  * exact-bucket (``hamming_radius == 0``): quantized-projection polynomial
+    hash + equality, the reference's semantics (incl. its failure mode:
+    AND-of-16 quantized projections collides essentially never on
+    high-dimensional data — its published 75% row leans on random-fill,
+    LshIndex.java:261-265).
 """
 
 from __future__ import annotations
@@ -48,10 +56,31 @@ def _bucket_ids(vectors: jnp.ndarray, planes: jnp.ndarray, width: float) -> jnp.
     return h
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "block_n"))
+@jax.jit
+def _sign_codes(vectors: jnp.ndarray, planes: jnp.ndarray) -> jnp.ndarray:
+    """Bit-packed sign codes (SimHash): bit h of table t = (v . plane_th >= 0).
+
+    vectors [N, d]; planes [T, H<=31, d] -> [T, N] int32.  Used by the
+    multi-probe search (`hamming_radius > 0`): candidate iff some table's
+    code is within Hamming radius r of the query's — the array-program form
+    of classic multi-probe LSH (probing all buckets at Hamming distance <= r
+    == one XOR + popcount over the resident code matrix; no bucket maps).
+    Sign bits need no bucket width, so this mode is scale-free.
+    """
+    proj = jnp.einsum("nd,thd->tnh", vectors, planes,
+                      preferred_element_type=jnp.float32)
+    h = planes.shape[1]
+    weights = jnp.asarray(1 << np.arange(h), jnp.int32)
+    return jnp.sum((proj >= 0).astype(jnp.int32) * weights[None, None, :],
+                   axis=2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "block_n", "radius")
+)
 def _lsh_search(
     queries, planes, width, bucket_ids, base, b_norms, valid, k,
-    metric="l2", block_n=4096,
+    metric="l2", block_n=4096, radius=0,
 ):
     """Blocked collision-gated scan fused with a running top-k (reference:
     LSHIndex.cpp:78-117 counts collisions across tables, then re-ranks).
@@ -65,7 +94,10 @@ def _lsh_search(
     gathering (gathers lose ~100x to streams — measured), so pruning here
     means *masking*, exactly like the valid-slot tombstone mask.
     """
-    qb = _bucket_ids(queries, planes, width)          # [T, Q]
+    if radius > 0:
+        qb = _sign_codes(queries, planes)             # [T, Q]
+    else:
+        qb = _bucket_ids(queries, planes, width)      # [T, Q]
     q_n = queries.shape[0]
     n = base.shape[0]
     q_norms = jnp.sum(queries * queries, axis=1)
@@ -84,7 +116,11 @@ def _lsh_search(
         v_blk = jax.lax.dynamic_slice_in_dim(valid, start, block_n, axis=0)
         n_blk = jax.lax.dynamic_slice_in_dim(b_norms, start, block_n, axis=0)
         bid_blk = jax.lax.dynamic_slice_in_dim(bucket_ids, start, block_n, axis=1)
-        hit = jnp.any(bid_blk[:, None, :] == qb[:, :, None], axis=0)  # [Q, B]
+        if radius > 0:
+            hd = jax.lax.population_count(bid_blk[:, None, :] ^ qb[:, :, None])
+            hit = jnp.any(hd <= radius, axis=0)                       # [Q, B]
+        else:
+            hit = jnp.any(bid_blk[:, None, :] == qb[:, :, None], axis=0)
         d_blk = pairwise_dist(queries, b_blk, metric, q_norms, n_blk)
         d_blk = jnp.where(hit & v_blk[None, :], d_blk, jnp.inf)
         i_blk = start + jax.lax.broadcasted_iota(jnp.int32, (q_n, block_n), 1)
@@ -175,7 +211,11 @@ class LshIndex(VectorIndex):
         if accepted:
             sl = jnp.asarray(np.asarray(slots, np.int64))
             vecs = self.store.state.vectors[sl]
-            new_b = _bucket_ids(vecs, self.planes, self._effective_width())  # [T, B]
+            if self.config.hamming_radius > 0:
+                new_b = _sign_codes(vecs, self.planes)  # [T, B]
+            else:
+                new_b = _bucket_ids(vecs, self.planes,
+                                    self._effective_width())
             self.bucket_ids = self.bucket_ids.at[:, sl].set(new_b)
         return accepted
 
@@ -190,8 +230,11 @@ class LshIndex(VectorIndex):
         if self.config.bucket_width <= 0:
             self._width = None  # recalibrate against the current corpus
         st = self.store.state
-        self.bucket_ids = _bucket_ids(st.vectors, self.planes,
-                                      self._effective_width())
+        if self.config.hamming_radius > 0:
+            self.bucket_ids = _sign_codes(st.vectors, self.planes)
+        else:
+            self.bucket_ids = _bucket_ids(st.vectors, self.planes,
+                                          self._effective_width())
 
     # --------------------------------------------------------------- search
     def search_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -211,11 +254,14 @@ class LshIndex(VectorIndex):
                 block_n=min(8192, st.capacity),
             )
         else:
+            r = self.config.hamming_radius
             dists, slots = _lsh_search(
                 jnp.asarray(padded), self.planes,
-                jnp.asarray(self._effective_width(), jnp.float32),
+                jnp.asarray(1.0 if r > 0 else self._effective_width(),
+                            jnp.float32),
                 self.bucket_ids, st.vectors, st.norms, st.valid, k_pad,
                 metric=self.metric, block_n=min(4096, st.capacity),
+                radius=r,
             )
             # random-fill parity (reference: LshIndex.java:261-265): if the
             # collision set came up short, backfill from the exact scan.
@@ -255,7 +301,9 @@ class LshIndex(VectorIndex):
         s.update(
             num_tables=self.config.num_tables,
             num_bits=self.config.num_bits,
-            bucket_width=self._effective_width(),
+            bucket_width=(self._effective_width()
+                          if self.config.hamming_radius <= 0 else 0.0),
+            hamming_radius=self.config.hamming_radius,
             backfill_rows=self._backfill_rows,
             backfill_queries=self._backfill_queries,
         )
