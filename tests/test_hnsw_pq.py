@@ -168,3 +168,66 @@ class TestPersistence:
         a, _ = idx.search(vecs[7], 5)
         b, _ = idx2.search(vecs[7], 5)
         np.testing.assert_array_equal(a, b)
+
+
+class TestPcaProxyMode:
+    """search_mode='pca': truncated-PCA proxy scan + exact refine (ops/pca)."""
+
+    def _corpus(self, n=2048, dim=64):
+        rng = np.random.default_rng(42)
+        scale = ((np.arange(dim) + 1.0) ** -0.5).astype(np.float32)
+        return (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+
+    def test_recall_vs_brute(self):
+        from vector_db_tpu.index.brute import BruteForceIndex
+
+        vecs = self._corpus()
+        n, dim = vecs.shape
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=1024,
+                           search_mode="pca", proxy_dims=16, pca_r=128)
+        idx = HnswPqIndex(dim, n, "l2", cfg)
+        idx.add_batch(range(n), vecs)
+        brute = BruteForceIndex(dim, n)
+        brute.add_batch(range(n), vecs)
+        q = vecs[:32] + 0.01 * np.random.default_rng(1).standard_normal(
+            (32, dim)).astype(np.float32)
+        a, da = idx.search_batch(q, 10)
+        g, dg = brute.search_batch(q, 10)
+        recall = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(32)])
+        assert recall >= 0.9, recall
+        # refine distances are exact
+        np.testing.assert_allclose(da[:, 0], dg[:, 0], rtol=1e-3, atol=1e-3)
+
+    def test_incremental_adds_update_proxy(self):
+        vecs = self._corpus(1024, 32)
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=512,
+                           search_mode="pca", proxy_dims=8, pca_r=64)
+        idx = HnswPqIndex(32, 2048, "l2", cfg)
+        idx.add_batch(range(1024), vecs)
+        assert idx.trained and idx.proxy_t is not None
+        nv = vecs[7] * 0.5
+        idx.add_batch([9999], nv[None, :])
+        ids, _ = idx.search_batch(nv[None, :], 1)
+        assert ids[0, 0] == 9999
+
+    def test_persistence_roundtrip(self):
+        vecs = self._corpus(1024, 32)
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=512,
+                           search_mode="pca", proxy_dims=8, pca_r=64)
+        idx = HnswPqIndex(32, 1024, "l2", cfg)
+        idx.add_batch(range(1024), vecs)
+        idx2 = HnswPqIndex(32, 1024, "l2", cfg)
+        idx2.load_state_arrays(idx.state_arrays())
+        a, _ = idx.search_batch(vecs[:8], 5)
+        b, _ = idx2.search_batch(vecs[:8], 5)
+        np.testing.assert_array_equal(a, b)
+
+    def test_remove_excludes_from_pca_path(self):
+        vecs = self._corpus(1024, 32)
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=512,
+                           search_mode="pca", proxy_dims=8, pca_r=64)
+        idx = HnswPqIndex(32, 1024, "l2", cfg)
+        idx.add_batch(range(1024), vecs)
+        assert idx.remove(5)
+        ids, _ = idx.search_batch(vecs[5:6], 5)
+        assert 5 not in ids[0]

@@ -170,7 +170,7 @@ class HnswPqConfig:
     # PQ-score + re-rank pipeline for the memory-bound regime)
     nprobe: int = 32
     search_mode: str = "auto"  # auto | scan_exact | scan_pallas | adc |
-    # adc_fast | graph.
+    # adc_fast | pca | graph.
     # "auto"/"scan_exact": blocked MXU exact scan over the raw store with
     #   approx_max_k block reduction — measured 209k QPS / 99.87% Recall@10 at
     #   512d/100k on one v5e chip, vs ~1k QPS for XLA-gather ADC.  On TPU,
@@ -208,6 +208,12 @@ class HnswPqConfig:
     # top-R with one tiny approx_max_k over pool VALUES before the refine
     # gathers — the hybrid that beats both pure bucket pools (selection loss)
     # and full-distance ranked selection (20-90 ms)
+    proxy_dims: int = 32  # PCA-proxy dims for search_mode="pca" (ops/pca):
+    # a [p, N] bf16 truncated-PCA projection (64 B/vec at p=32 — the same
+    # index-memory class as the 32x codes) scanned with one tiny matmul,
+    # then exact refine of the ranked top-pca_r.  0 disables fitting.
+    pca_r: int = 256  # refine pool for the pca mode (measured containment
+    # at 512d x 100k spectral: p=32/R=256 -> 97.0%, p=64/R=128 -> 99.05%)
 
 
 @dataclasses.dataclass

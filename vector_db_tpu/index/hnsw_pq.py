@@ -82,6 +82,12 @@ class HnswPqIndex(VectorIndex):
         # bf16-packed refine shadow (config.refine_store="bf16"), keyed on
         # the store's immutable vectors array
         self._packed_cache: Optional[tuple] = None
+        # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
+        # at train time, proxy_t [p, cap] bf16 maintained per encode
+        self.pca_mean: Optional[jax.Array] = None
+        self.pca_basis: Optional[jax.Array] = None
+        self.proxy_t: Optional[jax.Array] = None
+        self._proxy_norms: Optional[jax.Array] = None
 
     # ------------------------------------------------------------- helpers
     def _sample_levels(self, n: int) -> np.ndarray:
@@ -183,6 +189,16 @@ class HnswPqIndex(VectorIndex):
             plus_plus=True,
         )
         self.trained = True
+        if self.config.proxy_dims > 0:
+            # PCA-proxy basis on the (unpermuted) training sample (ops/pca)
+            from ..ops import pca
+
+            p = min(self.config.proxy_dims, self.dim)
+            raw = np.asarray(st.vectors[jnp.asarray(np.sort(sample))])
+            mu, basis = pca.pca_fit(raw, p)
+            self.pca_mean = jnp.asarray(mu)
+            self.pca_basis = jnp.asarray(basis)
+            self.proxy_t = jnp.zeros((p, self.store.capacity), jnp.bfloat16)
         self._encode_slots(live)
         if self.config.nlist > 0:
             from ..ops.kmeans import kmeans_fit
@@ -269,12 +285,32 @@ class HnswPqIndex(VectorIndex):
     def _encode_slots(self, slots: np.ndarray) -> None:
         if slots.size == 0 or self.codebooks is None:
             return
-        vecs = self.store.state.vectors[jnp.asarray(slots)]
+        sl = jnp.asarray(slots)
+        vecs = self.store.state.vectors[sl]
+        if self.proxy_t is not None:
+            from ..ops import pca
+
+            self.proxy_t = self.proxy_t.at[:, sl].set(
+                pca.project_t(vecs, self.pca_mean, self.pca_basis)
+            )
+            self._proxy_norms = None
         if self.perm is not None:
             vecs = vecs[:, self.perm]
         new_codes = adc.pq_encode(vecs, self.codebooks)
-        self.codes = self.codes.at[jnp.asarray(slots)].set(new_codes)
+        self.codes = self.codes.at[sl].set(new_codes)
         self._fast_cache = None
+
+    def _packed_refine_store(self, st):
+        """bf16-packed refine shadow (config.refine_store="bf16"), cached on
+        the store's immutable vectors array; None -> refine reads raw f32."""
+        if self.config.refine_store != "bf16":
+            return None
+        if (self._packed_cache is None
+                or self._packed_cache[0] is not st.vectors):
+            from ..ops.distance import pack_bf16_rows
+
+            self._packed_cache = (st.vectors, pack_bf16_rows(st.vectors))
+        return self._packed_cache[1]
 
     def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
         """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
@@ -376,6 +412,27 @@ class HnswPqIndex(VectorIndex):
             out_ids[:, :k_eff] = ext_np
             out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
             return out_ids, out_d
+        if mode == "pca" and self.proxy_t is not None:
+            # PCA-proxy multi-stage path (ops/pca): tiny [Q, p] x [p, N]
+            # proxy matmul -> ranked top-pca_r -> blocked exact refine
+            from ..ops import pca
+
+            if self._proxy_norms is None:
+                p32 = self.proxy_t.astype(jnp.float32)
+                self._proxy_norms = jnp.sum(p32 * p32, axis=0)
+            packed = self._packed_refine_store(st)
+            dists, ext = pca.pca_proxy_search(
+                jnp.asarray(padded), self.pca_mean, self.pca_basis,
+                self.proxy_t, self._proxy_norms, st.valid, st.vectors,
+                st.ids, k_pad, select_r=max(self.config.pca_r, k_pad),
+                metric=self.metric, packed_base=packed,
+            )
+            ext_np = np.asarray(ext)[:q_n, :k_eff]
+            out_ids = np.full((q_n, k), -1, np.int32)
+            out_d = np.full((q_n, k), np.inf, np.float32)
+            out_ids[:, :k_eff] = ext_np
+            out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
+            return out_ids, out_d
         if mode == "adc_fast":
             # fast memory-bound path: decode-kernel scan + unranked pool +
             # exact refine (scoring reads only codes + codebooks)
@@ -385,16 +442,7 @@ class HnswPqIndex(VectorIndex):
             chunk = (131072
                      if padded.shape[0] * st.capacity * 4 > 512 * 1024 * 1024
                      else 0)
-            packed = None
-            if self.config.refine_store == "bf16":
-                if (self._packed_cache is None
-                        or self._packed_cache[0] is not st.vectors):
-                    from ..ops.distance import pack_bf16_rows
-
-                    self._packed_cache = (
-                        st.vectors, pack_bf16_rows(st.vectors)
-                    )
-                packed = self._packed_cache[1]
+            packed = self._packed_refine_store(st)
             dists, ext = adc.adc_fast_search(
                 jnp.asarray(padded), ct, cbt, st.valid, st.vectors, st.ids,
                 k_pad, bucket=bucket, winners=self.config.adc_winners,
@@ -477,12 +525,17 @@ class HnswPqIndex(VectorIndex):
         graph_bytes = (
             int(np.prod(self.graph.neighbors.shape)) * 4 if self.config.use_graph else 0
         )
+        proxy_bytes = (
+            int(np.prod(self.proxy_t.shape)) * 2
+            if self.proxy_t is not None else 0
+        )
         s.update(
             trained=self.trained,
             num_subspaces=sub,
             num_centroids=self.config.num_centroids,
             compression_ratio=4.0 * self.dim / sub,
-            index_bytes=code_bytes + cb_bytes + graph_bytes,
+            index_bytes=code_bytes + cb_bytes + graph_bytes + proxy_bytes,
+            proxy_bytes=proxy_bytes,
             raw_bytes=self.store.capacity * self.dim * 4,
             use_graph=self.config.use_graph,
         )
@@ -509,6 +562,10 @@ class HnswPqIndex(VectorIndex):
         if self.coarse_centroids is not None:
             out["coarse_centroids"] = np.asarray(self.coarse_centroids)
             out["coarse_assign"] = self.coarse_assign
+        if self.proxy_t is not None:
+            out["pca_mean"] = np.asarray(self.pca_mean)
+            out["pca_basis"] = np.asarray(self.pca_basis)
+            out["proxy_t"] = np.asarray(self.proxy_t, np.float32)
         return out
 
     def load_state_arrays(self, arrays: dict) -> None:
@@ -533,6 +590,11 @@ class HnswPqIndex(VectorIndex):
             self.coarse_assign = np.asarray(arrays["coarse_assign"]).copy()
             self._members = None
             self._members_dirty = True
+        if "proxy_t" in arrays:
+            self.pca_mean = jnp.asarray(arrays["pca_mean"])
+            self.pca_basis = jnp.asarray(arrays["pca_basis"])
+            self.proxy_t = jnp.asarray(arrays["proxy_t"], jnp.bfloat16)
+            self._proxy_norms = None
 
 
 import functools
