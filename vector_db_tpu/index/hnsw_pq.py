@@ -601,20 +601,22 @@ import functools
 
 
 def _auto_scan_mode(q_n: int, capacity: int, use_graph: bool) -> str:
-    """search_mode="auto" resolution from MEASURED crossovers (BENCH_REPORT
-    §5/§7, one v5e chip):
+    """search_mode="auto" resolution from MEASURED numbers (BENCH_REPORT
+    §5/A2, one v5e chip):
 
       * graph only when explicitly configured (the parity/incremental path —
         sequential beam expansion cannot feed a systolic array)
-      * the XLA full-row scan wins while the [Q, N] distance matrix is
-        comfortable (<= 512 MB): 618k QPS at 512d x 100k
-      * beyond that the fused Pallas kernel wins (30.4k vs 24.2k QPS at 1M):
-        its peak memory is the [Q, N/128] winner matrix, never [Q, N]
+      * the BLOCKED exact scan (exact_scan_search streams [Q, block_n]
+        tiles, never [Q, N]) wins at every measured size: 440k QPS at 100k,
+        67k QPS @ 99.8% at 1M — vs the fused Pallas kernel's 34k @ 97.2%
+        at 1M.  Round 1 routed large N to scan_pallas based on a full-row
+        [Q, N] comparison; the blocked scan removed that memory cliff, so
+        auto is now always the exact scan.  scan_pallas remains selectable
+        (its peak memory, the [Q, N/128] winner matrix, is ~30x smaller
+        than the blocked scan's [Q, block_n] working set at equal N).
     """
     if use_graph:
         return "graph"
-    if q_n * capacity * 4 > 512 * 1024 * 1024:
-        return "scan_pallas"
     return "scan_exact"
 
 
