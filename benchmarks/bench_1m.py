@@ -117,9 +117,9 @@ def main():
         t0 = time.time()
         mu, basis = pca.pca_fit(sample_np, p)
         mu_j, basis_j = jnp.asarray(mu), jnp.asarray(basis)
-        proxy_t = pca.project_t(vj, mu_j, basis_j)
-        p32f = proxy_t.astype(jnp.float32)
-        pnorms = jnp.sum(p32f * p32f, axis=0)
+        proxy = pca.project_rows(vj, mu_j, basis_j)
+        p32f = proxy.astype(jnp.float32)
+        pnorms = jnp.sum(p32f * p32f, axis=1)
         del p32f
         jax.block_until_ready(pnorms)
         log(f"pca p={p}: fit+project {time.time()-t0:.1f}s")
@@ -129,13 +129,13 @@ def main():
                                         valid, base, ids, k, select_r=r,
                                         packed_base=pk)
             return d[0, 0]
-        d, e = pca.pca_proxy_search(qf, mu_j, basis_j, proxy_t, pnorms,
+        d, e = pca.pca_proxy_search(qf, mu_j, basis_j, proxy, pnorms,
                                     valid, vj, ids, k, select_r=r,
                                     packed_base=packed)
-        dt = timed(pca_run, qf, proxy_t, pnorms, vj, packed)
+        dt = timed(pca_run, qf, proxy, pnorms, vj, packed)
         log(f"pca p={p} R={r}: recall={rec(e):.4f}  {dt*1e3:.1f} ms  "
             f"{nq/dt:,.0f} QPS")
-        del proxy_t, pnorms
+        del proxy, pnorms
 
     # ---- memory-bound adc_fast, chunked (codes 64 MB vs 2 GB raw) ---------
     t0 = time.time()

@@ -71,19 +71,19 @@ def main():
         t0 = time.time()
         mu, basis = pca.pca_fit(sample, p)
         mu_j, basis_j = jnp.asarray(mu), jnp.asarray(basis)
-        proxy_t = pca.project_t(vj, mu_j, basis_j)
-        p32 = proxy_t.astype(jnp.float32)
-        pnorms = jnp.sum(p32 * p32, axis=0)
+        proxy = pca.project_rows(vj, mu_j, basis_j)
+        p32 = proxy.astype(jnp.float32)
+        pnorms = jnp.sum(p32 * p32, axis=1)
         jax.block_until_ready(pnorms)
         log(f"p={p}: fit+project {time.time()-t0:.1f}s "
             f"({p*2} B/vec = {dim*4/(p*2):.0f}x proxy compression)")
         for r in (128, 256):
             def run(q, eps):
                 d, _ = pca.pca_proxy_search(
-                    q + eps, mu_j, basis_j, proxy_t, pnorms, valid, vj, ids,
+                    q + eps, mu_j, basis_j, proxy, pnorms, valid, vj, ids,
                     k, select_r=r, packed_base=packed)
                 return d[0, 0]
-            d, e = pca.pca_proxy_search(qf, mu_j, basis_j, proxy_t, pnorms,
+            d, e = pca.pca_proxy_search(qf, mu_j, basis_j, proxy, pnorms,
                                         valid, vj, ids, k, select_r=r,
                                         packed_base=packed)
             e_np = np.asarray(e)

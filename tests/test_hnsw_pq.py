@@ -204,7 +204,7 @@ class TestPcaProxyMode:
                            search_mode="pca", proxy_dims=8, pca_r=64)
         idx = HnswPqIndex(32, 2048, "l2", cfg)
         idx.add_batch(range(1024), vecs)
-        assert idx.trained and idx.proxy_t is not None
+        assert idx.trained and idx.proxy is not None
         nv = vecs[7] * 0.5
         idx.add_batch([9999], nv[None, :])
         ids, _ = idx.search_batch(nv[None, :], 1)

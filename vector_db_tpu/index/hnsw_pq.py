@@ -83,10 +83,10 @@ class HnswPqIndex(VectorIndex):
         # the store's immutable vectors array
         self._packed_cache: Optional[tuple] = None
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
-        # at train time, proxy_t [p, cap] bf16 maintained per encode
+        # at train time, proxy rows [cap, p] bf16 maintained per encode
         self.pca_mean: Optional[jax.Array] = None
         self.pca_basis: Optional[jax.Array] = None
-        self.proxy_t: Optional[jax.Array] = None
+        self.proxy: Optional[jax.Array] = None
         self._proxy_norms: Optional[jax.Array] = None
 
     # ------------------------------------------------------------- helpers
@@ -198,7 +198,7 @@ class HnswPqIndex(VectorIndex):
             mu, basis = pca.pca_fit(raw, p)
             self.pca_mean = jnp.asarray(mu)
             self.pca_basis = jnp.asarray(basis)
-            self.proxy_t = jnp.zeros((p, self.store.capacity), jnp.bfloat16)
+            self.proxy = jnp.zeros((self.store.capacity, p), jnp.bfloat16)
         self._encode_slots(live)
         if self.config.nlist > 0:
             from ..ops.kmeans import kmeans_fit
@@ -287,11 +287,11 @@ class HnswPqIndex(VectorIndex):
             return
         sl = jnp.asarray(slots)
         vecs = self.store.state.vectors[sl]
-        if self.proxy_t is not None:
+        if self.proxy is not None:
             from ..ops import pca
 
-            self.proxy_t = self.proxy_t.at[:, sl].set(
-                pca.project_t(vecs, self.pca_mean, self.pca_basis)
+            self.proxy = self.proxy.at[sl, :].set(
+                pca.project_rows(vecs, self.pca_mean, self.pca_basis)
             )
             self._proxy_norms = None
         if self.perm is not None:
@@ -412,18 +412,18 @@ class HnswPqIndex(VectorIndex):
             out_ids[:, :k_eff] = ext_np
             out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
             return out_ids, out_d
-        if mode == "pca" and self.proxy_t is not None:
+        if mode == "pca" and self.proxy is not None:
             # PCA-proxy multi-stage path (ops/pca): tiny [Q, p] x [p, N]
             # proxy matmul -> ranked top-pca_r -> blocked exact refine
             from ..ops import pca
 
             if self._proxy_norms is None:
-                p32 = self.proxy_t.astype(jnp.float32)
-                self._proxy_norms = jnp.sum(p32 * p32, axis=0)
+                p32 = self.proxy.astype(jnp.float32)
+                self._proxy_norms = jnp.sum(p32 * p32, axis=1)
             packed = self._packed_refine_store(st)
             dists, ext = pca.pca_proxy_search(
                 jnp.asarray(padded), self.pca_mean, self.pca_basis,
-                self.proxy_t, self._proxy_norms, st.valid, st.vectors,
+                self.proxy, self._proxy_norms, st.valid, st.vectors,
                 st.ids, k_pad, select_r=max(self.config.pca_r, k_pad),
                 metric=self.metric, packed_base=packed,
             )
@@ -526,8 +526,8 @@ class HnswPqIndex(VectorIndex):
             int(np.prod(self.graph.neighbors.shape)) * 4 if self.config.use_graph else 0
         )
         proxy_bytes = (
-            int(np.prod(self.proxy_t.shape)) * 2
-            if self.proxy_t is not None else 0
+            int(np.prod(self.proxy.shape)) * 2
+            if self.proxy is not None else 0
         )
         s.update(
             trained=self.trained,
@@ -562,10 +562,10 @@ class HnswPqIndex(VectorIndex):
         if self.coarse_centroids is not None:
             out["coarse_centroids"] = np.asarray(self.coarse_centroids)
             out["coarse_assign"] = self.coarse_assign
-        if self.proxy_t is not None:
+        if self.proxy is not None:
             out["pca_mean"] = np.asarray(self.pca_mean)
             out["pca_basis"] = np.asarray(self.pca_basis)
-            out["proxy_t"] = np.asarray(self.proxy_t, np.float32)
+            out["proxy"] = np.asarray(self.proxy, np.float32)
         return out
 
     def load_state_arrays(self, arrays: dict) -> None:
@@ -590,10 +590,10 @@ class HnswPqIndex(VectorIndex):
             self.coarse_assign = np.asarray(arrays["coarse_assign"]).copy()
             self._members = None
             self._members_dirty = True
-        if "proxy_t" in arrays:
+        if "proxy" in arrays:
             self.pca_mean = jnp.asarray(arrays["pca_mean"])
             self.pca_basis = jnp.asarray(arrays["pca_basis"])
-            self.proxy_t = jnp.asarray(arrays["proxy_t"], jnp.bfloat16)
+            self.proxy = jnp.asarray(arrays["proxy"], jnp.bfloat16)
             self._proxy_norms = None
 
 

@@ -12,9 +12,11 @@ near-perfect recall.
 Compared to the ADC decode-kernel scan (ops/adc.adc_fast_search), the proxy
 scan needs no decode pass: scoring is ONE [Q, p] x [p, N] matmul, so the
 stage cost scales with p/d (~16x fewer FLOPs at p=32, d=512) and no
-VPU-gather decode.  The tradeoff is distribution-dependence: truncated PCA
-needs a decaying eigenspectrum (real embeddings have one; isotropic noise
-does not — there PQ and PCA both lose, see BENCH_REPORT A4).
+VPU-gather decode.  The proxy scan rides `blocked_knn_fast`, so peak memory
+is [Q, block_n] — at 1M+ the [Q, N] distance matrix never materialises.
+The tradeoff is distribution-dependence: truncated PCA needs a decaying
+eigenspectrum (real embeddings have one; isotropic noise does not — there
+PQ and PCA both lose, see BENCH_REPORT A4).
 """
 
 from __future__ import annotations
@@ -45,20 +47,20 @@ def pca_fit(sample: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @jax.jit
-def project_t(vectors: Array, mean: Array, basis: Array) -> Array:
-    """[N, d] rows -> centered projection, transposed [p, N] bf16 (the
-    scan layout, mirroring the decode kernel's reconT)."""
-    return ((vectors - mean[None, :]) @ basis).T.astype(jnp.bfloat16)
+def project_rows(vectors: Array, mean: Array, basis: Array) -> Array:
+    """[N, d] rows -> centered projections [N, p] bf16 (the proxy store)."""
+    return ((vectors - mean[None, :]) @ basis).astype(jnp.bfloat16)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "select_r", "metric", "rerank_block")
+    jax.jit, static_argnames=("k", "select_r", "metric", "rerank_block",
+                              "block_n")
 )
 def pca_proxy_search(
     queries: Array,
     mean: Array,
     basis: Array,
-    proxy_t: Array,
+    proxy: Array,
     proxy_norms: Array,
     valid: Array,
     base: Array,
@@ -68,27 +70,27 @@ def pca_proxy_search(
     metric: str = "l2",
     rerank_block: int = 512,
     packed_base: Optional[Array] = None,
+    block_n: int = 131072,
 ) -> tuple[Array, Array]:
     """Proxy scan + ranked top-R + blocked exact refine, ONE device program.
 
-    queries [Q, d] f32; proxy_t [p, N] bf16 (project_t layout); proxy_norms
-    [N] f32 (squared norms of the projections, un-masked); valid [N];
+    queries [Q, d] f32; proxy [N, p] bf16 (project_rows); proxy_norms [N]
+    f32 (squared norms of the projections, un-masked); valid [N];
     base [N, d] raw store; ids [N] external ids.
     Returns (exact dists [Q, k], external ids [Q, k]) ascending.
-    """
-    from .distance import blocked_rerank, blocked_rerank_packed
 
-    qp = ((queries - mean[None, :]) @ basis).astype(proxy_t.dtype)  # [Q, p]
-    cross = jax.lax.dot_general(
-        qp, proxy_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    masked = jnp.where(valid, proxy_norms, jnp.inf)
-    dist = masked[None, :] - 2.0 * cross          # + ||q_p||^2 == const/row
-    n = proxy_t.shape[1]
+    The proxy ranking is always squared-L2 in PCA space (rank-equivalent to
+    cosine after the exact refine re-orders under `metric`).
+    """
+    from .distance import blocked_knn_fast, blocked_rerank, blocked_rerank_packed
+
+    qp = ((queries - mean[None, :]) @ basis).astype(proxy.dtype)   # [Q, p]
+    n = proxy.shape[0]
     r = min(select_r, n)
-    neg, sel = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
-    pool = jnp.where(jnp.isfinite(-neg), sel.astype(jnp.int32), -1)
+    _, pool = blocked_knn_fast(
+        qp, proxy, valid, r, metric="l2", b_norms=proxy_norms,
+        block_n=block_n, recall_target=0.95,
+    )
 
     if packed_base is not None:
         out_d, slots = blocked_rerank_packed(queries, packed_base, pool, k,
