@@ -231,3 +231,24 @@ class TestPcaProxyMode:
         assert idx.remove(5)
         ids, _ = idx.search_batch(vecs[5:6], 5)
         assert 5 not in ids[0]
+
+    def test_chunked_proxy_selection_matches_fullrow(self):
+        from vector_db_tpu.ops import pca
+        import jax.numpy as jnp
+
+        vecs = self._corpus(1024, 32)
+        mu, basis = pca.pca_fit(vecs[:512], 8)
+        mu_j, basis_j = jnp.asarray(mu), jnp.asarray(basis)
+        proxy = pca.project_rows(jnp.asarray(vecs), mu_j, basis_j)
+        p32 = proxy.astype(jnp.float32)
+        pnorms = jnp.sum(p32 * p32, axis=1)
+        args = (jnp.asarray(vecs[:8]), mu_j, basis_j, proxy, pnorms,
+                jnp.ones(1024, bool), jnp.asarray(vecs),
+                jnp.arange(1024, dtype=jnp.int32), 5)
+        d1, e1 = pca.pca_proxy_search(*args, select_r=64)
+        d2, e2 = pca.pca_proxy_search(*args, select_r=64, block_n=256,
+                                      force_chunked=True)
+        assert (np.asarray(e1)[:, 0] == np.arange(8)).all()
+        assert (np.asarray(e2)[:, 0] == np.arange(8)).all()
+        np.testing.assert_allclose(np.asarray(d1)[:, 0],
+                                   np.asarray(d2)[:, 0], atol=1e-4)

@@ -12,8 +12,9 @@ near-perfect recall.
 Compared to the ADC decode-kernel scan (ops/adc.adc_fast_search), the proxy
 scan needs no decode pass: scoring is ONE [Q, p] x [p, N] matmul, so the
 stage cost scales with p/d (~16x fewer FLOPs at p=32, d=512) and no
-VPU-gather decode.  The proxy scan rides `blocked_knn_fast`, so peak memory
-is [Q, block_n] — at 1M+ the [Q, N] distance matrix never materialises.
+VPU-gather decode.  Beyond ~6 GB of [Q, N] distances the scan switches to
+a chunked pool + one final select (see pca_proxy_search), so 10M+ corpora
+never materialise [Q, N].
 The tradeoff is distribution-dependence: truncated PCA needs a decaying
 eigenspectrum (real embeddings have one; isotropic noise does not — there
 PQ and PCA both lose, see BENCH_REPORT A4).
@@ -54,7 +55,7 @@ def project_rows(vectors: Array, mean: Array, basis: Array) -> Array:
 
 @functools.partial(
     jax.jit, static_argnames=("k", "select_r", "metric", "rerank_block",
-                              "block_n")
+                              "block_n", "force_chunked")
 )
 def pca_proxy_search(
     queries: Array,
@@ -71,6 +72,7 @@ def pca_proxy_search(
     rerank_block: int = 512,
     packed_base: Optional[Array] = None,
     block_n: int = 131072,
+    force_chunked: bool = False,
 ) -> tuple[Array, Array]:
     """Proxy scan + ranked top-R + blocked exact refine, ONE device program.
 
@@ -81,16 +83,57 @@ def pca_proxy_search(
 
     The proxy ranking is always squared-L2 in PCA space (rank-equivalent to
     cosine after the exact refine re-orders under `metric`).
+
+    Selection strategy (measured at 1M x 512, p=64, R=256, one v5e chip):
+    a running blocked merge (blocked_knn_fast) costs 75 ms — per-block
+    `top_k` at k=256 is the TPU top_k pathology — while one full-row
+    `approx_max_k` over the [Q, N] proxy distances costs 16 ms.  So: one
+    full-row pass while [Q, N] f32 fits comfortably (<= 6 GB), else chunked
+    per-chunk approx pools + ONE final ranked select over the concatenated
+    winners (the adc_fast large-N pattern; never a per-block top_k merge).
     """
-    from .distance import blocked_knn_fast, blocked_rerank, blocked_rerank_packed
+    from .distance import blocked_rerank, blocked_rerank_packed
 
     qp = ((queries - mean[None, :]) @ basis).astype(proxy.dtype)   # [Q, p]
+    q_n = queries.shape[0]
     n = proxy.shape[0]
     r = min(select_r, n)
-    _, pool = blocked_knn_fast(
-        qp, proxy, valid, r, metric="l2", b_norms=proxy_norms,
-        block_n=block_n, recall_target=0.95,
-    )
+    masked = jnp.where(valid, proxy_norms, jnp.inf)
+
+    def chunk_pool(pt_blk, mn_blk):
+        cross = jax.lax.dot_general(
+            qp, pt_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dist = mn_blk[None, :] - 2.0 * cross     # + ||q_p||^2 == const/row
+        neg, sel = jax.lax.approx_max_k(-dist, min(r, pt_blk.shape[0]),
+                                        recall_target=0.95)
+        return -neg, jnp.where(jnp.isfinite(-neg),
+                               sel.astype(jnp.int32), -1)
+
+    if q_n * n * 4 <= 6 * 1024 ** 3 and not force_chunked:
+        _, pool = chunk_pool(proxy, masked)
+    else:
+        n_pad = (-n) % block_n
+        pt = jnp.pad(proxy, ((0, n_pad), (0, 0))) if n_pad else proxy
+        mn = (jnp.pad(masked, (0, n_pad), constant_values=jnp.inf)
+              if n_pad else masked)
+        starts = jnp.arange(0, n + n_pad, block_n, dtype=jnp.int32)
+
+        def one(start):
+            pv, loc = chunk_pool(
+                jax.lax.dynamic_slice_in_dim(pt, start, block_n, axis=0),
+                jax.lax.dynamic_slice_in_dim(mn, start, block_n),
+            )
+            return pv, jnp.where(loc >= 0, loc + start, -1)
+
+        pvals, pools = jax.lax.map(one, starts)           # [C, Q, r]
+        cand = jnp.moveaxis(pools, 0, 1).reshape(q_n, -1)
+        cvals = jnp.moveaxis(pvals, 0, 1).reshape(q_n, -1)
+        cvals = jnp.where(cand >= 0, cvals, jnp.inf)
+        _, sel = jax.lax.approx_max_k(-cvals, r, recall_target=0.99)
+        pool = jnp.take_along_axis(cand, sel, axis=1)
+        pool = jnp.where(pool < n, pool, -1)
 
     if packed_base is not None:
         out_d, slots = blocked_rerank_packed(queries, packed_base, pool, k,
