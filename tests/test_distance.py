@@ -114,3 +114,44 @@ class TestTopK:
         d, i = T.unique_smallest_k(dists, ids, 4)
         np.testing.assert_array_equal(np.asarray(i), [3, 9, 7, -1])
         np.testing.assert_allclose(np.asarray(d)[:3], [1.0, 2.0, 3.0])
+
+
+class TestInt8Refine:
+    def test_matches_f32_rerank_ranking(self):
+        import jax.numpy as jnp
+        from vector_db_tpu.ops.distance import (
+            blocked_rerank, blocked_rerank_int8, pack_int8_rows,
+        )
+
+        rng = np.random.default_rng(42)
+        n, d, qn, r, k = 1024, 64, 16, 128, 10
+        base = rng.standard_normal((n, d)).astype(np.float32)
+        q = base[:qn] + 0.05 * rng.standard_normal((qn, d)).astype(np.float32)
+        cand = rng.integers(0, n, (qn, r)).astype(np.int32)
+        cand[:, 0] = np.arange(qn)  # true neighbor present
+        packed, scales = pack_int8_rows(jnp.asarray(base))
+        d8, s8 = blocked_rerank_int8(jnp.asarray(q), packed, scales,
+                                     jnp.asarray(cand), k)
+        df, sf = blocked_rerank(jnp.asarray(q), jnp.asarray(base),
+                                jnp.asarray(cand), k)
+        # top-1 agrees (self row), distances within quantization error
+        np.testing.assert_array_equal(np.asarray(s8)[:, 0],
+                                      np.asarray(sf)[:, 0])
+        np.testing.assert_allclose(np.asarray(d8)[:, 0],
+                                   np.asarray(df)[:, 0], atol=0.2)
+
+    def test_masked_candidates(self):
+        import jax.numpy as jnp
+        from vector_db_tpu.ops.distance import (
+            blocked_rerank_int8, pack_int8_rows,
+        )
+
+        rng = np.random.default_rng(1)
+        base = rng.standard_normal((256, 16)).astype(np.float32)
+        packed, scales = pack_int8_rows(jnp.asarray(base))
+        cand = np.full((2, 64), -1, np.int32)
+        cand[:, 0] = [3, 7]
+        d8, s8 = blocked_rerank_int8(jnp.asarray(base[:2]), packed, scales,
+                                     jnp.asarray(cand), 5)
+        assert np.asarray(s8)[0, 0] == 3 and np.asarray(s8)[1, 0] == 7
+        assert np.isinf(np.asarray(d8)[:, 1]).all()

@@ -382,3 +382,71 @@ def knn_full(
     neg, idx = jax.lax.top_k(-d, k)
     idx = jnp.where(jnp.isfinite(-neg), idx, -1)
     return -neg, idx.astype(jnp.int32)
+
+
+def pack_int8_rows(base: Array) -> tuple[Array, Array]:
+    """[N, d] f32 -> (int8 rows [N, d], per-row scales [N] f32).
+
+    Symmetric per-row quantization: row_q = round(127 * v / max|v|),
+    v ~ scale * row_q with |error| <= scale/2 per element (~0.4% relative).
+    The 4x-smaller refine store for corpora whose RAW f32 rows do not fit
+    HBM (at 10M x 512: 5.1 GB vs 20 GB) — see blocked_rerank_int8.
+    """
+    amax = jnp.max(jnp.abs(base), axis=1)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(base / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def blocked_rerank_int8(
+    q: Array,
+    packed: Array,
+    scales: Array,
+    cand: Array,
+    k: int,
+    metric: str = METRIC_L2,
+    rb: int = 512,
+) -> tuple[Array, Array]:
+    """`blocked_rerank` against an int8 row store (see pack_int8_rows).
+
+    The refine gather moves 1/4 the bytes of f32 (1/2 of the bf16-packed
+    store); per-element quantization error ~0.4% relative — well under
+    neighbor-gap scale for ranking a few hundred candidates.  Used when the
+    raw corpus cannot be HBM-resident at all (10M x 512 = 20 GB raw).
+    """
+    q_n, r = cand.shape
+    d = packed.shape[1]
+    rb = min(rb, max(128, -(-r // 128) * 128))
+    r_pad = (-r) % rb
+    if r_pad:
+        cand = jnp.pad(cand, ((0, 0), (0, r_pad)), constant_values=-1)
+    n_blocks = (r + r_pad) // rb
+    q_norms = jnp.sum(q * q, axis=1)
+    dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    qc = q.astype(dt)
+
+    def body(carry, blk):
+        top_d, top_i = carry
+        cnd = jax.lax.dynamic_slice_in_dim(cand, blk * rb, rb, axis=1)
+        safe = jnp.maximum(cnd, 0)
+        v8 = packed[safe]                                  # [Q, rb, d] int8
+        sc = scales[safe]                                  # [Q, rb]
+        vq = v8.astype(dt)
+        dots = jnp.einsum("qd,qrd->qr", qc, vq,
+                          preferred_element_type=jnp.float32) * sc
+        vn = jnp.sum(v8.astype(jnp.float32) ** 2, axis=2) * (sc * sc)
+        if metric == METRIC_L2:
+            dd = jnp.maximum(q_norms[:, None] + vn - 2.0 * dots, 0.0)
+        else:
+            qn_ = jnp.sqrt(jnp.maximum(q_norms, 1e-12))[:, None]
+            dd = 1.0 - dots / jnp.maximum(qn_ * jnp.sqrt(vn), 1e-12)
+        dd = jnp.where(cnd >= 0, dd, jnp.inf)
+        cat_d = jnp.concatenate([top_d, dd], axis=1)
+        cat_i = jnp.concatenate([top_i, cnd], axis=1)
+        neg, arg = jax.lax.top_k(-cat_d, k)
+        return ((-neg), jnp.take_along_axis(cat_i, arg, 1)), None
+
+    init = (jnp.full((q_n, k), jnp.inf), jnp.full((q_n, k), -1, jnp.int32))
+    (dd, slots), _ = jax.lax.scan(body, init,
+                                  jnp.arange(n_blocks, dtype=jnp.int32))
+    return dd, slots

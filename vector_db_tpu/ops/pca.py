@@ -73,6 +73,8 @@ def pca_proxy_search(
     packed_base: Optional[Array] = None,
     block_n: int = 131072,
     force_chunked: bool = False,
+    int8_base: Optional[Array] = None,
+    int8_scales: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """Proxy scan + ranked top-R + blocked exact refine, ONE device program.
 
@@ -92,7 +94,9 @@ def pca_proxy_search(
     per-chunk approx pools + ONE final ranked select over the concatenated
     winners (the adc_fast large-N pattern; never a per-block top_k merge).
     """
-    from .distance import blocked_rerank, blocked_rerank_packed
+    from .distance import (
+        blocked_rerank, blocked_rerank_int8, blocked_rerank_packed,
+    )
 
     qp = ((queries - mean[None, :]) @ basis).astype(proxy.dtype)   # [Q, p]
     q_n = queries.shape[0]
@@ -135,7 +139,12 @@ def pca_proxy_search(
         pool = jnp.take_along_axis(cand, sel, axis=1)
         pool = jnp.where(pool < n, pool, -1)
 
-    if packed_base is not None:
+    if int8_base is not None:
+        # int8 refine store: the only exact(-ish) stage left when raw f32
+        # cannot be HBM-resident at all (10M x 512 = 20 GB raw; int8 = 5 GB)
+        out_d, slots = blocked_rerank_int8(queries, int8_base, int8_scales,
+                                           pool, k, metric, rb=rerank_block)
+    elif packed_base is not None:
         out_d, slots = blocked_rerank_packed(queries, packed_base, pool, k,
                                              metric, rb=rerank_block)
     else:
