@@ -151,14 +151,19 @@ def main():
 
     # ---- PCA-proxy + int8 refine ------------------------------------------
     for r in (256, 512):
+        big = CHUNK * (N_CHUNKS // 8)  # 8 chunks: approx_max_k per-call
+        # fixed cost dominates at 76 small chunks (416 ms); 8 big ones
+        # amortise it and XLA fuses matmul->PartialReduce per chunk
+
         def pca_run(q, px, pn, i8, sc, eps):
             d, _ = pca.pca_proxy_search(
                 q + eps, mu_j, basis_j, px, pn, valid, px, ids, K,
-                select_r=r, int8_base=i8, int8_scales=sc)
+                select_r=r, int8_base=i8, int8_scales=sc, block_n=big)
             return d[0, 0]
         d, e = pca.pca_proxy_search(qf, mu_j, basis_j, proxy, pnorms, valid,
                                     proxy, ids, K, select_r=r,
-                                    int8_base=int8s, int8_scales=scales)
+                                    int8_base=int8s, int8_scales=scales,
+                                    block_n=big)
         dt = timed(pca_run, qf, proxy, pnorms, int8s, scales)
         log(f"pca p=64 R={r} + int8 refine: recall={rec(e):.4f}  "
             f"{dt*1e3:.1f} ms  {NQ/dt:,.0f} QPS")
@@ -169,16 +174,18 @@ def main():
     # int8 refine as two stages here)
     from vector_db_tpu.ops.distance import blocked_rerank_int8
 
+    BIG = CHUNK * (N_CHUNKS // 8)
+
     @jax.jit
     def adc10m(q, codes_t, cnorms, int8s, scales):
         masked = jnp.where(valid, cnorms, jnp.inf)
         n_total = codes_t.shape[1]
-        starts = jnp.arange(0, n_total, CHUNK, dtype=jnp.int32)
+        starts = jnp.arange(0, n_total, BIG, dtype=jnp.int32)
         qp = (q if perm is None else q[:, perm]).astype(jnp.bfloat16)
 
         def one(start):
-            blk = jax.lax.dynamic_slice_in_dim(codes_t, start, CHUNK, axis=1)
-            mn = jax.lax.dynamic_slice_in_dim(masked, start, CHUNK)
+            blk = jax.lax.dynamic_slice_in_dim(codes_t, start, BIG, axis=1)
+            mn = jax.lax.dynamic_slice_in_dim(masked, start, BIG)
             r32 = pq_decode_recon_t(blk, cbt)
             cross = jax.lax.dot_general(
                 qp, r32, (((1,), (0,)), ((), ())),
@@ -204,6 +211,17 @@ def main():
     dt = timed(adc_run, qf, codes_t, cnorms, int8s, scales)
     log(f"adc_fast codes-only R=512 + int8 refine: recall={rec(e):.4f}  "
         f"{dt*1e3:.1f} ms  {NQ/dt:,.0f} QPS")
+
+    # refine-only probe: int32-packed int8 gather bandwidth at 10M rows
+    from vector_db_tpu.ops.distance import blocked_rerank_int8 as bri
+    cand = jnp.asarray(
+        np.random.default_rng(0).integers(0, n, (NQ, 256)).astype(np.int32))
+    def ref_run(q, i8, sc, cd, eps):
+        d, _ = bri(q + eps, i8, sc, cd, K)
+        return d[0, 0]
+    dt = timed(ref_run, qf, int8s, scales, cand)
+    log(f"int8 refine alone R=256: {dt*1e3:.1f} ms "
+        f"({NQ*256*DIM/dt/1e9:.0f} GB/s logical-int8)")
 
 
 if __name__ == "__main__":
