@@ -89,7 +89,7 @@ def main():
     # ---- streamed build: raw chunks exist only transiently ----------------
     codes_t = jnp.zeros((64, n), jnp.uint8)
     proxy = jnp.zeros((n, 64), jnp.bfloat16)
-    int8s = jnp.zeros((n, DIM), jnp.int8)
+    int8s = jnp.zeros((n, DIM // 4), jnp.int32)  # int32-packed int8
     scales = jnp.zeros((n,), jnp.float32)
     gt_d = jnp.full((NQ, K), jnp.inf, jnp.float32)
     gt_i = jnp.full((NQ, K), -1, jnp.int32)
