@@ -146,6 +146,11 @@ class LshIndex(VectorIndex):
     def __init__(self, dim: int, capacity: int, metric: str = "l2", config: Optional[LshConfig] = None):
         super().__init__(dim, capacity, metric)
         self.config = config or LshConfig()
+        if self.config.hamming_radius > 0 and self.config.num_bits > 31:
+            raise ValueError(
+                "multi-probe sign codes pack into int32: num_bits <= 31 "
+                f"required with hamming_radius > 0, got {self.config.num_bits}"
+            )
         self.store = VectorStore(capacity, dim)
         self.seed = 42
         self._gen = 0  # regenerated on build (reference :303-339)
