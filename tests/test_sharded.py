@@ -177,3 +177,50 @@ class TestShardedCrudBuild:
         db = sh.ShardedDatabase(mesh, dim=16, capacity=64)
         assert len(db.add_batch([1, 1, 2], vecs[:3])) == 2
         assert db.size() == 2
+
+
+class TestShardedPca:
+    def test_pca_search_finds_self(self, mesh):
+        from vector_db_tpu.ops import pca
+        from vector_db_tpu.parallel import sharded as sh
+
+        rng = np.random.default_rng(42)
+        n, dim, p, k = 256, 32, 8, 4
+        scale = ((np.arange(dim) + 1.0) ** -0.5).astype(np.float32)
+        vecs = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+        mu, basis = pca.pca_fit(vecs[:128], p)
+        mu_j, basis_j = jnp.asarray(mu), jnp.asarray(basis)
+        proxy = pca.project_rows(jnp.asarray(vecs), mu_j, basis_j)
+        p32 = proxy.astype(jnp.float32)
+        pnorms = jnp.sum(p32 * p32, axis=1)
+        valid = jnp.ones(n, bool)
+        ids = jnp.arange(100, 100 + n, dtype=jnp.int32)
+        proxy_s, pnorms_s, valid_s, base_s, ids_s = sh.shard_corpus(
+            mesh, proxy, pnorms, valid, jnp.asarray(vecs), ids)
+        fn = sh.sharded_pca_search(mesh, k, 32)
+        q = jnp.asarray(vecs[:8])
+        d, e = fn(q, mu_j, basis_j, proxy_s, pnorms_s, valid_s, base_s,
+                  ids_s)
+        assert (np.asarray(e)[:, 0] == 100 + np.arange(8)).all()
+        assert float(np.asarray(d)[:, 0].max()) < 1e-3
+
+    def test_pca_search_respects_tombstones(self, mesh):
+        from vector_db_tpu.ops import pca
+        from vector_db_tpu.parallel import sharded as sh
+
+        rng = np.random.default_rng(3)
+        n, dim, p, k = 128, 16, 4, 3
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        mu, basis = pca.pca_fit(vecs, p)
+        mu_j, basis_j = jnp.asarray(mu), jnp.asarray(basis)
+        proxy = pca.project_rows(jnp.asarray(vecs), mu_j, basis_j)
+        p32 = proxy.astype(jnp.float32)
+        pnorms = jnp.sum(p32 * p32, axis=1)
+        valid = np.ones(n, bool)
+        valid[5] = False
+        ids = jnp.arange(n, dtype=jnp.int32)
+        shards = sh.shard_corpus(mesh, proxy, pnorms, jnp.asarray(valid),
+                                 jnp.asarray(vecs), ids)
+        fn = sh.sharded_pca_search(mesh, k, 16)
+        d, e = fn(jnp.asarray(vecs[5:6]), mu_j, basis_j, *shards)
+        assert 5 not in np.asarray(e)[0]

@@ -178,6 +178,61 @@ def sharded_flagship(mesh: Mesh, k: int, refine: int):
 
 
 # --------------------------------------------------------------------------
+# corpus-sharded PCA-proxy search (proxy scan + exact refine)
+# --------------------------------------------------------------------------
+
+def sharded_pca_search(mesh: Mesh, k: int, select_r: int):
+    """Corpus-sharded PCA-proxy path (ops/pca): proxy rows, raw store and
+    ids sharded; mean/basis replicated.  Per chip: query projection (tiny,
+    replicated math) -> local proxy top-R (one matmul + approx_max_k) ->
+    local blocked exact refine, then one all_gather + merge over ICI — the
+    same collective shape as `sharded_flagship` (per-chip [Q, k] results,
+    merge bandwidth independent of N).
+
+    Returned fn: (q, mean [d], basis [d,p], proxy [N,p] bf16, pnorms [N],
+    valid [N], base [N,d], ids [N]) -> (dists [Q,k], external ids [Q,k]).
+    """
+
+    def local(q, mean, basis, proxy_s, pnorms_s, valid_s, base_s, ids_s):
+        from ..ops.distance import blocked_rerank
+
+        qp = ((q - mean[None, :]) @ basis).astype(proxy_s.dtype)
+        cross = jax.lax.dot_general(
+            qp, proxy_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        masked = jnp.where(valid_s, pnorms_s, jnp.inf)
+        dist = (masked[None, :] - 2.0 * cross).astype(jnp.bfloat16)
+        r = min(select_r, proxy_s.shape[0])
+        neg, sel = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
+        cand = jnp.where(jnp.isfinite(-neg.astype(jnp.float32)),
+                         sel.astype(jnp.int32), -1)
+        negd, loc = blocked_rerank(q, base_s, cand, min(k, r),
+                                   rb=min(512, r))
+        ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
+        d_all = jax.lax.all_gather(negd, AXIS)
+        e_all = jax.lax.all_gather(ext, AXIS)
+        s, qn, kk = d_all.shape
+        d_flat = jnp.moveaxis(d_all, 0, 1).reshape(qn, s * kk)
+        e_flat = jnp.moveaxis(e_all, 0, 1).reshape(qn, s * kk)
+        neg2, arg = jax.lax.top_k(-d_flat, k)
+        out_e = jnp.take_along_axis(e_flat, arg, 1)
+        out_e = jnp.where(jnp.isfinite(-neg2), out_e, -1)
+        return -neg2, out_e
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS), P(AXIS),
+                      P(AXIS, None), P(AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs are replicated by the all_gather+merge
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # sharded k-means training step (the distributed "training step")
 # --------------------------------------------------------------------------
 
