@@ -224,3 +224,20 @@ class TestShardedPca:
         fn = sh.sharded_pca_search(mesh, k, 16)
         d, e = fn(jnp.asarray(vecs[5:6]), mu_j, basis_j, *shards)
         assert 5 not in np.asarray(e)[0]
+
+    def test_sharded_database_search_pca(self, mesh):
+        from vector_db_tpu.parallel import sharded as sh
+
+        rng = np.random.default_rng(7)
+        n, dim = 256, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=2 * n,
+                                num_subspaces=4)
+        db.add_batch(np.arange(n), vecs)
+        db.fit_pca(8)
+        ext, d = db.search_pca(vecs[:8], 3, select_r=32)
+        assert (ext[:, 0] == np.arange(8)).all()
+        # mutations invalidate the cached proxy
+        assert db.remove(0)
+        ext2, _ = db.search_pca(vecs[:1], 3, select_r=32)
+        assert 0 not in ext2[0]

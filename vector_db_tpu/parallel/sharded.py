@@ -567,6 +567,58 @@ class ShardedDatabase:
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
 
+    def fit_pca(self, p: int = 32) -> None:
+        """Fit the PCA-proxy basis on a live-row sample (ops/pca)."""
+        from ..ops import pca as pca_ops
+
+        sample = self._h_vec[self._h_valid][:20000]
+        if len(sample) < 2:
+            raise ValueError("need >= 2 live vectors to fit PCA")
+        mu, basis = pca_ops.pca_fit(sample, min(p, self.dim))
+        self.pca_mean = jnp.asarray(mu)
+        self.pca_basis = jnp.asarray(basis)
+        self._proxy_gen = None  # invalidate the derived proxy
+
+    def search_pca(self, queries: np.ndarray, k: int, select_r: int = 256
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """Corpus-sharded PCA-proxy search -> (external ids, dists).
+
+        The sharded proxy is derived from the sharded raw store by one
+        shard-local projection matmul (cheap: [N, d] x [d, p]) and cached
+        until the next mutation refresh.
+        """
+        if getattr(self, "pca_basis", None) is None:
+            raise ValueError("no PCA basis: call fit_pca() first")
+        from ..ops import pca as pca_ops
+
+        self._refresh()
+        proj = self._knn_cache.get("pca_project")
+        if proj is None:
+            proj = jax.jit(jax.shard_map(
+                lambda v_s, mu, b: pca_ops.project_rows(v_s, mu, b),
+                mesh=self.mesh,
+                in_specs=(P(AXIS, None), P(), P()),
+                out_specs=P(AXIS, None),
+            ))
+            self._knn_cache["pca_project"] = proj
+        if getattr(self, "_proxy_gen", None) is not self.vectors:
+            self._proxy = proj(self.vectors, self.pca_mean, self.pca_basis)
+            pn = jax.jit(jax.shard_map(
+                lambda p_s: jnp.sum(p_s.astype(jnp.float32) ** 2, axis=1),
+                mesh=self.mesh, in_specs=(P(AXIS, None),),
+                out_specs=P(AXIS),
+            ))(self._proxy)
+            self._pnorms = pn
+            self._proxy_gen = self.vectors
+        fn = self._knn_cache.get(("pca", k, select_r))
+        if fn is None:
+            fn = sharded_pca_search(self.mesh, k, select_r)
+            self._knn_cache[("pca", k, select_r)] = fn
+        d, ext = fn(jnp.asarray(queries, jnp.float32), self.pca_mean,
+                    self.pca_basis, self._proxy, self._pnorms, self.valid,
+                    self.vectors, self.ids)
+        return np.asarray(ext), np.asarray(d)
+
     def search_flagship(self, queries: np.ndarray, k: int, refine: int = 1024
                         ) -> tuple[np.ndarray, np.ndarray]:
         """Corpus-sharded ADC scan + blocked exact refine -> (ids, dists)."""
