@@ -51,17 +51,24 @@ def main():
         # + codebooks (Pallas decode kernel + MXU scan); raw vectors are
         # touched just for the exact top-pool refine
         ("memory-bound (adc_fast, 32x)", CompressionConfig.recommended_config(dim), "adc_fast"),
+        # PCA-proxy multi-stage: a [dim/8]-dim truncated-PCA first stage
+        # (64 B/vec at 512d) + exact refine — ops/pca
+        ("pca proxy (dim/8 dims + refine)", CompressionConfig.recommended_config(dim), "pca"),
     ]
 
     print(f"\n{'preset':32s} {'ratio':>6s} {'build s':>8s} {'ms/q':>7s} {'Recall@10':>10s}")
     print("-" * 70)
     for name, comp, itype in presets:
-        if itype == "adc_fast":
+        if itype in ("adc_fast", "pca"):
             from vector_db_tpu.api.config import HnswPqConfig
 
             sub = max(1, dim // 8)
-            cfg = HnswPqConfig(num_subspaces=sub, search_mode="adc_fast",
-                               adc_bucket=16, adc_winners=2)
+            if itype == "adc_fast":
+                cfg = HnswPqConfig(num_subspaces=sub, search_mode="adc_fast",
+                                   adc_bucket=16, adc_winners=2)
+            else:
+                cfg = HnswPqConfig(num_subspaces=sub, search_mode="pca",
+                                   proxy_dims=max(8, dim // 8), pca_r=256)
             b = (VectorDatabase.builder().with_dimension(dim)
                  .with_max_elements(n).with_index_type(IndexType.HNSWPQ)
                  .with_compression(comp).with_index_config(cfg))

@@ -265,6 +265,10 @@ def adc_fast_search(
         # large-N path: stream the corpus in chunks so peak memory is the
         # per-chunk [d, chunk] reconstruction + [Q, chunk] distances, never
         # [Q, N] (the adc_fast analog of the blocked/fused large-N scans)
+        if pool_mode == "approx" and select_r > 0:
+            # per-chunk ranked top-select_r, then one cross-chunk select —
+            # same rationale as the non-chunked override above
+            bucket = max(1, -(-chunk_n * winners // select_r))
         n_pad = (-n) % chunk_n
         ct = (jnp.pad(codes_t, ((0, 0), (0, n_pad))) if n_pad else codes_t)
         mn = (jnp.pad(masked_norms, (0, n_pad), constant_values=jnp.inf)
