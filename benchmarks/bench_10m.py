@@ -179,7 +179,13 @@ def main():
     @jax.jit
     def adc10m(q, codes_t, cnorms, int8s, scales):
         masked = jnp.where(valid, cnorms, jnp.inf)
-        n_total = codes_t.shape[1]
+        n_real = codes_t.shape[1]
+        n_pad = (-n_real) % BIG
+        if n_pad:  # unpadded last chunk would clamp its slice start while
+            # 'sel + start' uses the unclamped one -> mislabeled candidates
+            codes_t = jnp.pad(codes_t, ((0, 0), (0, n_pad)))
+            masked = jnp.pad(masked, (0, n_pad), constant_values=jnp.inf)
+        n_total = n_real + n_pad
         starts = jnp.arange(0, n_total, BIG, dtype=jnp.int32)
         qp = (q if perm is None else q[:, perm]).astype(jnp.bfloat16)
 
@@ -201,6 +207,7 @@ def main():
                           jnp.moveaxis(pvals, 0, 1).reshape(NQ, -1), jnp.inf)
         _, sel = jax.lax.approx_max_k(-cvals, 512, recall_target=0.99)
         pool = jnp.take_along_axis(cand, sel, axis=1)
+        pool = jnp.where(pool < n_real, pool, -1)
         d, slots = blocked_rerank_int8(q, int8s, scales, pool, K)
         return d, jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
 

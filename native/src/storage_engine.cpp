@@ -192,7 +192,11 @@ int32_t vdb_append_add(int64_t h, int32_t id, const float* vec) {
   return (write_record(s, REC_ADD, id, vec, s->dim) && commit_appends(s)) ? 1 : 0;
 }
 
-// Append a batch of adds (vectors row-major [n, dim]). Returns rows written.
+// Append a batch of adds (vectors row-major [n, dim]).  Returns the number
+// of rows written; a negative value -w means w rows were written into the
+// stream but the durability commit (fflush/fsync) failed — the records may
+// still reach disk at close, so the caller must NOT blind-retry the batch
+// (that would duplicate records); surface the degraded durability instead.
 int32_t vdb_append_add_batch(int64_t h, const int32_t* ids, const float* vecs,
                              int32_t n) {
   Store* s = get(h);
@@ -204,7 +208,7 @@ int32_t vdb_append_add_batch(int64_t h, const int32_t* ids, const float* vecs,
       break;
     written++;
   }
-  if (written && !commit_appends(s)) return 0;
+  if (written && !commit_appends(s)) return -written;
   return written;
 }
 

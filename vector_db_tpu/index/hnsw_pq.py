@@ -189,8 +189,10 @@ class HnswPqIndex(VectorIndex):
             plus_plus=True,
         )
         self.trained = True
-        if self.config.proxy_dims > 0:
-            # PCA-proxy basis on the (unpermuted) training sample (ops/pca)
+        if self.config.proxy_dims > 0 and self.config.search_mode == "pca":
+            # PCA-proxy basis on the (unpermuted) training sample (ops/pca);
+            # fitted ONLY for the pca mode — other modes must not pay the
+            # sample re-gather, per-encode projection, or checkpoint bytes
             from ..ops import pca
 
             p = min(self.config.proxy_dims, self.dim)
@@ -385,9 +387,7 @@ class HnswPqIndex(VectorIndex):
         refine = min(max(pow2(self.config.refine_k), k_pad), st.capacity)
         mode = self.config.search_mode
         if mode == "auto":
-            mode = _auto_scan_mode(
-                padded.shape[0], st.capacity, self.config.use_graph
-            )
+            mode = _auto_scan_mode(self.config.use_graph)
         if mode in ("scan_exact", "scan_pallas"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
             if mode == "scan_pallas":
@@ -412,7 +412,12 @@ class HnswPqIndex(VectorIndex):
             out_ids[:, :k_eff] = ext_np
             out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
             return out_ids, out_d
-        if mode == "pca" and self.proxy is not None:
+        if mode == "pca" and self.proxy is None:
+            raise ValueError(
+                "search_mode='pca' needs a fitted proxy: set proxy_dims > 0 "
+                "and search_mode='pca' before training (or retrain/build())"
+            )
+        if mode == "pca":
             # PCA-proxy multi-stage path (ops/pca): tiny [Q, p] x [p, N]
             # proxy matmul -> ranked top-pca_r -> blocked exact refine
             from ..ops import pca
@@ -600,7 +605,7 @@ class HnswPqIndex(VectorIndex):
 import functools
 
 
-def _auto_scan_mode(q_n: int, capacity: int, use_graph: bool) -> str:
+def _auto_scan_mode(use_graph: bool) -> str:
     """search_mode="auto" resolution from MEASURED numbers (BENCH_REPORT
     §5/A2, one v5e chip):
 

@@ -321,7 +321,12 @@ class LshIndex(VectorIndex):
             "planes": np.asarray(self.planes),
             "bucket_ids": np.asarray(self.bucket_ids),
             "gen": np.asarray([self._gen]),
-            "width": np.asarray([self._effective_width()], np.float64),
+            # sign-code mode never reads the width; persisting it must not
+            # trigger the auto-width corpus calibration
+            "width": np.asarray([self._width if self._width is not None
+                                 else (self._effective_width()
+                                       if self.config.hamming_radius <= 0
+                                       else 0.0)], np.float64),
         }
 
     def load_state_arrays(self, arrays: dict) -> None:
@@ -330,4 +335,5 @@ class LshIndex(VectorIndex):
         self.bucket_ids = jnp.asarray(arrays["bucket_ids"])
         self._gen = int(np.asarray(arrays["gen"])[0])
         if "width" in arrays:
-            self._width = float(np.asarray(arrays["width"])[0])
+            w = float(np.asarray(arrays["width"])[0])
+            self._width = w if w > 0 else None

@@ -182,9 +182,11 @@ def pq_decode_recon_t(
     if k_tab > 2 * LANES:
         raise ValueError(f"K={k_tab} > 256 not supported by the gather path")
     if k_tab not in (LANES, 2 * LANES):
-        # pad the table to one full vreg of lanes (indices stay in range)
-        cbt = jnp.pad(cbt, ((0, 0), (0, LANES - k_tab)))
-        k_tab = LANES
+        # pad the table up to one or two full vregs of lanes (indices stay
+        # in range; 128 < K < 256 pads to 256 for the lo/hi-half gather)
+        target = LANES if k_tab < LANES else 2 * LANES
+        cbt = jnp.pad(cbt, ((0, 0), (0, target - k_tab)))
+        k_tab = target
     n_pad = (-n) % block_n
     if n_pad:
         codes_t = jnp.pad(codes_t, ((0, 0), (0, n_pad)))
@@ -316,8 +318,9 @@ def fused_adc_pool(
     if k_tab > 2 * LANES:
         raise ValueError(f"K={k_tab} > 256 unsupported")
     if k_tab not in (LANES, 2 * LANES):
-        cbt = jnp.pad(cbt, ((0, 0), (0, LANES - k_tab)))
-        k_tab = LANES
+        target = LANES if k_tab < LANES else 2 * LANES  # see pq_decode_recon_t
+        cbt = jnp.pad(cbt, ((0, 0), (0, target - k_tab)))
+        k_tab = target
     w_aligned = -(-w // LANES) * LANES  # block shapes must be lane-aligned
     block_n = min(block_n, max(LANES, w_aligned))
     w = -(-w_aligned // block_n) * block_n

@@ -418,6 +418,7 @@ class ShardedDatabase:
     def add_batch(self, ids, vectors) -> list[int]:
         vectors = np.asarray(vectors, np.float32)
         accepted = []
+        new_slots: list[int] = []
         for ext_id, vec in zip(np.asarray(ids).tolist(), vectors):
             ext_id = int(ext_id)
             if ext_id in self._slot_of or ext_id < 0:
@@ -437,9 +438,10 @@ class ShardedDatabase:
             self._h_valid[slot] = True
             self._slot_of[ext_id] = slot
             self._dirty.add(shard)
+            new_slots.append(slot)
             accepted.append(ext_id)
-        if accepted and self.codebooks is not None:
-            self._encode_dirty()
+        if new_slots and self.codebooks is not None:
+            self._encode_slots(np.asarray(new_slots, np.int64))
         return accepted
 
     def remove(self, ext_id: int) -> bool:
@@ -500,24 +502,22 @@ class ShardedDatabase:
         self._dev_pieces.pop("codes", None)
         self._put_field("codes")
 
-    def _encode_dirty(self) -> None:
-        # encode only mutated shards' rows host->device once at refresh;
-        # the shard-local encode of a few rows is cheaper done with the
-        # replicated codebooks on host-sized batches
+    def _encode_slots(self, slots: np.ndarray) -> None:
+        # encode ONLY the newly accepted rows (not whole dirty shards — a
+        # one-row add must not re-encode per_shard rows) with a host-cached
+        # copy of the codebooks (fetched once per training generation)
         from ..ops import adc
 
-        cb_host = jax.device_get(self.codebooks)
+        if getattr(self, "_cb_host_gen", None) is not self.codebooks:
+            self._cb_host = jax.device_get(self.codebooks)
+            self._cb_host_gen = self.codebooks
         perm_np = (np.arange(self.dim) if self.perm is None
                    else np.asarray(self.perm))
-        for shard in sorted(self._dirty):
-            lo, hi = shard * self.per_shard, (shard + 1) * self.per_shard
-            rows = self._h_valid[lo:hi]
-            if rows.any():
-                enc = adc.pq_encode(
-                    jnp.asarray(self._h_vec[lo:hi][rows][:, perm_np]),
-                    jnp.asarray(cb_host),
-                )
-                self._h_codes[lo:hi][rows] = np.asarray(enc)
+        enc = adc.pq_encode(
+            jnp.asarray(self._h_vec[slots][:, perm_np]),
+            jnp.asarray(self._cb_host),
+        )
+        self._h_codes[slots] = np.asarray(enc)
 
     # ----------------------------------------------------------- transfer
     def _put_field(self, name: str) -> None:

@@ -14,12 +14,15 @@ side are readable by the other.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import struct
 import zlib
 from typing import Optional
 
 import numpy as np
+
+logger = logging.getLogger("vector_db_tpu.storage")
 
 WAL_MAGIC = 0x56444257
 SNAP_MAGIC = 0x56444253
@@ -140,12 +143,23 @@ class NativeStorageEngine:
     def append_add_batch(self, ids: np.ndarray, vecs: np.ndarray) -> int:
         ids = np.ascontiguousarray(ids, np.int32)
         vecs = np.ascontiguousarray(vecs, np.float32)
-        return int(self._lib.vdb_append_add_batch(
+        rc = int(self._lib.vdb_append_add_batch(
             self._h,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             len(ids),
         ))
+        if rc < 0:
+            # -w: w records reached the stream but the durability commit
+            # failed.  They may still land at close, so a retry would write
+            # duplicates — report the write as accepted but degraded.
+            logger.warning(
+                "WAL durability commit failed for %d appended records "
+                "(records buffered; durability degraded to write-behind)",
+                -rc,
+            )
+            return -rc
+        return rc
 
     def append_delete(self, vec_id: int) -> bool:
         return bool(self._lib.vdb_append_delete(self._h, int(vec_id)))
