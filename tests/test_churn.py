@@ -22,13 +22,22 @@ CONFIGS = [
     (IndexType.HNSW, HnswConfig(m=8, ef_construction=32, ef_search=64, batch_insert=16)),
     (IndexType.HNSWPQ, HnswPqConfig(num_subspaces=4, num_centroids=16,
                                     training_samples=64, refine_k=64)),
+    (IndexType.HNSWPQ, HnswPqConfig(num_subspaces=4, num_centroids=16,
+                                    training_samples=64, search_mode="adc_fast",
+                                    adc_bucket=4, adc_winners=2)),
+    (IndexType.HNSWPQ, HnswPqConfig(num_subspaces=4, num_centroids=16,
+                                    training_samples=64, search_mode="pca",
+                                    proxy_dims=6, pca_r=64)),
     (IndexType.IVF, IvfConfig(num_clusters=8, num_probes=8)),
     (IndexType.LSH, LshConfig(num_tables=6, num_bits=8)),
     (IndexType.ANNOY, AnnoyConfig(num_trees=4, leaf_size=8)),
 ]
 
 
-@pytest.mark.parametrize("itype,cfg", CONFIGS, ids=[c[0].value for c in CONFIGS])
+@pytest.mark.parametrize("itype,cfg", CONFIGS, ids=[
+    f"{c[0].value}:{getattr(c[1], 'search_mode', '')}" if c[1] else c[0].value
+    for c in CONFIGS
+])
 def test_churn_cycles(itype, cfg, rng):
     dim, cap = 12, 512
     b = (VectorDatabase.builder().with_dimension(dim).with_max_elements(cap)
