@@ -252,3 +252,24 @@ class TestPcaProxyMode:
         assert (np.asarray(e2)[:, 0] == np.arange(8)).all()
         np.testing.assert_allclose(np.asarray(d1)[:, 0],
                                    np.asarray(d2)[:, 0], atol=1e-4)
+
+    def test_cosine_metric_with_varied_norms(self):
+        """Cosine pca mode must rank by angle, not magnitude (regression:
+        un-normalized proxies scored 55% here)."""
+        from vector_db_tpu.index.brute import BruteForceIndex
+
+        rng = np.random.default_rng(42)
+        n, dim = 2048, 64
+        scale = ((np.arange(dim) + 1.0) ** -0.5).astype(np.float32)
+        vecs = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+        vecs *= rng.uniform(0.1, 10.0, (n, 1)).astype(np.float32)
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=1024,
+                           search_mode="pca", proxy_dims=16, pca_r=128)
+        idx = HnswPqIndex(dim, n, "cosine", cfg)
+        idx.add_batch(range(n), vecs)
+        brute = BruteForceIndex(dim, n, "cosine")
+        brute.add_batch(range(n), vecs)
+        a, _ = idx.search_batch(vecs[:32], 10)
+        g, _ = brute.search_batch(vecs[:32], 10)
+        rec = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(32)])
+        assert rec >= 0.9, rec

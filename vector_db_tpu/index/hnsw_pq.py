@@ -197,6 +197,10 @@ class HnswPqIndex(VectorIndex):
 
             p = min(self.config.proxy_dims, self.dim)
             raw = np.asarray(st.vectors[jnp.asarray(np.sort(sample))])
+            if self.metric == "cosine":
+                # proxy space = normalized rows (see ops/pca cosine contract)
+                raw = raw / np.maximum(
+                    np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
             mu, basis = pca.pca_fit(raw, p)
             self.pca_mean = jnp.asarray(mu)
             self.pca_basis = jnp.asarray(basis)
@@ -292,8 +296,13 @@ class HnswPqIndex(VectorIndex):
         if self.proxy is not None:
             from ..ops import pca
 
+            pv = vecs
+            if self.metric == "cosine":
+                pn = jnp.sqrt(jnp.maximum(
+                    jnp.sum(vecs * vecs, axis=1, keepdims=True), 1e-12))
+                pv = vecs / pn
             self.proxy = self.proxy.at[sl, :].set(
-                pca.project_rows(vecs, self.pca_mean, self.pca_basis)
+                pca.project_rows(pv, self.pca_mean, self.pca_basis)
             )
             self._proxy_norms = None
         if self.perm is not None:
