@@ -160,3 +160,58 @@ class TestConcurrentStress:
         assert ids[0] == n + 60
         assert db.size() == n + 100
         db.close()
+
+
+class TestCosineVariedNorms:
+    """Cosine-metric quantized indexes must rank by ANGLE: PQ/PCA spaces
+    hold the unit sphere (regression: magnitude-biased candidate pools
+    scored 48-78% here before sphere quantization)."""
+
+    def _data(self):
+        rng = np.random.default_rng(42)
+        n, dim = 2048, 64
+        scale = ((np.arange(dim) + 1.0) ** -0.5).astype(np.float32)
+        vecs = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+        vecs *= rng.uniform(0.1, 10.0, (n, 1)).astype(np.float32)
+        return vecs
+
+    @pytest.mark.parametrize("mode,extra", [
+        ("adc_fast", dict(adc_bucket=8, adc_winners=2)),
+        ("adc", {}),
+        ("graph", dict(use_graph=True)),
+        ("pca", dict(proxy_dims=16, pca_r=128)),
+    ])
+    def test_hnswpq_modes(self, mode, extra):
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.brute import BruteForceIndex
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        vecs = self._data()
+        n, dim = vecs.shape
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=1024,
+                           search_mode=mode, **extra)
+        idx = HnswPqIndex(dim, n, "cosine", cfg)
+        idx.add_batch(range(n), vecs)
+        brute = BruteForceIndex(dim, n, "cosine")
+        brute.add_batch(range(n), vecs)
+        a, _ = idx.search_batch(vecs[:32], 10)
+        g, _ = brute.search_batch(vecs[:32], 10)
+        rec = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(32)])
+        assert rec >= 0.9, (mode, rec)
+
+    def test_flat_pq(self):
+        from vector_db_tpu.api.config import PqConfig
+        from vector_db_tpu.index.brute import BruteForceIndex
+        from vector_db_tpu.index.pq import PqIndex
+
+        vecs = self._data()
+        n, dim = vecs.shape
+        idx = PqIndex(dim, n, "cosine", PqConfig(num_subspaces=8))
+        idx.add_batch(range(n), vecs)
+        idx.build()
+        brute = BruteForceIndex(dim, n, "cosine")
+        brute.add_batch(range(n), vecs)
+        a, _ = idx.search_batch(vecs[:32], 10)
+        g, _ = brute.search_batch(vecs[:32], 10)
+        rec = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(32)])
+        assert rec >= 0.9, rec

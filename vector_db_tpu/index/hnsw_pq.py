@@ -171,6 +171,10 @@ class HnswPqIndex(VectorIndex):
             rng = np.random.default_rng(self.seed)
             sample = rng.choice(sample, cap_samples, replace=False)
         data = st.vectors[jnp.asarray(np.sort(sample))]
+        if self.metric == "cosine":
+            dn = jnp.sqrt(jnp.maximum(
+                jnp.sum(data * data, axis=1, keepdims=True), 1e-12))
+            data = data / dn
         if self.config.balance_dims:
             # variance-balanced dimension permutation (see ops/adc.
             # balanced_subspace_perm): variances computed on device, the
@@ -305,11 +309,21 @@ class HnswPqIndex(VectorIndex):
                 pca.project_rows(pv, self.pca_mean, self.pca_basis)
             )
             self._proxy_norms = None
-        if self.perm is not None:
-            vecs = vecs[:, self.perm]
-        new_codes = adc.pq_encode(vecs, self.codebooks)
+        new_codes = adc.pq_encode(self._pq_space(vecs), self.codebooks)
         self.codes = self.codes.at[sl].set(new_codes)
         self._fast_cache = None
+
+    def _pq_space(self, vecs):
+        """Vectors as the quantizer sees them: normalized first under
+        cosine (PQ encodes the unit sphere so quantized-L2 ranking equals
+        cosine ranking), then dimension-permuted."""
+        if self.metric == "cosine":
+            n_ = jnp.sqrt(jnp.maximum(
+                jnp.sum(vecs * vecs, axis=1, keepdims=True), 1e-12))
+            vecs = vecs / n_
+        if self.perm is not None:
+            vecs = vecs[:, self.perm]
+        return vecs
 
     def _packed_refine_store(self, st):
         """bf16-packed refine shadow (config.refine_store="bf16"), cached on
@@ -474,9 +488,8 @@ class HnswPqIndex(VectorIndex):
         if (mode == "graph" or self.config.use_graph) and int(self.graph.entry) >= 0:
             # graph path: ADC-distance traversal + exact re-rank (reference
             # search shape, HnswPqIndex.java:616-664)
-            q_pq = (padded if self.perm is None
-                    else np.asarray(padded)[:, np.asarray(self.perm)])
-            tables = adc.build_distance_tables(jnp.asarray(q_pq), self.codebooks)
+            q_pq = self._pq_space(jnp.asarray(padded))
+            tables = adc.build_distance_tables(q_pq, self.codebooks)
             ef = min(max(pow2(self.config.ef_search), refine), st.capacity)
             _, cand = hnsw_pq_search(
                 self.graph, self.codes, tables, st.valid, ef,
@@ -652,6 +665,17 @@ def exact_scan_search(queries, base, norms, valid, ids, k, metric,
     return d, ext
 
 
+def _cosine_pq_queries(queries, metric, perm):
+    """Queries as the quantizer sees them: normalized under cosine (the
+    codes hold the unit sphere — see HnswPqIndex._pq_space), then permuted."""
+    q = queries
+    if metric == "cosine":
+        qn_ = jnp.sqrt(jnp.maximum(
+            jnp.sum(queries * queries, axis=1, keepdims=True), 1e-12))
+        q = queries / qn_
+    return q if perm is None else q[:, perm]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "refine", "impl", "block_n", "metric")
 )
@@ -663,7 +687,7 @@ def flagship_search(
     exhaustive blocked ADC scan with fused top-R -> exact re-rank -> external
     ids.  One dispatch per query batch (the reference pays a JNI crossing per
     call, VectorDBJNI.cpp:142-159; we pay one jit dispatch for the batch)."""
-    q_pq = queries if perm is None else queries[:, perm]
+    q_pq = _cosine_pq_queries(queries, metric, perm)
     tables = adc.build_distance_tables(q_pq, codebooks)
     _, cand = adc.adc_scan_topk(tables, codes, valid, refine,
                                 block_n=block_n, impl=impl)
@@ -687,7 +711,7 @@ def flagship_search_pruned(
     exact re-rank -> external ids.  The ScaNN-style partition/score/re-rank
     pipeline that keeps QPS flat as N grows (the exhaustive scan is O(N))."""
     q_n = queries.shape[0]
-    q_pq = queries if perm is None else queries[:, perm]
+    q_pq = _cosine_pq_queries(queries, metric, perm)
     tables = adc.build_distance_tables(q_pq, codebooks)
     # probe selection
     cd = (

@@ -77,6 +77,12 @@ class PqIndex(VectorIndex):
         # compact live rows to the front so k-means sees a dense sample
         live = np.flatnonzero(np.asarray(st.valid))
         data = jnp.asarray(np.asarray(st.vectors)[live])
+        if self.metric == "cosine":
+            # quantize the unit sphere so L2-ranked ADC == cosine ranking
+            # (see HnswPqIndex._pq_space)
+            dn = jnp.sqrt(jnp.maximum(
+                jnp.sum(data * data, axis=1, keepdims=True), 1e-12))
+            data = data / dn
         if self.config.balance_dims:
             v = np.asarray(jnp.var(data, axis=0))
             self.perm = jnp.asarray(
@@ -103,6 +109,10 @@ class PqIndex(VectorIndex):
         if slots.size == 0:
             return
         vecs = self.store.state.vectors[jnp.asarray(slots)]
+        if self.metric == "cosine":
+            vn = jnp.sqrt(jnp.maximum(
+                jnp.sum(vecs * vecs, axis=1, keepdims=True), 1e-12))
+            vecs = vecs / vn
         if self.perm is not None:
             vecs = vecs[:, self.perm]
         new_codes = adc.pq_encode(vecs, self.codebooks)
@@ -147,15 +157,21 @@ class PqIndex(VectorIndex):
             # L2-ranked ADC shortlist is the candidate generator only).
             refine_k = max(refine_k, 4 * k_eff, 64)
 
+        q_adc = padded
+        if self.metric == "cosine":
+            # codes hold normalized rows; normalize the query for the scan
+            q_adc = padded / np.maximum(
+                np.linalg.norm(padded, axis=1, keepdims=True), 1e-12)
+
         def adc_topk(r):
             if self.adc_impl == "decode":
                 ct, cbt, cnorms = self._fast_tables()
                 return adc.adc_decode_topk(
-                    jnp.asarray(padded), ct, cbt, st.valid, r,
+                    jnp.asarray(q_adc), ct, cbt, st.valid, r,
                     code_norms=cnorms, perm=self.perm,
                 )
-            q_pq = (padded if self.perm is None
-                    else np.asarray(padded)[:, np.asarray(self.perm)])
+            q_pq = (q_adc if self.perm is None
+                    else np.asarray(q_adc)[:, np.asarray(self.perm)])
             tables = adc.build_distance_tables(
                 jnp.asarray(q_pq), self.codebooks
             )

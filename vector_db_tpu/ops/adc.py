@@ -246,8 +246,17 @@ def adc_fast_search(
     n = codes_t.shape[1]
     # the scan runs in PQ space (optionally dimension-permuted, see
     # balanced_subspace_perm — L2 is permutation-invariant so the refine
-    # below still uses the raw queries/store)
-    q_scan = queries if perm is None else queries[:, perm]
+    # below still uses the raw queries/store).  For cosine the codes hold
+    # NORMALIZED vectors (the index encodes the unit sphere), so the query
+    # normalizes too: L2 ranking on the sphere == cosine ranking; the exact
+    # refine is scale-invariant in q either way.
+    q_scan = queries
+    if metric == "cosine":
+        qn_ = jnp.sqrt(jnp.maximum(
+            jnp.sum(queries * queries, axis=1, keepdims=True), 1e-12))
+        q_scan = queries / qn_
+    if perm is not None:
+        q_scan = q_scan[:, perm]
     qb = q_scan.astype(_scan_dtype())
     # validity rides in the norms: +inf at dead slots (saves a [Q, N] where)
     masked_norms = code_norms_from_codes(codes_t, cbt, valid, code_norms)
