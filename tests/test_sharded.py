@@ -241,3 +241,24 @@ class TestShardedPca:
         assert db.remove(0)
         ext2, _ = db.search_pca(vecs[:1], 3, select_r=32)
         assert 0 not in ext2[0]
+
+    def test_sharded_database_cosine_metric(self, mesh):
+        from vector_db_tpu.parallel import sharded as sh
+
+        rng = np.random.default_rng(11)
+        n, dim = 256, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        vecs *= rng.uniform(0.1, 10.0, (n, 1)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=2 * n,
+                                num_subspaces=4, metric="cosine")
+        db.add_batch(np.arange(n), vecs)
+        # exact cosine search: a scaled copy of row 7 must match row 7 first
+        ext, d = db.search(2.5 * vecs[7:8], 3)
+        assert ext[0, 0] == 7
+        assert abs(d[0, 0]) < 1e-4
+        db.train_pq(num_centroids=16, iters=6)
+        ext2, _ = db.search_flagship(3.0 * vecs[7:8], 3, refine=32)
+        assert ext2[0, 0] == 7
+        db.fit_pca(8)
+        ext3, _ = db.search_pca(0.5 * vecs[7:8], 3, select_r=32)
+        assert ext3[0, 0] == 7

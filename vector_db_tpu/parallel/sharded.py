@@ -59,7 +59,7 @@ def replicate(mesh: Mesh, *arrays: Array) -> tuple[Array, ...]:
 # corpus-sharded exact kNN
 # --------------------------------------------------------------------------
 
-def sharded_knn(mesh: Mesh, k: int):
+def sharded_knn(mesh: Mesh, k: int, metric: str = "l2"):
     """Build a jitted corpus-sharded exact kNN: queries replicated, base
     sharded on the mesh axis; local top-k per shard, all_gather + merge.
 
@@ -71,8 +71,16 @@ def sharded_knn(mesh: Mesh, k: int):
         cross = jax.lax.dot_general(
             q, base_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        d = jnp.sum(q * q, axis=1)[:, None] + norms_s[None, :] - 2.0 * cross
-        d = jnp.where(valid_s[None, :], jnp.maximum(d, 0.0), jnp.inf)
+        if metric == "cosine":
+            qn = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=1), 1e-12))
+            d = 1.0 - cross / jnp.maximum(
+                qn[:, None] * jnp.sqrt(jnp.maximum(norms_s, 1e-12))[None, :],
+                1e-12)
+        else:
+            d = (jnp.sum(q * q, axis=1)[:, None] + norms_s[None, :]
+                 - 2.0 * cross)
+            d = jnp.maximum(d, 0.0)
+        d = jnp.where(valid_s[None, :], d, jnp.inf)
         neg, idx = jax.lax.top_k(-d, k)
         # local -> global slot ids
         shard = jax.lax.axis_index(AXIS)
@@ -131,7 +139,7 @@ def dp_knn(mesh: Mesh, k: int):
 # corpus-sharded flagship (ADC scan + exact refine)
 # --------------------------------------------------------------------------
 
-def sharded_flagship(mesh: Mesh, k: int, refine: int):
+def sharded_flagship(mesh: Mesh, k: int, refine: int, metric: str = "l2"):
     """Corpus-sharded HNSW+PQ scan path: codes and raw vectors sharded;
     per-chip ADC top-R (decode kernel + MXU) + local blocked exact re-rank,
     then one all_gather + merge.
@@ -147,10 +155,16 @@ def sharded_flagship(mesh: Mesh, k: int, refine: int):
         r = min(refine, codes_s.shape[0])
         ct = jnp.transpose(codes_s, (1, 0))
         cbt = adc.codebooks_to_cbt(codebooks)
-        _, cand = adc.adc_decode_topk(q, ct, cbt, valid_s, r, perm=perm)
+        q_scan = q
+        if metric == "cosine":
+            # codes hold normalized rows (the cosine sphere contract)
+            qn = jnp.sqrt(jnp.maximum(
+                jnp.sum(q * q, axis=1, keepdims=True), 1e-12))
+            q_scan = q / qn
+        _, cand = adc.adc_decode_topk(q_scan, ct, cbt, valid_s, r, perm=perm)
         # blocked exact re-rank: same OOM-safety as the single-chip path
         # (a naive [Q, R, d] gather is 16 GB at R=8192, Q=1024, d=512)
-        negd, loc = blocked_rerank(q, base_s, cand, min(k, r),
+        negd, loc = blocked_rerank(q, base_s, cand, min(k, r), metric,
                                    rb=min(512, r))
         negl = -negd
         ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
@@ -181,7 +195,8 @@ def sharded_flagship(mesh: Mesh, k: int, refine: int):
 # corpus-sharded PCA-proxy search (proxy scan + exact refine)
 # --------------------------------------------------------------------------
 
-def sharded_pca_search(mesh: Mesh, k: int, select_r: int):
+def sharded_pca_search(mesh: Mesh, k: int, select_r: int,
+                       metric: str = "l2"):
     """Corpus-sharded PCA-proxy path (ops/pca): proxy rows, raw store and
     ids sharded; mean/basis replicated.  Per chip: query projection (tiny,
     replicated math) -> local proxy top-R (one matmul + approx_max_k) ->
@@ -196,7 +211,12 @@ def sharded_pca_search(mesh: Mesh, k: int, select_r: int):
     def local(q, mean, basis, proxy_s, pnorms_s, valid_s, base_s, ids_s):
         from ..ops.distance import blocked_rerank
 
-        qp = ((q - mean[None, :]) @ basis).astype(proxy_s.dtype)
+        q_scan = q
+        if metric == "cosine":  # proxy holds normalized rows (cosine contract)
+            qn0 = jnp.sqrt(jnp.maximum(
+                jnp.sum(q * q, axis=1, keepdims=True), 1e-12))
+            q_scan = q / qn0
+        qp = ((q_scan - mean[None, :]) @ basis).astype(proxy_s.dtype)
         cross = jax.lax.dot_general(
             qp, proxy_s, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -207,7 +227,7 @@ def sharded_pca_search(mesh: Mesh, k: int, select_r: int):
         neg, sel = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
         cand = jnp.where(jnp.isfinite(-neg.astype(jnp.float32)),
                          sel.astype(jnp.int32), -1)
-        negd, loc = blocked_rerank(q, base_s, cand, min(k, r),
+        negd, loc = blocked_rerank(q, base_s, cand, min(k, r), metric,
                                    rb=min(512, r))
         ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
         d_all = jax.lax.all_gather(negd, AXIS)
@@ -281,7 +301,8 @@ def sharded_kmeans_step(mesh: Mesh):
 # sharded end-to-end PQ training + encode (the distributed build pipeline)
 # --------------------------------------------------------------------------
 
-def sharded_subspace_kmeans(mesh: Mesh, num_subspaces: int, iters: int):
+def sharded_subspace_kmeans(mesh: Mesh, num_subspaces: int, iters: int,
+                            norm_rows: bool = False):
     """Full data-parallel per-subspace PQ training as ONE device program.
 
     Data stays sharded on the mesh axis; all subspace codebooks train
@@ -297,6 +318,10 @@ def sharded_subspace_kmeans(mesh: Mesh, num_subspaces: int, iters: int):
     def fit(data_s, init_cb, w_s, perm):
         n_s, d = data_s.shape
         s, kc, sd = init_cb.shape
+        if norm_rows:  # cosine sphere contract (see index/hnsw_pq._pq_space)
+            dn = jnp.sqrt(jnp.maximum(
+                jnp.sum(data_s * data_s, axis=1, keepdims=True), 1e-12))
+            data_s = data_s / dn
         data_s = data_s[:, perm]
         sub = data_s.reshape(n_s, s, sd).transpose(1, 0, 2)      # [S, n, sd]
         sub_n = jnp.sum(sub * sub, axis=2)                       # [S, n]
@@ -333,15 +358,22 @@ def sharded_subspace_kmeans(mesh: Mesh, num_subspaces: int, iters: int):
     )
 
 
-def sharded_encode(mesh: Mesh):
+def sharded_encode(mesh: Mesh, norm_rows: bool = False):
     """Shard-local PQ encode: vectors sharded, codebooks replicated ->
     codes sharded (the DP analog of the reference's 4-thread parallel
     encode, PQIndex.cpp:227-245)."""
     from ..ops import adc
 
+    def enc(v_s, cb, perm):
+        if norm_rows:  # cosine sphere contract
+            vn = jnp.sqrt(jnp.maximum(
+                jnp.sum(v_s * v_s, axis=1, keepdims=True), 1e-12))
+            v_s = v_s / vn
+        return adc.pq_encode(v_s[:, perm], cb)
+
     return jax.jit(
         jax.shard_map(
-            lambda v_s, cb, perm: adc.pq_encode(v_s[:, perm], cb),
+            enc,
             mesh=mesh,
             in_specs=(P(AXIS, None), P(), P()),
             out_specs=P(AXIS, None),
@@ -368,8 +400,9 @@ class ShardedDatabase:
                  codes: np.ndarray | None = None,
                  codebooks: np.ndarray | None = None,
                  dim: int | None = None, capacity: int | None = None,
-                 num_subspaces: int = 8):
+                 num_subspaces: int = 8, metric: str = "l2"):
         self.mesh = mesh
+        self.metric = metric
         self.n_shards = int(mesh.devices.size)
         self._devices = list(mesh.devices.flat)
         if vectors is not None:
@@ -482,7 +515,8 @@ class ShardedDatabase:
         self._refresh()
         fit = self._knn_cache.get(("fit", s, iters))
         if fit is None:
-            fit = sharded_subspace_kmeans(self.mesh, s, iters)
+            fit = sharded_subspace_kmeans(self.mesh, s, iters,
+                                          norm_rows=self.metric == "cosine")
             self._knn_cache[("fit", s, iters)] = fit
         w = self.valid.astype(jnp.float32)
         (perm_rep,) = replicate(self.mesh, self.perm)
@@ -493,7 +527,8 @@ class ShardedDatabase:
     def _encode_all(self) -> None:
         enc = self._knn_cache.get("encode")
         if enc is None:
-            enc = sharded_encode(self.mesh)
+            enc = sharded_encode(self.mesh,
+                                 norm_rows=self.metric == "cosine")
             self._knn_cache["encode"] = enc
         self._refresh()
         (perm_rep,) = replicate(self.mesh, self.perm)
@@ -513,8 +548,12 @@ class ShardedDatabase:
             self._cb_host_gen = self.codebooks
         perm_np = (np.arange(self.dim) if self.perm is None
                    else np.asarray(self.perm))
+        rows = self._h_vec[slots]
+        if self.metric == "cosine":  # cosine sphere contract
+            rows = rows / np.maximum(
+                np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
         enc = adc.pq_encode(
-            jnp.asarray(self._h_vec[slots][:, perm_np]),
+            jnp.asarray(rows[:, perm_np]),
             jnp.asarray(self._cb_host),
         )
         self._h_codes[slots] = np.asarray(enc)
@@ -559,7 +598,7 @@ class ShardedDatabase:
         self._refresh()
         fn = self._knn_cache.get(("exact", k))
         if fn is None:
-            fn = sharded_knn(self.mesh, k)
+            fn = sharded_knn(self.mesh, k, metric=self.metric)
             self._knn_cache[("exact", k)] = fn
         d, idx = fn(jnp.asarray(queries, jnp.float32), self.vectors,
                     self.valid, self.norms)
@@ -574,6 +613,9 @@ class ShardedDatabase:
         sample = self._h_vec[self._h_valid][:20000]
         if len(sample) < 2:
             raise ValueError("need >= 2 live vectors to fit PCA")
+        if self.metric == "cosine":  # cosine sphere contract
+            sample = sample / np.maximum(
+                np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
         mu, basis = pca_ops.pca_fit(sample, min(p, self.dim))
         self.pca_mean = jnp.asarray(mu)
         self.pca_basis = jnp.asarray(basis)
@@ -594,8 +636,17 @@ class ShardedDatabase:
         self._refresh()
         proj = self._knn_cache.get("pca_project")
         if proj is None:
+            cos = self.metric == "cosine"
+
+            def _proj(v_s, mu, b):
+                if cos:  # cosine sphere contract
+                    vn = jnp.sqrt(jnp.maximum(
+                        jnp.sum(v_s * v_s, axis=1, keepdims=True), 1e-12))
+                    v_s = v_s / vn
+                return pca_ops.project_rows(v_s, mu, b)
+
             proj = jax.jit(jax.shard_map(
-                lambda v_s, mu, b: pca_ops.project_rows(v_s, mu, b),
+                _proj,
                 mesh=self.mesh,
                 in_specs=(P(AXIS, None), P(), P()),
                 out_specs=P(AXIS, None),
@@ -612,7 +663,8 @@ class ShardedDatabase:
             self._proxy_gen = self.vectors
         fn = self._knn_cache.get(("pca", k, select_r))
         if fn is None:
-            fn = sharded_pca_search(self.mesh, k, select_r)
+            fn = sharded_pca_search(self.mesh, k, select_r,
+                                    metric=self.metric)
             self._knn_cache[("pca", k, select_r)] = fn
         d, ext = fn(jnp.asarray(queries, jnp.float32), self.pca_mean,
                     self.pca_basis, self._proxy, self._pnorms, self.valid,
@@ -627,7 +679,7 @@ class ShardedDatabase:
         self._refresh()
         fn = self._knn_cache.get(("flag", k, refine))
         if fn is None:
-            fn = sharded_flagship(self.mesh, k, refine)
+            fn = sharded_flagship(self.mesh, k, refine, metric=self.metric)
             self._knn_cache[("flag", k, refine)] = fn
         perm = (self.perm if self.perm is not None
                 else jnp.arange(self.dim, dtype=jnp.int32))
