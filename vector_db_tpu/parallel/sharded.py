@@ -112,15 +112,23 @@ def sharded_knn(mesh: Mesh, k: int, metric: str = "l2"):
 # query-sharded (data-parallel) exact kNN
 # --------------------------------------------------------------------------
 
-def dp_knn(mesh: Mesh, k: int):
+def dp_knn(mesh: Mesh, k: int, metric: str = "l2"):
     """Queries sharded across chips, corpus replicated — the DP axis."""
 
     def local(q_s, base, valid, norms):
         cross = jax.lax.dot_general(
             q_s, base, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        d = jnp.sum(q_s * q_s, axis=1)[:, None] + norms[None, :] - 2.0 * cross
-        d = jnp.where(valid[None, :], jnp.maximum(d, 0.0), jnp.inf)
+        if metric == "cosine":
+            qn = jnp.sqrt(jnp.maximum(jnp.sum(q_s * q_s, axis=1), 1e-12))
+            d = 1.0 - cross / jnp.maximum(
+                qn[:, None] * jnp.sqrt(jnp.maximum(norms, 1e-12))[None, :],
+                1e-12)
+        else:
+            d = (jnp.sum(q_s * q_s, axis=1)[:, None] + norms[None, :]
+                 - 2.0 * cross)
+            d = jnp.maximum(d, 0.0)
+        d = jnp.where(valid[None, :], d, jnp.inf)
         neg, idx = jax.lax.top_k(-d, k)
         idx = jnp.where(jnp.isfinite(-neg), idx, -1)
         return -neg, idx
