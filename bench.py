@@ -10,6 +10,7 @@ Baseline: the reference's published 2,391 QPS / 97.60% Recall@10 at 512-dim
 """
 
 import json
+import os
 import sys
 import time
 
@@ -53,10 +54,12 @@ def main():
     gt_path = f"/tmp/bench_gt_gaussian_{dim}_{n}_{nq}_{k}.npy"
     try:
         gt_i = np.load(gt_path)
-    except OSError:
+    except Exception:  # missing OR truncated (a killed run
+        # leaves a partial .npy; never block the JSON line on it)
         _, gi = blocked_knn(qj, vj, jnp.ones(n, bool), k, block_n=16384)
         gt_i = np.asarray(gi)
-        np.save(gt_path, gt_i)
+        np.save(gt_path + '.tmp.npy', gt_i)
+        os.replace(gt_path + '.tmp.npy', gt_path)
     gt_sets = [set(gt_i[i].tolist()) for i in range(nq)]
     log(f"ground truth: {time.time()-t0:.1f}s")
 
@@ -115,10 +118,11 @@ def main():
     gt2_path = f"/tmp/bench_gt_spectral_{dim}_{n}_{nq}_{k}.npy"
     try:
         gt2 = np.load(gt2_path)
-    except OSError:
+    except Exception:  # see above
         _, g2 = blocked_knn(qj2, vj2, jnp.ones(n, bool), k, block_n=16384)
         gt2 = np.asarray(g2)
-        np.save(gt2_path, gt2)
+        np.save(gt2_path + '.tmp.npy', gt2)
+        os.replace(gt2_path + '.tmp.npy', gt2_path)
     gt2_sets = [set(gt2[i].tolist()) for i in range(nq)]
     log(f"memory-bound ground truth: {time.time()-t0:.1f}s")
     cfg2 = HnswPqConfig(num_subspaces=64, training_samples=20000,

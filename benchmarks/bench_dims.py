@@ -27,16 +27,18 @@ def log(*a):
     print(*a, flush=True)
 
 
-def timed_loop(fn, q, reps=20):
+def timed_loop(fn, *args, reps=20):
+    # args are jit ARGUMENTS, never closures — closed-over device arrays
+    # become captured constants shipped to the remote compiler (CLAUDE.md)
     @jax.jit
-    def loop(qq):
+    def loop(*a):
         def body(i, eps):
-            return fn(qq, eps) * 1e-30
+            return fn(*a, eps) * 1e-30
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    _ = float(loop(q))
+    _ = float(loop(*args))
     t0 = time.time()
-    _ = float(loop(q))
+    _ = float(loop(*args))
     return (time.time() - t0) / reps
 
 
@@ -83,19 +85,19 @@ def main():
         ct, cbt, cnorms = idx._fast_tables()
         packed = pack_bf16_rows(st.vectors)
 
-        def mb(q, eps):
+        def mb(q, ct_, cbt_, base_, cn_, pk_, eps):
             d, _ = adc_ops.adc_fast_search(
-                q + eps, ct, cbt, st.valid, st.vectors, st.ids, k,
-                bucket=32, winners=1, pool_mode="approx", code_norms=cnorms,
-                perm=idx.perm, packed_base=packed, select_r=128)
+                q + eps, ct_, cbt_, st.valid, base_, st.ids, k,
+                bucket=32, winners=1, pool_mode="approx", code_norms=cn_,
+                perm=idx.perm, packed_base=pk_, select_r=128)
             return d[0, 0]
-        dt_adc = timed_loop(mb, qj)
+        dt_adc = timed_loop(mb, qj, ct, cbt, st.vectors, cnorms, packed)
 
-        def scan(q, eps):
-            d, _ = exact_scan_search(q + eps, st.vectors, st.norms, st.valid,
+        def scan(q, base_, eps):
+            d, _ = exact_scan_search(q + eps, base_, st.norms, st.valid,
                                      st.ids, 16, "l2", 16384, 0.99)
             return d[0, 0]
-        dt_scan = timed_loop(scan, qj)
+        dt_scan = timed_loop(scan, qj, st.vectors)
         ratio = 4.0 * dim / sub
         log(f"dim={dim:5d} ({ratio:.0f}x): build {t_build:5.1f}s | "
             f"adc_fast recall {r_adc:.1%} {nq/dt_adc:8,.0f} QPS | "

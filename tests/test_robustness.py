@@ -178,6 +178,7 @@ class TestCosineVariedNorms:
     @pytest.mark.parametrize("mode,extra", [
         ("adc_fast", dict(adc_bucket=8, adc_winners=2)),
         ("adc", {}),
+        ("adc", dict(nlist=16, nprobe=6)),  # IVF-pruned probe selection
         ("graph", dict(use_graph=True)),
         ("pca", dict(proxy_dims=16, pca_r=128)),
     ])

@@ -172,9 +172,9 @@ class HnswPqIndex(VectorIndex):
             sample = rng.choice(sample, cap_samples, replace=False)
         data = st.vectors[jnp.asarray(np.sort(sample))]
         if self.metric == "cosine":
-            dn = jnp.sqrt(jnp.maximum(
-                jnp.sum(data * data, axis=1, keepdims=True), 1e-12))
-            data = data / dn
+            from ..ops.distance import normalize_rows
+
+            data = normalize_rows(data)
         if self.config.balance_dims:
             # variance-balanced dimension permutation (see ops/adc.
             # balanced_subspace_perm): variances computed on device, the
@@ -219,6 +219,10 @@ class HnswPqIndex(VectorIndex):
             # that blow up the padded member table; full-data k-means is a few
             # TFLOP on the MXU
             full = self.store.state.vectors[jnp.asarray(live)]
+            if self.metric == "cosine":
+                from ..ops.distance import normalize_rows
+
+                full = normalize_rows(full)  # coarse quantizer on the sphere
             self.coarse_centroids, _ = kmeans_fit(
                 jax.random.PRNGKey(self.seed + 1),
                 full,
@@ -234,9 +238,11 @@ class HnswPqIndex(VectorIndex):
         return True
 
     def _assign_coarse(self, slots: np.ndarray) -> None:
-        from ..ops.distance import pairwise_sq_l2
+        from ..ops.distance import normalize_rows, pairwise_sq_l2
 
         vecs = self.store.state.vectors[jnp.asarray(slots)]
+        if self.metric == "cosine":
+            vecs = normalize_rows(vecs)  # centroids live on the sphere
         d = pairwise_sq_l2(vecs, self.coarse_centroids)
         self.coarse_assign[slots] = np.asarray(jnp.argmin(d, axis=1))
         self._members_dirty = True
@@ -300,11 +306,9 @@ class HnswPqIndex(VectorIndex):
         if self.proxy is not None:
             from ..ops import pca
 
-            pv = vecs
-            if self.metric == "cosine":
-                pn = jnp.sqrt(jnp.maximum(
-                    jnp.sum(vecs * vecs, axis=1, keepdims=True), 1e-12))
-                pv = vecs / pn
+            from ..ops.distance import normalize_rows
+
+            pv = normalize_rows(vecs) if self.metric == "cosine" else vecs
             self.proxy = self.proxy.at[sl, :].set(
                 pca.project_rows(pv, self.pca_mean, self.pca_basis)
             )
@@ -317,10 +321,10 @@ class HnswPqIndex(VectorIndex):
         """Vectors as the quantizer sees them: normalized first under
         cosine (PQ encodes the unit sphere so quantized-L2 ranking equals
         cosine ranking), then dimension-permuted."""
+        from ..ops.distance import normalize_rows
+
         if self.metric == "cosine":
-            n_ = jnp.sqrt(jnp.maximum(
-                jnp.sum(vecs * vecs, axis=1, keepdims=True), 1e-12))
-            vecs = vecs / n_
+            vecs = normalize_rows(vecs)
         if self.perm is not None:
             vecs = vecs[:, self.perm]
         return vecs
@@ -668,11 +672,9 @@ def exact_scan_search(queries, base, norms, valid, ids, k, metric,
 def _cosine_pq_queries(queries, metric, perm):
     """Queries as the quantizer sees them: normalized under cosine (the
     codes hold the unit sphere — see HnswPqIndex._pq_space), then permuted."""
-    q = queries
-    if metric == "cosine":
-        qn_ = jnp.sqrt(jnp.maximum(
-            jnp.sum(queries * queries, axis=1, keepdims=True), 1e-12))
-        q = queries / qn_
+    from ..ops.distance import normalize_rows
+
+    q = normalize_rows(queries) if metric == "cosine" else queries
     return q if perm is None else q[:, perm]
 
 
@@ -713,11 +715,19 @@ def flagship_search_pruned(
     q_n = queries.shape[0]
     q_pq = _cosine_pq_queries(queries, metric, perm)
     tables = adc.build_distance_tables(q_pq, codebooks)
-    # probe selection
+    # probe selection (under cosine the centroids live on the sphere, so
+    # the query normalizes too — raw-magnitude probing selects clusters by
+    # norm, not angle; measured 66.6% vs 94.7% Recall@10)
+    q_probe = queries
+    if metric == "cosine":
+        from ..ops.distance import normalize_rows
+
+        q_probe = normalize_rows(queries)
     cd = (
-        jnp.sum(queries * queries, axis=1)[:, None]
+        jnp.sum(q_probe * q_probe, axis=1)[:, None]
         + jnp.sum(centroids * centroids, axis=1)[None, :]
-        - 2.0 * jax.lax.dot_general(queries, centroids, (((1,), (1,)), ((), ())),
+        - 2.0 * jax.lax.dot_general(q_probe, centroids,
+                                    (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
     )
     _, probes = jax.lax.top_k(-cd, nprobe)                 # [Q, P]

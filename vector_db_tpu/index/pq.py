@@ -80,9 +80,9 @@ class PqIndex(VectorIndex):
         if self.metric == "cosine":
             # quantize the unit sphere so L2-ranked ADC == cosine ranking
             # (see HnswPqIndex._pq_space)
-            dn = jnp.sqrt(jnp.maximum(
-                jnp.sum(data * data, axis=1, keepdims=True), 1e-12))
-            data = data / dn
+            from ..ops.distance import normalize_rows
+
+            data = normalize_rows(data)
         if self.config.balance_dims:
             v = np.asarray(jnp.var(data, axis=0))
             self.perm = jnp.asarray(
@@ -110,9 +110,9 @@ class PqIndex(VectorIndex):
             return
         vecs = self.store.state.vectors[jnp.asarray(slots)]
         if self.metric == "cosine":
-            vn = jnp.sqrt(jnp.maximum(
-                jnp.sum(vecs * vecs, axis=1, keepdims=True), 1e-12))
-            vecs = vecs / vn
+            from ..ops.distance import normalize_rows
+
+            vecs = normalize_rows(vecs)
         if self.perm is not None:
             vecs = vecs[:, self.perm]
         new_codes = adc.pq_encode(vecs, self.codebooks)

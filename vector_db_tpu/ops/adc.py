@@ -250,11 +250,9 @@ def adc_fast_search(
     # NORMALIZED vectors (the index encodes the unit sphere), so the query
     # normalizes too: L2 ranking on the sphere == cosine ranking; the exact
     # refine is scale-invariant in q either way.
-    q_scan = queries
-    if metric == "cosine":
-        qn_ = jnp.sqrt(jnp.maximum(
-            jnp.sum(queries * queries, axis=1, keepdims=True), 1e-12))
-        q_scan = queries / qn_
+    from .distance import normalize_rows
+
+    q_scan = normalize_rows(queries) if metric == "cosine" else queries
     if perm is not None:
         q_scan = q_scan[:, perm]
     qb = q_scan.astype(_scan_dtype())

@@ -34,6 +34,14 @@ def sq_norms(x: Array) -> Array:
     return jnp.sum(x * x, axis=-1)
 
 
+def normalize_rows(x, eps: float = 1e-12):
+    """Rows scaled to unit L2 norm (the cosine "sphere contract": quantized/
+    proxy spaces hold normalized rows so L2 ranking equals cosine ranking).
+    Works on jnp and np arrays alike."""
+    n = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), eps))
+    return x / n
+
+
 def sq_l2(a: Array, b: Array) -> Array:
     """Squared L2 between two vectors [d],[d] -> scalar (scalar fallback path)."""
     diff = a - b

@@ -106,11 +106,9 @@ def pca_proxy_search(
     # (the index layer does this); normalizing the query then makes the L2
     # proxy ranking rank-equivalent to cosine.  The exact refine uses the
     # raw queries either way (cosine distance is scale-invariant in q).
-    q_scan = queries
-    if metric == "cosine":
-        qn_ = jnp.sqrt(jnp.maximum(jnp.sum(queries * queries, axis=1,
-                                           keepdims=True), 1e-12))
-        q_scan = queries / qn_
+    from .distance import normalize_rows
+
+    q_scan = normalize_rows(queries) if metric == "cosine" else queries
     qp = ((q_scan - mean[None, :]) @ basis).astype(proxy.dtype)    # [Q, p]
     q_n = queries.shape[0]
     n = proxy.shape[0]

@@ -163,12 +163,9 @@ def sharded_flagship(mesh: Mesh, k: int, refine: int, metric: str = "l2"):
         r = min(refine, codes_s.shape[0])
         ct = jnp.transpose(codes_s, (1, 0))
         cbt = adc.codebooks_to_cbt(codebooks)
-        q_scan = q
-        if metric == "cosine":
-            # codes hold normalized rows (the cosine sphere contract)
-            qn = jnp.sqrt(jnp.maximum(
-                jnp.sum(q * q, axis=1, keepdims=True), 1e-12))
-            q_scan = q / qn
+        from ..ops.distance import normalize_rows
+
+        q_scan = normalize_rows(q) if metric == "cosine" else q
         _, cand = adc.adc_decode_topk(q_scan, ct, cbt, valid_s, r, perm=perm)
         # blocked exact re-rank: same OOM-safety as the single-chip path
         # (a naive [Q, R, d] gather is 16 GB at R=8192, Q=1024, d=512)
@@ -219,11 +216,9 @@ def sharded_pca_search(mesh: Mesh, k: int, select_r: int,
     def local(q, mean, basis, proxy_s, pnorms_s, valid_s, base_s, ids_s):
         from ..ops.distance import blocked_rerank
 
-        q_scan = q
-        if metric == "cosine":  # proxy holds normalized rows (cosine contract)
-            qn0 = jnp.sqrt(jnp.maximum(
-                jnp.sum(q * q, axis=1, keepdims=True), 1e-12))
-            q_scan = q / qn0
+        from ..ops.distance import normalize_rows
+
+        q_scan = normalize_rows(q) if metric == "cosine" else q
         qp = ((q_scan - mean[None, :]) @ basis).astype(proxy_s.dtype)
         cross = jax.lax.dot_general(
             qp, proxy_s, (((1,), (1,)), ((), ())),
@@ -327,9 +322,9 @@ def sharded_subspace_kmeans(mesh: Mesh, num_subspaces: int, iters: int,
         n_s, d = data_s.shape
         s, kc, sd = init_cb.shape
         if norm_rows:  # cosine sphere contract (see index/hnsw_pq._pq_space)
-            dn = jnp.sqrt(jnp.maximum(
-                jnp.sum(data_s * data_s, axis=1, keepdims=True), 1e-12))
-            data_s = data_s / dn
+            from ..ops.distance import normalize_rows as _nr
+
+            data_s = _nr(data_s)
         data_s = data_s[:, perm]
         sub = data_s.reshape(n_s, s, sd).transpose(1, 0, 2)      # [S, n, sd]
         sub_n = jnp.sum(sub * sub, axis=2)                       # [S, n]
@@ -374,9 +369,9 @@ def sharded_encode(mesh: Mesh, norm_rows: bool = False):
 
     def enc(v_s, cb, perm):
         if norm_rows:  # cosine sphere contract
-            vn = jnp.sqrt(jnp.maximum(
-                jnp.sum(v_s * v_s, axis=1, keepdims=True), 1e-12))
-            v_s = v_s / vn
+            from ..ops.distance import normalize_rows as _nr
+
+            v_s = _nr(v_s)
         return adc.pq_encode(v_s[:, perm], cb)
 
     return jax.jit(
@@ -511,14 +506,19 @@ class ShardedDatabase:
         rng = np.random.default_rng(seed)
         from ..ops.adc import balanced_subspace_perm
 
-        perm_np = balanced_subspace_perm(
-            self._h_vec[live].var(axis=0), s
-        )
+        rows = self._h_vec[live]
+        if self.metric == "cosine":
+            # seeds and variance must come from the SAME (normalized) space
+            # k-means trains in, or off-sphere seeds win zero points and
+            # stay frozen forever (measured: 1-3 of 64 centroids alive,
+            # 56% vs 93% recall)
+            rows = rows / np.maximum(
+                np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+        perm_np = balanced_subspace_perm(rows.var(axis=0), s)
         self.perm = jnp.asarray(perm_np)
-        pick = rng.choice(live, size=num_centroids, replace=False)
-        init = self._h_vec[np.sort(pick)][:, perm_np].reshape(
-            num_centroids, s, sd
-        )
+        pick_rows = rows[np.sort(rng.choice(len(live), size=num_centroids,
+                                            replace=False))]
+        init = pick_rows[:, perm_np].reshape(num_centroids, s, sd)
         init_cb = jnp.asarray(init.transpose(1, 0, 2))          # [S, K, sd]
         self._refresh()
         fit = self._knn_cache.get(("fit", s, iters))
@@ -648,9 +648,9 @@ class ShardedDatabase:
 
             def _proj(v_s, mu, b):
                 if cos:  # cosine sphere contract
-                    vn = jnp.sqrt(jnp.maximum(
-                        jnp.sum(v_s * v_s, axis=1, keepdims=True), 1e-12))
-                    v_s = v_s / vn
+                    from ..ops.distance import normalize_rows as _nr
+
+                    v_s = _nr(v_s)
                 return pca_ops.project_rows(v_s, mu, b)
 
             proj = jax.jit(jax.shard_map(
