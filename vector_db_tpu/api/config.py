@@ -172,8 +172,9 @@ class HnswPqConfig:
     search_mode: str = "auto"  # auto | scan_exact | scan_pallas | adc |
     # adc_fast | pca | graph.
     # "auto"/"scan_exact": blocked MXU exact scan over the raw store with
-    #   approx_max_k block reduction — measured 209k QPS / 99.87% Recall@10 at
-    #   512d/100k on one v5e chip, vs ~1k QPS for XLA-gather ADC.  On TPU,
+    #   approx_max_k block reduction — measured 441k QPS / 99.74% Recall@10 at
+    #   512d/100k on one v5e chip (67k @ 99.8% at 1M), vs ~1k QPS for
+    #   XLA-gather ADC.  On TPU,
     #   streams beat gathers: the exhaustive matmul IS the fast path whenever
     #   the raw vectors are HBM-resident (the reference also keeps raw vectors
     #   for its 50k-deep exact re-rank, HnswPqIndex.java:647-664).
