@@ -180,3 +180,21 @@ class TestVectorType:
     def test_dim_mismatch(self):
         with pytest.raises(ValueError):
             Vector(1, [1.0]).euclidean_distance(Vector(2, [1.0, 2.0]))
+
+
+class TestSearchModeBuilder:
+    def test_with_search_mode_shortcut(self, rng):
+        vecs = rng.standard_normal((600, 32)).astype(np.float32)
+        db = (VectorDatabase.builder().with_dimension(32)
+              .with_max_elements(1024).with_index_type(IndexType.HNSWPQ)
+              .with_search_mode("adc_fast").build())
+        db.add_batch(range(600), vecs)
+        assert db.index.config.search_mode == "adc_fast"
+        r = db.search(vecs[5], 3)
+        assert r and r[0].id == 5
+        db.close()
+
+    def test_with_search_mode_wrong_type_raises(self):
+        with pytest.raises(ValueError):
+            (VectorDatabase.builder().with_dimension(8).with_max_elements(64)
+             .with_index_type(IndexType.BRUTE).with_search_mode("pca").build())

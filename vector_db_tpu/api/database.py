@@ -191,6 +191,7 @@ class VectorDatabase:
             self._index_config = None
             self._index: Optional[VectorIndex] = None
             self._durability = "flush"
+            self._search_mode: Optional[str] = None
 
         def with_durability(self, durability: str) -> "VectorDatabase.Builder":
             """WAL durability: "buffered" | "flush" (default) | "fsync"."""
@@ -225,6 +226,13 @@ class VectorDatabase:
             self._index_config = cfg
             return self
 
+        def with_search_mode(self, mode: str) -> "VectorDatabase.Builder":
+            """HNSWPQ search-mode shortcut (auto | scan_exact | scan_pallas
+            | adc | adc_fast | pca | graph — see HnswPqConfig.search_mode)
+            without hand-building an index config."""
+            self._search_mode = mode
+            return self
+
         def with_index(self, index: VectorIndex) -> "VectorDatabase.Builder":
             """Direct index injection (reference: Builder.withIndex :402)."""
             self._index = index
@@ -233,6 +241,16 @@ class VectorDatabase:
         def build(self) -> "VectorDatabase":
             if self._dim is None or self._max is None:
                 raise ValueError("dimension and max_elements are required")
+            if self._search_mode is not None:
+                if self._type is not IndexType.HNSWPQ:
+                    raise ValueError(
+                        "with_search_mode applies to IndexType.HNSWPQ"
+                    )
+                from .config import HnswPqConfig
+
+                cfg = self._index_config or HnswPqConfig()
+                cfg.search_mode = self._search_mode
+                self._index_config = cfg
             db = VectorDatabase(
                 self._dim,
                 self._max,
