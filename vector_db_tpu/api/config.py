@@ -120,7 +120,7 @@ class HnswConfig:
             return self.max_level
         return max(1, int(math.log(max(capacity, 2)) / math.log(max(self.m, 2))) + 1)
 
-    def ef_for_query(self, k: int, n: int = 1000) -> int:
+    def ef_for_query(self, k: int, n: int = 1000, dim: int = 0) -> int:
         """Per-query beam width.
 
         Fixed mode (ef_search > 0): ef = max(ef, 4k) (reference:
@@ -129,7 +129,12 @@ class HnswConfig:
         and caps, matching the native reference policy (HNSWIndex.h:31-50) —
         base (k + delta) grows ~20% per decade of N, the k-multiplier floor
         steps 4/5/6/8 at 1k/5k/20k, capped at 300 (<=10k) / 400 (>10k), so
-        recall/latency self-tunes as the corpus grows.
+        recall/latency self-tunes as the corpus grows.  A dimension-aware
+        floor widens the beam on high-dim corpora where greedy descent loses
+        discrimination (hubness): measured at 512d x 10k / k=10, ef=60
+        scored 84.1% Recall@10 while ef=256 scored 95.1% (the BASELINE.md
+        >=95% config target) — the log-N policy alone is tuned for the
+        reference's 128d benchmarks and is too lean above ~256d.
         """
         if self.ef_search > 0:
             return max(self.ef_search, 4 * k)
@@ -143,8 +148,16 @@ class HnswConfig:
             mult = 6
         if n > 20000:
             mult = 8
+        ef = max(base, k * mult)
+        floor = 0
+        if dim >= 256 and n > 1000:
+            # step with dim (256 at 256d, 288 at 512d, 320 at >=768d), and
+            # +64 beyond 20k rows where the 128d-tuned policy under-shoots
+            floor = 256 + 32 * min(max((dim - 128) // 256, 0), 2)
+            if n > 20000:
+                floor += 64
         cap = 300 if n <= 10000 else 400
-        return min(max(base, k * mult), cap)
+        return min(max(ef, floor), max(cap, floor))
 
 
 @dataclasses.dataclass
@@ -263,7 +276,10 @@ class LshConfig:
     # own config scores ~0% without its random-fill), ~88% on a power-law
     # 512d corpus, while pruning ~2/3 of the corpus.  0 -> exact-bucket
     # match on quantized projections (strict reference-parity semantics).
-    bucket_width: float = 0.0  # only used when hamming_radius == 0.
+    bucket_width: float = 0.0  # setting this > 0 OPTS INTO exact-bucket
+    # mode (hamming_radius is ignored): a width is only meaningful for
+    # quantized-projection hashing, so an explicit width means
+    # reference-parity semantics.
     # <= 0 -> data-calibrated at build() (~10x the median nn distance of a
     # corpus sample, index/lsh._auto_width); the reference's fixed 4.0 only
     # matches its own 128d uniform[-1,1] scale — at 512d it yields zero

@@ -246,11 +246,16 @@ class VectorDatabase:
                     raise ValueError(
                         "with_search_mode applies to IndexType.HNSWPQ"
                     )
+                import dataclasses
+
                 from .config import HnswPqConfig
 
                 cfg = self._index_config or HnswPqConfig()
-                cfg.search_mode = self._search_mode
-                self._index_config = cfg
+                # replace, don't mutate: a config object shared across
+                # builders must not inherit this builder's search mode
+                self._index_config = dataclasses.replace(
+                    cfg, search_mode=self._search_mode
+                )
             db = VectorDatabase(
                 self._dim,
                 self._max,

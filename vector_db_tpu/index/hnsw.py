@@ -184,7 +184,10 @@ class HnswIndex(VectorIndex):
                 metric="l2", b_norms=st.norms, block_n=min(8192, st.capacity),
             )
         else:
-            ef = min(max(self.config.ef_for_query(k_pad, n_live), k_pad), st.capacity)
+            ef = min(
+                max(self.config.ef_for_query(k_pad, n_live, self.dim), k_pad),
+                st.capacity,
+            )
             dists, slots = hg.hnsw_search(
                 self.graph, st.vectors, st.norms, st.valid,
                 jnp.asarray(padded), k_pad, ef,

@@ -259,29 +259,12 @@ class HnswPqIndex(VectorIndex):
         """
         if self._members is not None and not self._members_dirty:
             return self._members, self._members.shape[1], self._overflow
-        c = int(self.coarse_centroids.shape[0])
-        valid = np.asarray(self.store.state.valid)
-        lists: list[list[int]] = [[] for _ in range(c)]
-        for slot, cl in enumerate(self.coarse_assign):
-            if cl >= 0 and valid[slot]:
-                lists[cl].append(slot)
-        n_live = sum(len(l) for l in lists)
-        quota = max(32, int(np.ceil(4.0 * max(n_live, 1) / c / 32)) * 32)
-        overflow: list[int] = []
-        max_len = 1
-        for l in lists:
-            if len(l) > quota:
-                overflow.extend(l[quota:])
-                del l[quota:]
-            max_len = max(max_len, len(l))
-        max_len = ((max_len + 31) // 32) * 32
-        table = np.full((c, max_len), -1, np.int32)
-        for ci, l in enumerate(lists):
-            table[ci, : len(l)] = l
-        over = np.asarray(overflow, np.int32) if overflow else np.full(32, -1, np.int32)
-        pad = (-over.size) % 32
-        if pad:
-            over = np.concatenate([over, np.full(pad, -1, np.int32)])
+        from ..core.member_table import build_member_table
+
+        table, max_len, over = build_member_table(
+            self.coarse_assign, np.asarray(self.store.state.valid),
+            int(self.coarse_centroids.shape[0]), quota_mult=4.0, align=32,
+        )
         self._members = jnp.asarray(table)
         self._overflow = jnp.asarray(over)
         self._members_dirty = False

@@ -33,6 +33,7 @@ def _ivf_search(
     queries: jnp.ndarray,       # [Q, d]
     centroids: jnp.ndarray,     # [C, d]
     members: jnp.ndarray,       # [C, L] slot ids, -1 padded
+    overflow: jnp.ndarray,      # [O] quota-spilled slots, -1 padded
     base: jnp.ndarray,          # [cap, d]
     valid: jnp.ndarray,         # [cap]
     fill_slots: jnp.ndarray,    # [F] random live slots for short rows
@@ -45,8 +46,16 @@ def _ivf_search(
     cd = pairwise_dist(queries, centroids, metric)  # [Q, C]
     _, probes = jax.lax.top_k(-cd, nprobe)  # [Q, P]
 
-    # 2. gather probed clusters' member slots -> [Q, P*L]
+    # 2. gather probed clusters' member slots -> [Q, P*L]; the shared
+    #    overflow list (members beyond a cluster's quota) is always scanned,
+    #    so quota capping is lossless (core/member_table.py)
     cand = members[probes].reshape(queries.shape[0], nprobe * max_len)
+    cand = jnp.concatenate(
+        [cand,
+         jnp.broadcast_to(overflow[None, :],
+                          (queries.shape[0], overflow.shape[0]))],
+        axis=1,
+    )
     # multi-assigned vectors can appear in several probed clusters: sort-dedup
     # so duplicates cannot crowd the top-k (adjacent after sort)
     cand = jnp.sort(cand, axis=1)
@@ -114,6 +123,7 @@ class IvfIndex(VectorIndex):
             (self.store.capacity, max(1, self.config.multi_assign)), -1, np.int32
         )
         self.members: Optional[jax.Array] = None  # [C, L] padded slot table
+        self.overflow: Optional[jax.Array] = None  # quota-spilled slots
         self._members_dirty = True
         self.trained = False
         self.seed = 42
@@ -181,33 +191,26 @@ class IvfIndex(VectorIndex):
         self.assignments[slots, :a] = np.asarray(top_a)
         self._members_dirty = True
 
-    def _member_table(self) -> tuple[jax.Array, int]:
-        """Padded [C, L] member table, rebuilt lazily after mutations.
+    def _member_table(self) -> tuple[jax.Array, int, jax.Array]:
+        """Quota-capped [C, L] member table + overflow list, rebuilt lazily
+        after mutations (vectorized argsort bucketing, core/member_table.py).
 
-        Capped at 8x the mean cluster size so one mega-cluster cannot blow up
-        the per-query candidate gather (oversized clusters are truncated; the
-        flagship's quota+overflow variant is the lossless version of this)."""
+        The quota (8x the mean cluster size) bounds the per-query candidate
+        gather against mega-clusters; members beyond it spill into a shared
+        overflow list every query scans — lossless, unlike truncation, which
+        on skewed corpora silently dropped an unbounded share of members."""
         if self.members is not None and not self._members_dirty:
-            return self.members, self.members.shape[1]
-        c = int(self.centroids.shape[0])
-        valid = np.asarray(self.store.state.valid)
-        lists: list[list[int]] = [[] for _ in range(c)]
-        for slot in np.flatnonzero(valid):
-            for cl in self.assignments[slot]:
-                if cl >= 0:
-                    lists[cl].append(int(slot))
-        n_live = sum(len(l) for l in lists)
-        quota = max(8, int(np.ceil(8.0 * max(n_live, 1) / c / 8)) * 8)
-        max_len = max(1, min(quota, max((len(l) for l in lists), default=1)))
-        # pad to a multiple of 8 to bound recompiles as clusters grow
-        max_len = ((max_len + 7) // 8) * 8
-        table = np.full((c, max_len), -1, np.int32)
-        for ci, l in enumerate(lists):
-            take = l[:max_len]
-            table[ci, : len(take)] = take
+            return self.members, self.members.shape[1], self.overflow
+        from ..core.member_table import build_member_table
+
+        table, max_len, over = build_member_table(
+            self.assignments, np.asarray(self.store.state.valid),
+            int(self.centroids.shape[0]), quota_mult=8.0, align=8,
+        )
         self.members = jnp.asarray(table)
+        self.overflow = jnp.asarray(over)
         self._members_dirty = False
-        return self.members, max_len
+        return self.members, max_len, self.overflow
 
     # --------------------------------------------------------------- search
     def search_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -228,7 +231,7 @@ class IvfIndex(VectorIndex):
                 block_n=min(8192, st.capacity),
             )
         else:
-            members, max_len = self._member_table()
+            members, max_len, overflow = self._member_table()
             nprobe = min(self.config.num_probes, int(self.centroids.shape[0]))
             # deterministic "random" fill pool (reference shuffles; we keep
             # the fixed-seed convention, SURVEY.md §4.5)
@@ -239,7 +242,7 @@ class IvfIndex(VectorIndex):
             if f < k_pad:
                 fill = np.concatenate([fill, np.full(k_pad - f, -1, np.int32)])
             dists, slots = _ivf_search(
-                jnp.asarray(padded), self.centroids, members,
+                jnp.asarray(padded), self.centroids, members, overflow,
                 st.vectors, st.valid, jnp.asarray(fill),
                 nprobe, k_pad, self.metric, max_len,
             )
@@ -292,3 +295,4 @@ class IvfIndex(VectorIndex):
         )
         self._members_dirty = True
         self.members = None
+        self.overflow = None

@@ -146,7 +146,13 @@ class LshIndex(VectorIndex):
     def __init__(self, dim: int, capacity: int, metric: str = "l2", config: Optional[LshConfig] = None):
         super().__init__(dim, capacity, metric)
         self.config = config or LshConfig()
-        if self.config.hamming_radius > 0 and self.config.num_bits > 31:
+        # an explicit bucket_width opts into exact-bucket mode: the width is
+        # only meaningful for quantized-projection hashing, so honoring it
+        # beats silently ignoring it in favor of the default hamming_radius
+        # (LshConfig(num_bits=8, bucket_width=4.0) means reference parity)
+        self._radius = (0 if self.config.bucket_width > 0
+                        else self.config.hamming_radius)
+        if self._radius > 0 and self.config.num_bits > 31:
             raise ValueError(
                 "multi-probe sign codes pack into int32: num_bits <= 31 "
                 f"required with hamming_radius > 0, got {self.config.num_bits}"
@@ -216,7 +222,7 @@ class LshIndex(VectorIndex):
         if accepted:
             sl = jnp.asarray(np.asarray(slots, np.int64))
             vecs = self.store.state.vectors[sl]
-            if self.config.hamming_radius > 0:
+            if self._radius > 0:
                 new_b = _sign_codes(vecs, self.planes)  # [T, B]
             else:
                 new_b = _bucket_ids(vecs, self.planes,
@@ -235,7 +241,7 @@ class LshIndex(VectorIndex):
         if self.config.bucket_width <= 0:
             self._width = None  # recalibrate against the current corpus
         st = self.store.state
-        if self.config.hamming_radius > 0:
+        if self._radius > 0:
             self.bucket_ids = _sign_codes(st.vectors, self.planes)
         else:
             self.bucket_ids = _bucket_ids(st.vectors, self.planes,
@@ -259,7 +265,7 @@ class LshIndex(VectorIndex):
                 block_n=min(8192, st.capacity),
             )
         else:
-            r = self.config.hamming_radius
+            r = self._radius
             dists, slots = _lsh_search(
                 jnp.asarray(padded), self.planes,
                 jnp.asarray(1.0 if r > 0 else self._effective_width(),
@@ -307,8 +313,8 @@ class LshIndex(VectorIndex):
             num_tables=self.config.num_tables,
             num_bits=self.config.num_bits,
             bucket_width=(self._effective_width()
-                          if self.config.hamming_radius <= 0 else 0.0),
-            hamming_radius=self.config.hamming_radius,
+                          if self._radius <= 0 else 0.0),
+            hamming_radius=self._radius,
             backfill_rows=self._backfill_rows,
             backfill_queries=self._backfill_queries,
         )
@@ -325,7 +331,7 @@ class LshIndex(VectorIndex):
             # trigger the auto-width corpus calibration
             "width": np.asarray([self._width if self._width is not None
                                  else (self._effective_width()
-                                       if self.config.hamming_radius <= 0
+                                       if self._radius <= 0
                                        else 0.0)], np.float64),
         }
 

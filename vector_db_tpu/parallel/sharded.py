@@ -403,7 +403,16 @@ class ShardedDatabase:
                  codes: np.ndarray | None = None,
                  codebooks: np.ndarray | None = None,
                  dim: int | None = None, capacity: int | None = None,
-                 num_subspaces: int = 8, metric: str = "l2"):
+                 num_subspaces: int = 8, metric: str = "l2",
+                 perm: np.ndarray | None = None):
+        """`perm`: the variance-balancing dimension permutation the imported
+        `codes`/`codebooks` were trained under.  Codebooks exported from a
+        default-config single-chip index (HnswPqConfig/PqConfig default
+        balance_dims=True) live in PERMUTED space — importing them without
+        their `index.perm` silently scores unpermuted queries against
+        permuted codebooks and collapses recall, so imports of externally
+        trained codebooks must state their permutation explicitly (pass
+        `np.arange(dim)` for codebooks trained without one)."""
         self.mesh = mesh
         self.metric = metric
         self.n_shards = int(mesh.devices.size)
@@ -429,7 +438,8 @@ class ShardedDatabase:
         self._dirty: set[int] = set(range(self.n_shards))
         self._dev_pieces: dict[str, list] = {}
         self.codebooks = None
-        self.perm = None  # variance-balanced PQ dim permutation (train_pq)
+        # variance-balanced PQ dim permutation (train_pq / imported)
+        self.perm = None if perm is None else jnp.asarray(perm)
         self._knn_cache: dict = {}
         if codebooks is not None:
             self.num_subspaces = int(np.asarray(codebooks).shape[0])
@@ -445,10 +455,14 @@ class ShardedDatabase:
             live = np.flatnonzero(valid)
             self.add_batch(ids[live], np.asarray(vectors, np.float32)[live])
             if codes is not None:
-                # imported codes follow the slots just assigned
+                # imported codes follow the slots just assigned; rows whose
+                # id was rejected by add_batch (duplicates, capacity) are
+                # skipped rather than raising KeyError mid-import
                 codes = np.asarray(codes)
                 for i in live:
-                    self._h_codes[self._slot_of[int(ids[i])]] = codes[i]
+                    slot = self._slot_of.get(int(ids[i]))
+                    if slot is not None:
+                        self._h_codes[slot] = codes[i]
 
     # ----------------------------------------------------------- mutation
     def add_batch(self, ids, vectors) -> list[int]:
@@ -568,14 +582,27 @@ class ShardedDatabase:
 
     # ----------------------------------------------------------- transfer
     def _put_field(self, name: str) -> None:
-        host = {
-            "vectors": self._h_vec,
-            "ids": self._h_ids,
-            "valid": self._h_valid,
-            "norms": (self._h_vec.astype(np.float32) ** 2).sum(1),
-            "codes": self._h_codes,
+        # host_fn computes only the requested [lo:hi] slice: refreshing one
+        # dirty shard must not recompute (or even touch) the full-capacity
+        # mirrors — the norms row in particular was an O(cap*dim) host pass
+        # per refresh before this was sliced
+        host_fn = {
+            "vectors": lambda lo, hi: self._h_vec[lo:hi],
+            "ids": lambda lo, hi: self._h_ids[lo:hi],
+            "valid": lambda lo, hi: self._h_valid[lo:hi],
+            "norms": lambda lo, hi: (self._h_vec[lo:hi] ** 2).sum(
+                1, dtype=np.float32),
+            "codes": lambda lo, hi: self._h_codes[lo:hi],
         }[name]
-        spec = P(AXIS, *([None] * (host.ndim - 1)))
+        shapes = {
+            "vectors": (self.capacity, self.dim),
+            "ids": (self.capacity,),
+            "valid": (self.capacity,),
+            "norms": (self.capacity,),
+            "codes": (self.capacity, self._h_codes.shape[1]),
+        }
+        shape = shapes[name]
+        spec = P(AXIS, *([None] * (len(shape) - 1)))
         sharding = NamedSharding(self.mesh, spec)
         pieces = self._dev_pieces.get(name)
         if pieces is None:
@@ -585,10 +612,12 @@ class ShardedDatabase:
             dirty = sorted(self._dirty)
         for shard in dirty:
             lo, hi = shard * self.per_shard, (shard + 1) * self.per_shard
-            pieces[shard] = jax.device_put(host[lo:hi], self._devices[shard])
+            pieces[shard] = jax.device_put(
+                np.ascontiguousarray(host_fn(lo, hi)), self._devices[shard]
+            )
         self._dev_pieces[name] = pieces
         arr = jax.make_array_from_single_device_arrays(
-            host.shape, sharding, pieces
+            shape, sharding, pieces
         )
         setattr(self, {"vectors": "vectors", "ids": "ids", "valid": "valid",
                        "norms": "norms", "codes": "codes"}[name], arr)
@@ -614,11 +643,20 @@ class ShardedDatabase:
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
 
-    def fit_pca(self, p: int = 32) -> None:
-        """Fit the PCA-proxy basis on a live-row sample (ops/pca)."""
+    def fit_pca(self, p: int = 32, seed: int = 42) -> None:
+        """Fit the PCA-proxy basis on a live-row sample (ops/pca).
+
+        The sample is drawn with a seeded rng over the live rows (not the
+        first-20000 in slot order: slot order tracks insertion order, so on
+        clustered corpora a prefix sample fits a biased basis — the same
+        contract as HnswPqIndex.train's sampling)."""
         from ..ops import pca as pca_ops
 
-        sample = self._h_vec[self._h_valid][:20000]
+        live = np.flatnonzero(self._h_valid)
+        if live.size > 20000:
+            rng = np.random.default_rng(seed)
+            live = np.sort(rng.choice(live, 20000, replace=False))
+        sample = self._h_vec[live]
         if len(sample) < 2:
             raise ValueError("need >= 2 live vectors to fit PCA")
         if self.metric == "cosine":  # cosine sphere contract
