@@ -1,0 +1,262 @@
+"""The >HBM compressed-store regime (HnswPqConfig.raw_store=False) —
+CPU-scaled tests for what benchmarks/bench_10m_api.py proves at 10M x 512 on
+the real chip: VectorStore holds int8-packed rows + exact norms instead of
+the raw f32 matrix, ingest streams chunk-wise through one donated jit step,
+and every quantized search mode refines from the int8 rows.
+
+reference: the N >> memory regime the reference only roadmaps
+(PERFORMANCE_BENCHMARK_AND_ROADMAP.md:475-525, IVF sharding + mmap)."""
+
+import numpy as np
+import pytest
+
+from vector_db_tpu import CompressionConfig, IndexType, VectorDatabase
+from vector_db_tpu.api.config import HnswPqConfig
+from vector_db_tpu.core.store import VectorStore
+from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+DIM = 64
+N = 4096
+K = 10
+
+
+def _corpus(n=N, dim=DIM, seed=42):
+    r = np.random.default_rng(seed)
+    # decaying spectrum (realistic embedding-like structure)
+    scale = (np.arange(dim) + 1.0) ** -0.5
+    return (r.standard_normal((n, dim)) * scale).astype(np.float32)
+
+
+def _gt(vecs, queries, k=K, metric="l2"):
+    if metric == "cosine":
+        v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        d = 1.0 - q @ v.T
+    else:
+        d = ((queries**2).sum(1)[:, None] + (vecs**2).sum(1)[None, :]
+             - 2.0 * queries @ vecs.T)
+    return np.argsort(d, axis=1)[:, :k]
+
+
+def _recall(ids, gt):
+    hits = sum(
+        len(set(ids[i].tolist()) & set(gt[i].tolist())) for i in range(len(gt))
+    )
+    return hits / (len(gt) * gt.shape[1])
+
+
+class TestInt8Store:
+    def test_roundtrip_and_norms(self):
+        vecs = _corpus(300)
+        st = VectorStore(512, DIM, raw=False)
+        acc, slots = st.add_batch(range(300), vecs)
+        assert len(acc) == 300
+        got = st.get(5)
+        # int8 row quantization: ~0.4% per-element relative error
+        assert np.allclose(got, vecs[5], atol=2e-2 * np.abs(vecs[5]).max())
+        # norms are EXACT (captured from f32 at write time)
+        norms = np.asarray(st.state.norms)[np.asarray(slots)]
+        np.testing.assert_allclose(norms, (vecs**2).sum(1), rtol=1e-5)
+
+    def test_rows_matches_get(self):
+        vecs = _corpus(64)
+        st = VectorStore(128, DIM, raw=False)
+        _, slots = st.add_batch(range(64), vecs)
+        rows = np.asarray(st.rows(np.asarray(slots, np.int32)))
+        np.testing.assert_allclose(rows[7], st.get(7), rtol=1e-6)
+
+    def test_host_checkpoint_roundtrip(self):
+        vecs = _corpus(200)
+        st = VectorStore(256, DIM, raw=False)
+        st.add_batch(range(200), vecs)
+        st.remove(13)
+        snap = st.to_host()
+        assert "vectors" not in snap and "packed8" in snap
+        st2 = VectorStore.from_host(snap)
+        assert not st2.raw
+        assert st2.size() == 199 and st2.get(13) is None
+        np.testing.assert_allclose(st2.get(42), st.get(42))
+
+    def test_numpy_view_dequant_matches_device(self):
+        # the WAL-snapshot host path dequantizes with numpy .view(int8);
+        # byte order must agree with the device bitcast packing
+        vecs = _corpus(32)
+        st = VectorStore(128, DIM, raw=False)
+        _, slots = st.add_batch(range(32), vecs)
+        snap = st.to_host()
+        p8 = snap["packed8"][np.asarray(slots)]
+        sc = snap["scales8"][np.asarray(slots)]
+        host = p8.view(np.int8).reshape(32, DIM).astype(np.float32) * sc[:, None]
+        dev = np.asarray(st.rows(np.asarray(slots, np.int32)))
+        np.testing.assert_allclose(host, dev, rtol=1e-6)
+
+
+class TestCompressedIndexValidation:
+    def test_bad_modes_raise(self):
+        for mode in ("scan_exact", "scan_pallas", "graph"):
+            with pytest.raises(ValueError):
+                HnswPqIndex(DIM, 1024, config=HnswPqConfig(
+                    raw_store=False, search_mode=mode))
+
+    def test_graph_raises(self):
+        with pytest.raises(ValueError):
+            HnswPqIndex(DIM, 1024, config=HnswPqConfig(
+                raw_store=False, use_graph=True))
+
+    def test_dim_mult4(self):
+        with pytest.raises(ValueError):
+            HnswPqIndex(66, 1024, config=HnswPqConfig(raw_store=False))
+
+    def test_refine_store_forced_int8(self):
+        idx = HnswPqIndex(DIM, 1024, config=HnswPqConfig(raw_store=False))
+        assert idx.config.refine_store == "int8"
+        assert idx.stats()["raw_store"] is False
+
+
+class TestCompressedSearch:
+    @pytest.fixture(scope="class")
+    def built(self):
+        vecs = _corpus()
+        cfg = HnswPqConfig(
+            raw_store=False, num_subspaces=16, training_samples=2048,
+            adc_select_r=256, proxy_dims=16, search_mode="pca",
+        )
+        idx = HnswPqIndex(DIM, N + 128, config=cfg)
+        # streamed ingest in 4 chunks (first chunk trains)
+        chunks = [
+            (range(s, s + 1024), vecs[s:s + 1024])
+            for s in range(0, N, 1024)
+        ]
+        n = idx.bulk_load_stream(chunks)
+        assert n == N and idx.trained
+        queries = _corpus(128, seed=7)
+        return idx, vecs, queries, _gt(vecs, queries)
+
+    def test_untrained_fallback_scans_int8(self):
+        # 200 live rows < num_centroids=256 -> lazy training cannot trigger
+        vecs = _corpus(200)
+        cfg = HnswPqConfig(raw_store=False)
+        idx = HnswPqIndex(DIM, 1024, config=cfg)
+        idx.add_batch(range(200), vecs)
+        assert not idx.trained
+        q = _corpus(32, seed=9)
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q)) >= 0.99
+
+    @pytest.mark.parametrize("mode", ["pca", "adc_fast", "adc", "scan_int8"])
+    def test_mode_recall(self, built, mode):
+        idx, vecs, queries, gt = built
+        idx.config.search_mode = mode
+        ids, dists = idx.search_batch(queries, K)
+        rec = _recall(ids, gt)
+        floor = 0.97 if mode == "scan_int8" else 0.9
+        assert rec >= floor, f"{mode}: {rec}"
+        # distances ascend
+        d0 = dists[:, :-1]
+        assert np.all(d0 <= dists[:, 1:] + 1e-6)
+
+    def test_auto_resolves_adc_fast(self, built):
+        idx, vecs, queries, gt = built
+        idx.config.search_mode = "auto"
+        ids, _ = idx.search_batch(queries, K)
+        assert _recall(ids, gt) >= 0.9
+
+    def test_crud_after_stream(self, built):
+        idx, vecs, queries, gt = built
+        extra = _corpus(8, seed=100) + 3.0  # well-separated rows
+        assert idx.add_batch(range(10_000, 10_008), extra) == list(
+            range(10_000, 10_008))
+        idx.config.search_mode = "scan_int8"
+        ids, _ = idx.search_batch(extra, 1)
+        assert ids[:, 0].tolist() == list(range(10_000, 10_008))
+        assert idx.remove(10_000)
+        ids, _ = idx.search_batch(extra[:1], 1)
+        assert ids[0, 0] != 10_000
+        # restore class-fixture state
+        for i in range(10_001, 10_008):
+            idx.remove(i)
+
+
+class TestCompressedStreamRawStore:
+    def test_stream_works_for_raw_store_too(self):
+        vecs = _corpus(2048)
+        cfg = HnswPqConfig(num_subspaces=16, training_samples=1024)
+        idx = HnswPqIndex(DIM, 2048, config=cfg)
+        n = idx.bulk_load_stream(
+            [(range(0, 1024), vecs[:1024]), (range(1024, 2048), vecs[1024:])]
+        )
+        assert n == 2048
+        q = _corpus(64, seed=3)
+        ids, _ = idx.search_batch(q, K)  # auto -> scan_exact (raw rows exist)
+        assert _recall(ids, _gt(vecs, q)) >= 0.98
+
+    def test_duplicate_ids_raise(self):
+        vecs = _corpus(1024)
+        idx = HnswPqIndex(DIM, 2048, config=HnswPqConfig(
+            num_subspaces=16, training_samples=512))
+        with pytest.raises(ValueError, match="duplicate"):
+            idx.bulk_load_stream(
+                [(range(512), vecs[:512]), (range(512), vecs[512:1024])]
+            )
+
+    def test_capacity_overflow_raises(self):
+        vecs = _corpus(1024)
+        idx = HnswPqIndex(DIM, 512, config=HnswPqConfig(
+            num_subspaces=16, training_samples=256))
+        with pytest.raises(ValueError, match="capacity"):
+            idx.bulk_load_stream([(range(1024), vecs)])
+
+
+class TestCompressedDatabase:
+    def test_facade_checkpoint_roundtrip(self, tmp_path):
+        vecs = _corpus(2048)
+        cfg = HnswPqConfig(
+            raw_store=False, num_subspaces=16, training_samples=1024,
+        )
+        db = (VectorDatabase.builder()
+              .with_dimension(DIM).with_max_elements(2176)
+              .with_index_type(IndexType.HNSWPQ)
+              .with_index_config(cfg)
+              .with_storage_path(str(tmp_path / "cdb")).build())
+        # compressed tier: checkpoint durability, no WAL engine
+        assert db._engine is None
+        n = db.bulk_load_stream(
+            [(range(0, 1024), vecs[:1024]), (range(1024, 2048), vecs[1024:])]
+        )  # auto-saves
+        assert n == 2048
+        q = _corpus(64, seed=5)
+        before = [[r.id for r in row] for row in db.search_batch(q, K)]
+        db.close()
+
+        db2 = (VectorDatabase.builder()
+               .with_dimension(DIM).with_max_elements(2176)
+               .with_index_type(IndexType.HNSWPQ)
+               .with_index_config(HnswPqConfig(
+                   raw_store=False, num_subspaces=16, training_samples=1024))
+               .with_storage_path(str(tmp_path / "cdb")).build())
+        assert db2.size() == 2048
+        assert not db2.index.store.raw
+        after = [[r.id for r in row] for row in db2.search_batch(q, K)]
+        assert before == after
+        # CRUD still works post-reload
+        assert db2.add_vector(99_999, vecs[0] + 5.0)
+        assert db2.delete_vector(0)
+        db2.close()
+
+    def test_cosine_compressed(self):
+        r = np.random.default_rng(11)
+        vecs = (r.standard_normal((2048, DIM))
+                * r.uniform(0.5, 5.0, (2048, 1))).astype(np.float32)
+        cfg = HnswPqConfig(
+            raw_store=False, num_subspaces=16, training_samples=1024,
+        )
+        idx = HnswPqIndex(DIM, 2048, metric="cosine", config=cfg)
+        idx.bulk_load_stream([(range(2048), vecs)])
+        q = (r.standard_normal((64, DIM))).astype(np.float32)
+        gt = _gt(vecs, q, metric="cosine")
+        idx.config.search_mode = "adc_fast"
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, gt) >= 0.85
+        idx.config.search_mode = "scan_int8"
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, gt) >= 0.97

@@ -183,7 +183,7 @@ class HnswPqConfig:
     # PQ-score + re-rank pipeline for the memory-bound regime)
     nprobe: int = 32
     search_mode: str = "auto"  # auto | scan_exact | scan_pallas | adc |
-    # adc_fast | pca | graph.
+    # adc_fast | pca | graph | scan_int8.
     # "auto"/"scan_exact": blocked MXU exact scan over the raw store with
     #   approx_max_k block reduction — measured 441k QPS / 99.74% Recall@10 at
     #   512d/100k on one v5e chip (67k @ 99.8% at 1M), vs ~1k QPS for
@@ -201,6 +201,11 @@ class HnswPqConfig:
     #   scan over the reconstruction + unranked bucket pool + exact refine
     #   (ops/adc.adc_fast_search).  Scoring reads only codes + codebooks.
     # "graph": HNSW traversal with ADC distances + exact refine.
+    # "scan_int8": exhaustive blocked scan over the int8 row store
+    #   (ops/distance.blocked_knn_int8) — near-exact ranking (the cross term
+    #   carries ~0.4% quantization error; norms are write-time exact) at 1/4
+    #   the stream bytes of scan_exact.  The exhaustive option for
+    #   raw_store=False, where no f32 matrix exists.
     scan_recall_target: float = 0.99  # approx_max_k target; 1.0 -> exact
     adc_bucket: int = 32  # adc_fast pool granularity: keep the best
     # `adc_winners` per `adc_bucket` corpus slots -> pool = winners*N/bucket
@@ -215,9 +220,20 @@ class HnswPqConfig:
     # before PQ (ops/adc.balanced_subspace_perm) — equalises per-subspace
     # variance on decaying-spectrum corpora; no-op cost, big recall win on
     # real embeddings, exactly neutral on isotropic data
-    refine_store: str = "f32"  # adc_fast refine source: "f32" reads the raw
-    # store; "bf16" keeps a bit-packed bf16 shadow (ops/distance.
-    # pack_bf16_rows) — half the refine traffic, ~0.03% distance error
+    refine_store: str = "f32"  # adc_fast/pca refine source: "f32" reads the
+    # raw store; "bf16" keeps a bit-packed bf16 shadow (ops/distance.
+    # pack_bf16_rows) — half the refine traffic, ~0.03% distance error;
+    # "int8" keeps a bit-packed int8 shadow (pack_int8_rows) — quarter the
+    # traffic, ~0.4% error.  With raw_store=False the store itself is the
+    # int8 shadow and this field is forced to "int8".
+    raw_store: bool = True  # False -> the >HBM compressed regime: the
+    # VectorStore holds int8-packed rows (+ exact norms) INSTEAD of the
+    # [cap, dim] f32 matrix, so capacity is bounded by codes + proxy + int8
+    # rows (~0.7 GB/M at 512d vs 2 GB/M raw f32 — 10M x 512 fits one 16 GB
+    # chip with room to search).  Search modes: adc_fast (default), pca,
+    # adc, scan_int8; scan_exact/scan_pallas/graph need raw rows and raise.
+    # The reference's N >> memory roadmap answer is IVF sharding + mmap
+    # (reference: PERFORMANCE_BENCHMARK_AND_ROADMAP.md:475-525).
     adc_select_r: int = 0  # > 0 -> narrow the (wide, cheap) pool to a ranked
     # top-R with one tiny approx_max_k over pool VALUES before the refine
     # gathers — the hybrid that beats both pure bucket pools (selection loss)

@@ -164,7 +164,15 @@ class VectorDatabase:
         #   "fsync"    — every acknowledged mutation survives an OS crash
         self.durability = durability
         self._engine = None
-        if storage_path:
+        # the >HBM compressed regime (HnswPqConfig.raw_store=False) is a
+        # bulk/checkpoint tier: per-mutation WAL durability would write f32
+        # row payloads the store itself refuses to hold (20 GB at 10M x 512)
+        # and the save()-time WAL snapshot would do the same.  Durability
+        # there = checkpoints (save()/close()); the WAL engine is skipped.
+        compressed = (
+            getattr(getattr(self.index, "store", None), "raw", True) is False
+        )
+        if storage_path and not compressed:
             from ..storage.native import open_engine
 
             wal_dir = os.path.join(storage_path, "wal")
@@ -309,6 +317,36 @@ class VectorDatabase:
                 )
             self._note_mutation(len(accepted))
         return accepted
+
+    def bulk_load(self, ids: Sequence[int], vectors) -> list[int]:
+        """Zero-copy bulk ingest of an (ideally device-resident) corpus into
+        an empty database — the fast path that skips per-row WAL appends (a
+        checkpoint is written right after when a storage path is set, so
+        durability is preserved).  See VectorStore.bulk_load."""
+        self._check_open()
+        if not hasattr(self.index, "bulk_load"):
+            raise ValueError(
+                f"index kind {self.index.kind!r} has no bulk_load"
+            )
+        accepted = self.index.bulk_load(ids, vectors)
+        if accepted and self.storage_path:
+            self.save()
+        return accepted
+
+    def bulk_load_stream(self, chunks) -> int:
+        """Streamed bulk ingest for corpora whose raw f32 form exceeds HBM
+        (chunks yields (ids, vectors) pairs — see
+        HnswPqIndex.bulk_load_stream).  The 10M x 512-on-one-chip path:
+        combine with HnswPqConfig(raw_store=False)."""
+        self._check_open()
+        if not hasattr(self.index, "bulk_load_stream"):
+            raise ValueError(
+                f"index kind {self.index.kind!r} has no bulk_load_stream"
+            )
+        n = self.index.bulk_load_stream(chunks)
+        if n and self.storage_path:
+            self.save()
+        return n
 
     def get_vector(self, vec_id: int) -> Optional[Vector]:
         """reference: core/VectorDatabase.java:178-185"""

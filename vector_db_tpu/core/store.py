@@ -14,6 +14,7 @@ metadata — the analog of the reference's handle bookkeeping, not compute.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterable, Optional, Sequence
 
 import jax
@@ -46,11 +47,60 @@ class StoreState:
         return self.vectors.shape[1]
 
 
-def init_store(capacity: int, dim: int) -> StoreState:
+@struct.dataclass
+class Int8StoreState:
+    """Compressed-store variant for the >HBM regime: rows are int8-quantized
+    and bit-packed four-per-int32 word (ops/distance.pack_int8_rows), 4x
+    smaller than raw f32 — at 10M x 512 the store is 5.1 GB where the raw
+    matrix would be 20 GB and OOM one v5e chip.  Squared norms are captured
+    EXACTLY from the incoming f32 rows at write time, so distance identities
+    downstream only carry the ~0.4% cross-term quantization error.
+
+    The reference's answer to N >> memory is IVF sharding + mmap
+    (reference: PERFORMANCE_BENCHMARK_AND_ROADMAP.md:475-525); on TPU the
+    HBM-resident compressed row store IS the mmap analog — refine gathers
+    stream it at full int32 gather bandwidth."""
+
+    packed: Array   # [cap, dim/4] int32 (int8-packed rows)
+    scales: Array   # [cap] float32 per-row dequant scales
+    ids: Array      # [cap] int32 external ids, -1 for empty slots
+    norms: Array    # [cap] float32 EXACT squared norms (from f32 at write)
+    valid: Array    # [cap] bool live-slot mask
+
+    @property
+    def capacity(self) -> int:
+        return self.packed.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.packed.shape[1] * 4
+
+    @property
+    def vectors(self) -> Array:
+        """Dequantized rows [cap, dim] f32 — materialises the FULL matrix;
+        only for small-capacity host paths (tests, rebuild-on-kind-change).
+        Hot paths must use packed/scales directly."""
+        from ..ops.distance import unpack_int8_rows
+
+        return unpack_int8_rows(self.packed, self.scales)
+
+
+def init_store(capacity: int, dim: int, raw: bool = True):
     """Pre-allocated max-capacity arrays (reference pre-allocates the same way,
     native/core/VectorStore.cpp:32-34). Capacity is rounded up to a multiple of
-    128 so every downstream kernel sees lane-aligned shapes."""
+    128 so every downstream kernel sees lane-aligned shapes.  ``raw=False``
+    allocates the int8-compressed store (no [cap, dim] f32 matrix exists)."""
     cap = _round_up(max(capacity, 128), 128)
+    if not raw:
+        if dim % 4 != 0:
+            raise ValueError(f"compressed store requires dim % 4 == 0, got {dim}")
+        return Int8StoreState(
+            packed=jnp.zeros((cap, dim // 4), jnp.int32),
+            scales=jnp.zeros((cap,), jnp.float32),
+            ids=jnp.full((cap,), -1, jnp.int32),
+            norms=jnp.zeros((cap,), jnp.float32),
+            valid=jnp.zeros((cap,), bool),
+        )
     return StoreState(
         vectors=jnp.zeros((cap, dim), jnp.float32),
         ids=jnp.full((cap,), -1, jnp.int32),
@@ -64,6 +114,26 @@ def _write_slots(state: StoreState, slots: Array, vecs: Array, ids: Array) -> St
     norms = jnp.sum(vecs * vecs, axis=-1)
     return state.replace(
         vectors=state.vectors.at[slots].set(vecs),
+        ids=state.ids.at[slots].set(ids),
+        norms=state.norms.at[slots].set(norms),
+        valid=state.valid.at[slots].set(ids >= 0),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_slots_int8(
+    state: Int8StoreState, slots: Array, vecs: Array, ids: Array
+) -> Int8StoreState:
+    """Scatter-write into the compressed store.  The state is DONATED: at
+    large capacities the packed array is gigabytes, and an undonated
+    .at[].set would transiently double it."""
+    from ..ops.distance import pack_int8_rows
+
+    norms = jnp.sum(vecs * vecs, axis=-1)
+    packed, scale = pack_int8_rows(vecs)
+    return state.replace(
+        packed=state.packed.at[slots].set(packed),
+        scales=state.scales.at[slots].set(scale),
         ids=state.ids.at[slots].set(ids),
         norms=state.norms.at[slots].set(norms),
         valid=state.valid.at[slots].set(ids >= 0),
@@ -85,10 +155,11 @@ class VectorStore:
     bounded (static shapes; SURVEY.md §7.3.3).
     """
 
-    def __init__(self, capacity: int, dim: int):
+    def __init__(self, capacity: int, dim: int, raw: bool = True):
         if dim <= 0:
             raise ValueError(f"dim must be positive, got {dim}")
-        self.state = init_store(capacity, dim)
+        self.raw = raw
+        self.state = init_store(capacity, dim, raw=raw)
         self.dim = dim
         self._id_to_slot: dict[int, int] = {}
         self._free: list[int] = list(range(self.state.capacity - 1, -1, -1))
@@ -147,7 +218,8 @@ class VectorStore:
         vec_arr = np.concatenate(
             [vecs[take_rows], np.repeat(vecs[take_rows][-1:], pad, 0)], 0
         )
-        self.state = _write_slots(
+        write = _write_slots if self.raw else _write_slots_int8
+        self.state = write(
             self.state,
             jnp.asarray(slot_arr),
             jnp.asarray(vec_arr),
@@ -176,17 +248,44 @@ class VectorStore:
         if len(ids_np) != n:
             raise ValueError("ids/vectors length mismatch")
         cap = self.state.capacity
-        vec_arr = jnp.zeros((cap, self.dim), jnp.float32).at[:n].set(vectors)
         id_arr = jnp.full((cap,), -1, jnp.int32).at[:n].set(jnp.asarray(ids_np))
-        self.state = StoreState(
-            vectors=vec_arr,
-            ids=id_arr,
-            norms=jnp.sum(vec_arr * vec_arr, axis=1),
-            valid=id_arr >= 0,
-        )
+        if self.raw:
+            vec_arr = jnp.zeros((cap, self.dim), jnp.float32).at[:n].set(vectors)
+            self.state = StoreState(
+                vectors=vec_arr,
+                ids=id_arr,
+                norms=jnp.sum(vec_arr * vec_arr, axis=1),
+                valid=id_arr >= 0,
+            )
+        else:
+            from ..ops.distance import pack_int8_rows
+
+            vectors = jnp.asarray(vectors, jnp.float32)
+            packed, scale = pack_int8_rows(vectors)
+            self.state = Int8StoreState(
+                packed=jnp.zeros((cap, self.dim // 4), jnp.int32).at[:n].set(packed),
+                scales=jnp.zeros((cap,), jnp.float32).at[:n].set(scale),
+                ids=id_arr,
+                norms=jnp.zeros((cap,), jnp.float32)
+                .at[:n].set(jnp.sum(vectors * vectors, axis=1)),
+                valid=id_arr >= 0,
+            )
         self._id_to_slot = {int(v): i for i, v in enumerate(ids_np)}
         self._free = list(range(cap - 1, n - 1, -1))
         return ids_np.tolist()
+
+    def rows(self, slots) -> jax.Array:
+        """Device rows [len(slots), dim] f32 for the given slot array —
+        raw-store slices or int8 dequantization (the compressed regime's
+        only f32 view; ~0.4% per-element error).  The seam every consumer
+        of row values (PQ training/encode, coarse assignment, rebuilds)
+        goes through so index code is store-format agnostic."""
+        sl = jnp.asarray(slots)
+        if self.raw:
+            return self.state.vectors[sl]
+        from ..ops.distance import unpack_int8_rows
+
+        return unpack_int8_rows(self.state.packed[sl], self.state.scales[sl])
 
     def remove(self, vec_id: int) -> Optional[int]:
         """Tombstone delete. Returns the freed slot, or None if absent."""
@@ -201,31 +300,54 @@ class VectorStore:
         slot = self._id_to_slot.get(int(vec_id))
         if slot is None:
             return None
-        return np.asarray(self.state.vectors[slot])
+        if self.raw:
+            return np.asarray(self.state.vectors[slot])
+        return np.asarray(self.rows(np.asarray([slot], np.int32))[0])
 
     # ---------------------------------------------------------- persistence
     def to_host(self) -> dict:
-        """Snapshot for checkpointing (storage/checkpoint.py)."""
-        return {
-            "vectors": np.asarray(self.state.vectors),
+        """Snapshot for checkpointing (storage/checkpoint.py).  The
+        compressed store checkpoints its packed/scales arrays (7x fewer
+        bytes than dequantized f32 would be — and dequantizing 10M rows to
+        save them would itself OOM)."""
+        out = {
             "ids": np.asarray(self.state.ids),
             "norms": np.asarray(self.state.norms),
             "valid": np.asarray(self.state.valid),
         }
+        if self.raw:
+            out["vectors"] = np.asarray(self.state.vectors)
+        else:
+            out["packed8"] = np.asarray(self.state.packed)
+            out["scales8"] = np.asarray(self.state.scales)
+        return out
 
     @classmethod
     def from_host(cls, arrays: dict) -> "VectorStore":
-        vecs = np.asarray(arrays["vectors"], np.float32)
         st = cls.__new__(cls)
-        st.dim = vecs.shape[1]
-        st.state = StoreState(
-            vectors=jnp.asarray(vecs),
-            ids=jnp.asarray(arrays["ids"], jnp.int32),
-            norms=jnp.asarray(arrays["norms"], jnp.float32),
-            valid=jnp.asarray(arrays["valid"], bool),
-        )
+        st.raw = "vectors" in arrays
+        if st.raw:
+            vecs = np.asarray(arrays["vectors"], np.float32)
+            cap, st.dim = vecs.shape
+            st.state = StoreState(
+                vectors=jnp.asarray(vecs),
+                ids=jnp.asarray(arrays["ids"], jnp.int32),
+                norms=jnp.asarray(arrays["norms"], jnp.float32),
+                valid=jnp.asarray(arrays["valid"], bool),
+            )
+        else:
+            packed = np.asarray(arrays["packed8"], np.int32)
+            cap = packed.shape[0]
+            st.dim = packed.shape[1] * 4
+            st.state = Int8StoreState(
+                packed=jnp.asarray(packed),
+                scales=jnp.asarray(arrays["scales8"], jnp.float32),
+                ids=jnp.asarray(arrays["ids"], jnp.int32),
+                norms=jnp.asarray(arrays["norms"], jnp.float32),
+                valid=jnp.asarray(arrays["valid"], bool),
+            )
         ids = np.asarray(arrays["ids"])
         valid = np.asarray(arrays["valid"])
         st._id_to_slot = {int(i): s for s, i in enumerate(ids) if valid[s]}
-        st._free = [s for s in range(vecs.shape[0] - 1, -1, -1) if not valid[s]]
+        st._free = [s for s in range(cap - 1, -1, -1) if not valid[s]]
         return st

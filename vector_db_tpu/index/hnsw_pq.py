@@ -51,8 +51,26 @@ class HnswPqIndex(VectorIndex):
             sub -= 1
         config.num_subspaces = sub
         super().__init__(dim, capacity, metric)
+        if not config.raw_store:
+            # the >HBM compressed regime (see HnswPqConfig.raw_store): no
+            # [cap, dim] f32 matrix exists — validate up front so the user
+            # gets one clear error instead of a deep-path attribute failure
+            if dim % 4 != 0:
+                raise ValueError("raw_store=False requires dim % 4 == 0")
+            if config.use_graph:
+                raise ValueError(
+                    "raw_store=False is incompatible with use_graph=True "
+                    "(graph construction reads raw rows); use the scan modes"
+                )
+            if config.search_mode in ("scan_exact", "scan_pallas", "graph"):
+                raise ValueError(
+                    f"search_mode={config.search_mode!r} needs the raw f32 "
+                    "store; with raw_store=False use adc_fast | pca | adc | "
+                    "scan_int8 | auto"
+                )
+            config.refine_store = "int8"
         self.config = config
-        self.store = VectorStore(capacity, dim)
+        self.store = VectorStore(capacity, dim, raw=config.raw_store)
         self.codes = jnp.zeros((self.store.capacity, sub), jnp.uint8)
         self.codebooks: Optional[jax.Array] = None
         self.trained = False
@@ -128,6 +146,156 @@ class HnswPqIndex(VectorIndex):
             self.train()
         return accepted
 
+    def bulk_load_stream(self, chunks) -> int:
+        """Streamed bulk ingest — the raw corpus never exists in full.
+
+        ``chunks`` yields ``(ids, vectors)`` pairs: ids [c] ints, vectors
+        [c, dim] float32 (device-resident arrays skip the host->device
+        transfer; on a tunneled TPU that is the difference between
+        milliseconds and minutes per chunk).  Rows land in contiguous slots
+        in arrival order.  The FIRST chunk trains the quantizers (PQ
+        codebooks + optional PCA proxy + coarse lists) and therefore should
+        be a representative sample of >= ``config.num_centroids`` rows;
+        every chunk then flows through ONE donated jit step that writes the
+        store (raw or int8-packed), the PQ codes, and the proxy — at no
+        point is more than one raw f32 chunk resident.
+
+        This is the ingest path for the >HBM regime (raw_store=False): at
+        10M x 512 the donated step keeps peak HBM at resident-compressed
+        (~7 GB) + one chunk (~270 MB), where a plain bulk_load would need
+        the 20 GB raw matrix.  reference: the N >> memory roadmap,
+        PERFORMANCE_BENCHMARK_AND_ROADMAP.md:475-525.
+
+        Returns the number of rows ingested.  Use equal-sized chunks where
+        possible: each distinct chunk length compiles the step once.
+        """
+        if self.store.size() > 0:
+            raise ValueError("bulk_load_stream requires an empty index")
+        if self.config.use_graph:
+            raise ValueError(
+                "bulk_load_stream does not build the HNSW graph; "
+                "use use_graph=False (scan/adc/pca modes) or bulk_load"
+            )
+        state = self.store.state
+        cap = state.capacity
+        codes = self.codes
+        proxy = None
+        start = 0
+        all_ids: list[np.ndarray] = []
+        assigns: list[np.ndarray] = []
+        for ids, vecs in chunks:
+            ids_np = np.asarray(ids, np.int32)
+            vecs = jnp.asarray(vecs, jnp.float32)
+            c = vecs.shape[0]
+            if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+                raise ValueError(f"expected [*, {self.dim}] chunk, got {vecs.shape}")
+            if len(ids_np) != c:
+                raise ValueError("ids/vectors length mismatch in chunk")
+            if start + c > cap:
+                raise ValueError(
+                    f"stream exceeds capacity: {start + c} > {cap}"
+                )
+            if not self.trained:
+                self._fit_quantizers(vecs)
+                if self.proxy is not None:
+                    proxy = self.proxy
+            state, codes, proxy, assign = _stream_ingest_step(
+                state, codes, proxy, vecs,
+                jnp.asarray(ids_np), jnp.int32(start),
+                self.codebooks, self.perm, self.pca_mean, self.pca_basis,
+                self.coarse_centroids, self.metric,
+            )
+            if assign is not None:
+                assigns.append(np.asarray(assign))
+            all_ids.append(ids_np)
+            start += c
+            # keep self pointing at LIVE buffers: the step donates its
+            # inputs, so the previous state/codes/proxy objects are dead
+            self.store.state = state
+            self.codes = codes
+        if proxy is not None:
+            self.proxy = proxy
+            self._proxy_norms = None
+        self._fast_cache = None
+        ids_cat = (np.concatenate(all_ids) if all_ids
+                   else np.empty(0, np.int32))
+        uniq = np.unique(ids_cat)
+        if uniq.size != ids_cat.size:
+            raise ValueError("duplicate ids in bulk_load_stream")
+        if np.any(ids_cat < 0):
+            raise ValueError("negative ids in bulk_load_stream")
+        self.store._id_to_slot = {int(v): i for i, v in enumerate(ids_cat)}
+        self.store._free = list(range(cap - 1, start - 1, -1))
+        if assigns:
+            self.coarse_assign[:start] = np.concatenate(assigns)
+            self._members_dirty = True
+        return start
+
+    def _fit_quantizers(self, data: jax.Array) -> None:
+        """Fit PQ codebooks (+ optional PCA proxy + coarse quantizer) from a
+        device-resident training sample [n, dim] — the train() core for the
+        streamed path, where the sample is the first chunk rather than a
+        gather from the store.  Does NOT encode anything."""
+        from ..ops.kmeans import subspace_kmeans_fit
+        from ..ops.distance import normalize_rows
+
+        n = data.shape[0]
+        if n < self.config.num_centroids:
+            raise ValueError(
+                f"first chunk must hold >= {self.config.num_centroids} "
+                f"training rows, got {n}"
+            )
+        sample = data
+        if n > self.config.training_samples:
+            rng = np.random.default_rng(self.seed)
+            pick = np.sort(rng.choice(n, self.config.training_samples,
+                                      replace=False))
+            sample = data[jnp.asarray(pick)]
+        pq_data = normalize_rows(sample) if self.metric == "cosine" else sample
+        if self.config.balance_dims:
+            v = np.asarray(jnp.var(pq_data, axis=0))
+            self.perm = jnp.asarray(
+                adc.balanced_subspace_perm(v, self.config.num_subspaces)
+            )
+            pq_data = pq_data[:, self.perm]
+        self.codebooks = subspace_kmeans_fit(
+            jax.random.PRNGKey(self.seed),
+            pq_data,
+            self.config.num_subspaces,
+            k=self.config.num_centroids,
+            iters=self.config.training_iterations,
+            plus_plus=True,
+        )
+        self.trained = True
+        if self.config.proxy_dims > 0 and self.config.search_mode == "pca":
+            from ..ops import pca
+
+            p = min(self.config.proxy_dims, self.dim)
+            raw = np.asarray(sample)
+            if self.metric == "cosine":
+                raw = raw / np.maximum(
+                    np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+            mu, basis = pca.pca_fit(raw, p)
+            self.pca_mean = jnp.asarray(mu)
+            self.pca_basis = jnp.asarray(basis)
+            self.proxy = jnp.zeros((self.store.capacity, p), jnp.bfloat16)
+        if self.config.nlist > 0:
+            from ..ops.kmeans import kmeans_fit
+
+            nlist = min(self.config.nlist, max(1, n // 8))
+            full = normalize_rows(data) if self.metric == "cosine" else data
+            coarse_cap = max(256 * nlist, 262144)
+            if n > coarse_cap:
+                rng = np.random.default_rng(self.seed + 7)
+                full = full[jnp.asarray(np.sort(
+                    rng.choice(n, coarse_cap, replace=False)))]
+            self.coarse_centroids, _ = kmeans_fit(
+                jax.random.PRNGKey(self.seed + 1),
+                full, k=nlist,
+                iters=self.config.training_iterations,
+                plus_plus=False,
+            )
+
     def remove(self, vec_id: int) -> bool:
         slot = self.store.remove(vec_id)
         if slot is None:
@@ -170,7 +338,7 @@ class HnswPqIndex(VectorIndex):
         if sample.size > cap_samples:
             rng = np.random.default_rng(self.seed)
             sample = rng.choice(sample, cap_samples, replace=False)
-        data = st.vectors[jnp.asarray(np.sort(sample))]
+        data = self.store.rows(np.sort(sample))
         if self.metric == "cosine":
             from ..ops.distance import normalize_rows
 
@@ -200,7 +368,7 @@ class HnswPqIndex(VectorIndex):
             from ..ops import pca
 
             p = min(self.config.proxy_dims, self.dim)
-            raw = np.asarray(st.vectors[jnp.asarray(np.sort(sample))])
+            raw = np.asarray(self.store.rows(np.sort(sample)))
             if self.metric == "cosine":
                 # proxy space = normalized rows (see ops/pca cosine contract)
                 raw = raw / np.maximum(
@@ -217,8 +385,17 @@ class HnswPqIndex(VectorIndex):
             # the coarse quantizer trains on the FULL live set: subsampling
             # (20 pts/centroid) collapses centroids and produces mega-clusters
             # that blow up the padded member table; full-data k-means is a few
-            # TFLOP on the MXU
-            full = self.store.state.vectors[jnp.asarray(live)]
+            # TFLOP on the MXU.  Above ~256 rows/centroid the estimate is
+            # converged, so cap the sample there (a 10M-row gather would
+            # otherwise materialise 20 GB in the compressed regime).
+
+            coarse_rows = live
+            coarse_cap = max(256 * nlist, 262144)
+            if coarse_rows.size > coarse_cap:
+                rng = np.random.default_rng(self.seed + 7)
+                coarse_rows = np.sort(
+                    rng.choice(coarse_rows, coarse_cap, replace=False))
+            full = self.store.rows(coarse_rows)
             if self.metric == "cosine":
                 from ..ops.distance import normalize_rows
 
@@ -240,7 +417,7 @@ class HnswPqIndex(VectorIndex):
     def _assign_coarse(self, slots: np.ndarray) -> None:
         from ..ops.distance import normalize_rows, pairwise_sq_l2
 
-        vecs = self.store.state.vectors[jnp.asarray(slots)]
+        vecs = self.store.rows(slots)
         if self.metric == "cosine":
             vecs = normalize_rows(vecs)  # centroids live on the sphere
         d = pairwise_sq_l2(vecs, self.coarse_centroids)
@@ -282,10 +459,22 @@ class HnswPqIndex(VectorIndex):
                 self._rebuild_graph()
 
     def _encode_slots(self, slots: np.ndarray) -> None:
-        if slots.size == 0 or self.codebooks is None:
+        if slots is None or self.codebooks is None:
             return
+        slots = np.asarray(slots)
+        if slots.size == 0:
+            return
+        # chunked: the row gather dequantizes/slices [c, dim] f32 — at 10M
+        # live slots an unchunked gather would transiently materialise the
+        # full raw matrix (20 GB at 512d), defeating the compressed store
+        chunk = 1 << 18
+        for s in range(0, slots.size, chunk):
+            self._encode_slots_chunk(slots[s:s + chunk])
+        self._fast_cache = None
+
+    def _encode_slots_chunk(self, slots: np.ndarray) -> None:
         sl = jnp.asarray(slots)
-        vecs = self.store.state.vectors[sl]
+        vecs = self.store.rows(sl)
         if self.proxy is not None:
             from ..ops import pca
 
@@ -298,7 +487,6 @@ class HnswPqIndex(VectorIndex):
             self._proxy_norms = None
         new_codes = adc.pq_encode(self._pq_space(vecs), self.codebooks)
         self.codes = self.codes.at[sl].set(new_codes)
-        self._fast_cache = None
 
     def _pq_space(self, vecs):
         """Vectors as the quantizer sees them: normalized first under
@@ -315,7 +503,7 @@ class HnswPqIndex(VectorIndex):
     def _packed_refine_store(self, st):
         """bf16-packed refine shadow (config.refine_store="bf16"), cached on
         the store's immutable vectors array; None -> refine reads raw f32."""
-        if self.config.refine_store != "bf16":
+        if self.config.refine_store != "bf16" or not self.store.raw:
             return None
         if (self._packed_cache is None
                 or self._packed_cache[0] is not st.vectors):
@@ -323,6 +511,25 @@ class HnswPqIndex(VectorIndex):
 
             self._packed_cache = (st.vectors, pack_bf16_rows(st.vectors))
         return self._packed_cache[1]
+
+    def _int8_refine_store(self, st):
+        """(packed [cap, d/4] int32, scales [cap]) refine source, or None.
+
+        With raw_store=False the compressed store IS the int8 source (no
+        shadow — those arrays are the only row representation).  With a raw
+        store and refine_store="int8", a packed shadow is built and cached
+        on the immutable vectors array (quarter refine traffic, ~0.4%
+        distance error)."""
+        if not self.store.raw:
+            return st.packed, st.scales
+        if self.config.refine_store != "int8":
+            return None
+        if (self._packed_cache is None
+                or self._packed_cache[0] is not st.vectors):
+            from ..ops.distance import pack_int8_rows
+
+            self._packed_cache = (st.vectors, *pack_int8_rows(st.vectors))
+        return self._packed_cache[1], self._packed_cache[2]
 
     def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
         """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
@@ -332,9 +539,33 @@ class HnswPqIndex(VectorIndex):
             cbt = adc.codebooks_to_cbt(self.codebooks)
             from ..ops.pallas_kernels import pq_decode_recon_t
 
-            r32 = pq_decode_recon_t(ct, cbt).astype(jnp.float32)
-            self._fast_cache = (ct, cbt, jnp.sum(r32 * r32, axis=0))
+            cap = ct.shape[1]
+            chunk = 1 << 20
+            if cap <= chunk:
+                r32 = pq_decode_recon_t(ct, cbt).astype(jnp.float32)
+                cnorms = jnp.sum(r32 * r32, axis=0)
+            else:
+                # chunked: a full decode of a 10M-slot code matrix would
+                # transiently materialise a [d, 10M] bf16 buffer (10 GB)
+                parts = []
+                for s in range(0, cap, chunk):
+                    blk = jax.lax.dynamic_slice_in_dim(
+                        ct, s, min(chunk, cap - s), axis=1)
+                    r32 = pq_decode_recon_t(blk, cbt).astype(jnp.float32)
+                    parts.append(jnp.sum(r32 * r32, axis=0))
+                cnorms = jnp.concatenate(parts)
+            self._fast_cache = (ct, cbt, cnorms)
         return self._fast_cache
+
+    @staticmethod
+    def _scan_chunk(capacity: int, q_n: int) -> int:
+        """Chunk length for streamed large-N scans: FEW BIG chunks (the
+        per-chunk approx_max_k fixed cost dominates with many small ones —
+        measured 416 ms at 76 chunks vs ~60 ms at 8 for 10M), capped so the
+        transient [Q, chunk] f32 distance block stays <= ~2 GB."""
+        by_mem = (1 << 29) // max(q_n, 1)
+        chunk = max(131072, min(1 << 20, by_mem))
+        return min(chunk - chunk % 128, max(capacity, 128))
 
     # ------------------------------------------------------------- graph ops
     def _insert_graph(self, slots: np.ndarray) -> None:
@@ -386,18 +617,52 @@ class HnswPqIndex(VectorIndex):
 
         if not self.trained or n_live <= k:
             # exact fallback until trained (reference returns PQ-untrained
-            # results from raw distances)
-            dists, slots = blocked_knn(
-                jnp.asarray(padded), st.vectors, st.valid, k_pad,
-                metric=self.metric, b_norms=st.norms,
-                block_n=min(8192, st.capacity),
-            )
+            # results from raw distances); compressed stores scan int8 rows
+            if self.store.raw:
+                dists, slots = blocked_knn(
+                    jnp.asarray(padded), st.vectors, st.valid, k_pad,
+                    metric=self.metric, b_norms=st.norms,
+                    block_n=min(8192, st.capacity),
+                )
+            else:
+                from ..ops.distance import blocked_knn_int8
+
+                dists, slots = blocked_knn_int8(
+                    jnp.asarray(padded), st.packed, st.scales, st.valid,
+                    k_pad, metric=self.metric, b_norms=st.norms,
+                    block_n=min(262144, st.capacity),
+                )
             return self._to_external(q_n, k, k_eff, slots, dists)
 
         refine = min(max(pow2(self.config.refine_k), k_pad), st.capacity)
         mode = self.config.search_mode
         if mode == "auto":
-            mode = _auto_scan_mode(self.config.use_graph)
+            mode = (_auto_scan_mode(self.config.use_graph)
+                    if self.store.raw else "adc_fast")
+        if not self.store.raw and mode in ("scan_exact", "scan_pallas",
+                                           "graph"):
+            raise ValueError(
+                f"search_mode={mode!r} needs the raw f32 store "
+                "(raw_store=False)"
+            )
+        if mode == "scan_int8":
+            # exhaustive near-exact scan over the int8 rows (see
+            # ops/distance.blocked_knn_int8)
+            i8 = self._int8_refine_store(st)
+            if i8 is None:
+                raise ValueError(
+                    "search_mode='scan_int8' needs raw_store=False or "
+                    "refine_store='int8'"
+                )
+            from ..ops.distance import blocked_knn_int8
+
+            dists, slots = blocked_knn_int8(
+                jnp.asarray(padded), i8[0], i8[1], st.valid, k_pad,
+                metric=self.metric, b_norms=st.norms,
+                block_n=min(262144, st.capacity),
+                recall_target=self.config.scan_recall_target,
+            )
+            return self._to_external(q_n, k, k_eff, slots, dists)
         if mode in ("scan_exact", "scan_pallas"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
             if mode == "scan_pallas":
@@ -436,11 +701,16 @@ class HnswPqIndex(VectorIndex):
                 p32 = self.proxy.astype(jnp.float32)
                 self._proxy_norms = jnp.sum(p32 * p32, axis=1)
             packed = self._packed_refine_store(st)
+            i8 = self._int8_refine_store(st)
             dists, ext = pca.pca_proxy_search(
                 jnp.asarray(padded), self.pca_mean, self.pca_basis,
-                self.proxy, self._proxy_norms, st.valid, st.vectors,
+                self.proxy, self._proxy_norms, st.valid,
+                st.vectors if self.store.raw else self.proxy,
                 st.ids, k_pad, select_r=max(self.config.pca_r, k_pad),
                 metric=self.metric, packed_base=packed,
+                block_n=self._scan_chunk(st.capacity, padded.shape[0]),
+                int8_base=i8[0] if i8 is not None else None,
+                int8_scales=i8[1] if i8 is not None else None,
             )
             ext_np = np.asarray(ext)[:q_n, :k_eff]
             out_ids = np.full((q_n, k), -1, np.int32)
@@ -453,18 +723,24 @@ class HnswPqIndex(VectorIndex):
             # exact refine (scoring reads only codes + codebooks)
             ct, cbt, cnorms = self._fast_tables()
             bucket = max(2, min(self.config.adc_bucket, st.capacity // 2))
-            # stream in chunks once [Q, N] distances would exceed 512 MB
-            chunk = (131072
+            # stream in chunks once [Q, N] distances would exceed 512 MB;
+            # FEW BIG chunks (see _scan_chunk) — per-chunk approx_max_k
+            # fixed cost dominates with many small ones
+            chunk = (self._scan_chunk(st.capacity, padded.shape[0])
                      if padded.shape[0] * st.capacity * 4 > 512 * 1024 * 1024
                      else 0)
             packed = self._packed_refine_store(st)
+            i8 = self._int8_refine_store(st)
             dists, ext = adc.adc_fast_search(
-                jnp.asarray(padded), ct, cbt, st.valid, st.vectors, st.ids,
+                jnp.asarray(padded), ct, cbt, st.valid,
+                st.vectors if self.store.raw else st.packed, st.ids,
                 k_pad, bucket=bucket, winners=self.config.adc_winners,
                 metric=self.metric, chunk_n=chunk,
                 pool_mode=self.config.adc_pool, code_norms=cnorms,
                 perm=self.perm, packed_base=packed,
                 select_r=self.config.adc_select_r,
+                int8_base=i8[0] if i8 is not None else None,
+                int8_scales=i8[1] if i8 is not None else None,
             )
             ext_np = np.asarray(ext)[:q_n, :k_eff]
             out_ids = np.full((q_n, k), -1, np.int32)
@@ -486,22 +762,28 @@ class HnswPqIndex(VectorIndex):
                 jnp.asarray(padded), st.vectors, cand, k_pad, self.metric
             )
             return self._to_external(q_n, k, k_eff, slots, dists)
+        i8 = None if self.store.raw else self._int8_refine_store(st)
+        base = st.vectors if self.store.raw else st.packed
         if self.coarse_centroids is not None:
             # IVF-pruned fused scan (ScaNN-style partition + score + re-rank)
             members, max_len, overflow = self._member_table()
             nprobe = min(self.config.nprobe, int(self.coarse_centroids.shape[0]))
             dists, ext = flagship_search_pruned(
                 jnp.asarray(padded), self.codebooks, self.codes, st.valid,
-                st.vectors, st.ids, self.coarse_centroids, members, overflow,
+                base, st.ids, self.coarse_centroids, members, overflow,
                 k_pad, refine, nprobe, max_len, self.metric, self.perm,
+                int8_base=i8[0] if i8 is not None else None,
+                int8_scales=i8[1] if i8 is not None else None,
             )
         else:
             # exhaustive fused scan
             dists, ext = flagship_search(
                 jnp.asarray(padded), self.codebooks, self.codes, st.valid,
-                st.vectors, st.ids, k_pad, refine,
+                base, st.ids, k_pad, refine,
                 self.adc_impl, min(4096, st.capacity), self.metric,
                 self.perm,
+                int8_base=i8[0] if i8 is not None else None,
+                int8_scales=i8[1] if i8 is not None else None,
             )
         ext_np = np.asarray(ext)[:q_n, :k_eff]
         out_ids = np.full((q_n, k), -1, np.int32)
@@ -511,9 +793,11 @@ class HnswPqIndex(VectorIndex):
         return out_ids, out_d
 
     def _to_external(self, q_n, k, k_eff, slots, dists):
-        slots_np = np.asarray(slots)[:q_n, :k_eff]
-        ids_np = np.asarray(self.store.state.ids)
-        ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
+        # slot -> external-id map runs ON DEVICE ([Q, k] gather) so only the
+        # tiny result transfers — pulling the full [cap] ids array to host
+        # costs ~40 MB per call at 10M capacity
+        ext_dev = _slots_to_ids(self.store.state.ids, jnp.asarray(slots))
+        ext = np.asarray(ext_dev)[:q_n, :k_eff]
         out_ids = np.full((q_n, k), -1, np.int32)
         out_d = np.full((q_n, k), np.inf, np.float32)
         out_ids[:, :k_eff] = ext
@@ -543,6 +827,11 @@ class HnswPqIndex(VectorIndex):
             int(np.prod(self.proxy.shape)) * 2
             if self.proxy is not None else 0
         )
+        store_bytes = (
+            self.store.capacity * self.dim * 4 if self.store.raw
+            # packed int8 rows + scales + exact norms
+            else self.store.capacity * (self.dim + 8)
+        )
         s.update(
             trained=self.trained,
             num_subspaces=sub,
@@ -551,6 +840,8 @@ class HnswPqIndex(VectorIndex):
             index_bytes=code_bytes + cb_bytes + graph_bytes + proxy_bytes,
             proxy_bytes=proxy_bytes,
             raw_bytes=self.store.capacity * self.dim * 4,
+            store_bytes=store_bytes,
+            raw_store=self.store.raw,
             use_graph=self.config.use_graph,
         )
         return s
@@ -614,6 +905,69 @@ class HnswPqIndex(VectorIndex):
 import functools
 
 
+@jax.jit
+def _slots_to_ids(ids, slots):
+    return jnp.where(slots >= 0, ids[jnp.maximum(slots, 0)], -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric",), donate_argnums=(0, 1, 2)
+)
+def _stream_ingest_step(
+    state, codes, proxy, vecs, ids, start,
+    codebooks, perm, pca_mean, pca_basis, centroids, metric,
+):
+    """One streamed-ingest chunk as ONE device program: write the store
+    (raw or int8-packed), encode PQ codes, project the proxy, assign coarse
+    lists.  ``state``/``codes``/``proxy`` are DONATED — at 10M capacity they
+    are gigabytes, and undonated functional updates would transiently double
+    them.  ``start`` is a traced scalar so every chunk of a given length
+    shares one compilation."""
+    from ..ops.distance import normalize_rows, pack_int8_rows
+
+    norms = jnp.sum(vecs * vecs, axis=1)
+    valid_c = jnp.ones((vecs.shape[0],), bool)
+    if hasattr(state, "packed"):          # Int8StoreState (compressed)
+        packed, scale = pack_int8_rows(vecs)
+        state = state.replace(
+            packed=jax.lax.dynamic_update_slice(state.packed, packed,
+                                                (start, 0)),
+            scales=jax.lax.dynamic_update_slice(state.scales, scale,
+                                                (start,)),
+            ids=jax.lax.dynamic_update_slice(state.ids, ids, (start,)),
+            norms=jax.lax.dynamic_update_slice(state.norms, norms, (start,)),
+            valid=jax.lax.dynamic_update_slice(state.valid, valid_c,
+                                               (start,)),
+        )
+    else:                                  # raw StoreState
+        state = state.replace(
+            vectors=jax.lax.dynamic_update_slice(state.vectors, vecs,
+                                                 (start, 0)),
+            ids=jax.lax.dynamic_update_slice(state.ids, ids, (start,)),
+            norms=jax.lax.dynamic_update_slice(state.norms, norms, (start,)),
+            valid=jax.lax.dynamic_update_slice(state.valid, valid_c,
+                                               (start,)),
+        )
+    normed = normalize_rows(vecs) if metric == "cosine" else vecs
+    pqv = normed if perm is None else normed[:, perm]
+    codes_c = adc.pq_encode(pqv, codebooks)
+    codes = jax.lax.dynamic_update_slice(codes, codes_c, (start, 0))
+    if proxy is not None:
+        from ..ops import pca as _pca
+
+        proxy = jax.lax.dynamic_update_slice(
+            proxy, _pca.project_rows(normed, pca_mean, pca_basis),
+            (start, 0))
+    assign = None
+    if centroids is not None:
+        from ..ops.distance import pairwise_sq_l2
+
+        assign = jnp.argmin(
+            pairwise_sq_l2(normed, centroids), axis=1
+        ).astype(jnp.int32)
+    return state, codes, proxy, assign
+
+
 def _auto_scan_mode(use_graph: bool) -> str:
     """search_mode="auto" resolution from MEASURED numbers (BENCH_REPORT
     §5/A2, one v5e chip):
@@ -666,19 +1020,31 @@ def _cosine_pq_queries(queries, metric, perm):
 )
 def flagship_search(
     queries, codebooks, codes, valid, base, ids, k, refine, impl, block_n,
-    metric, perm=None,
+    metric, perm=None, int8_base=None, int8_scales=None,
 ):
     """The whole flagship search as ONE device program: distance tables ->
     exhaustive blocked ADC scan with fused top-R -> exact re-rank -> external
     ids.  One dispatch per query batch (the reference pays a JNI crossing per
-    call, VectorDBJNI.cpp:142-159; we pay one jit dispatch for the batch)."""
+    call, VectorDBJNI.cpp:142-159; we pay one jit dispatch for the batch).
+    With an int8 refine source (the compressed-store regime) the re-rank
+    reads packed rows instead of `base`."""
     q_pq = _cosine_pq_queries(queries, metric, perm)
     tables = adc.build_distance_tables(q_pq, codebooks)
     _, cand = adc.adc_scan_topk(tables, codes, valid, refine,
                                 block_n=block_n, impl=impl)
-    d, slots = _blocked_rerank(queries, base, cand, k, metric)
+    d, slots = _rerank_any(queries, base, cand, k, metric,
+                           int8_base, int8_scales)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
+
+
+def _rerank_any(queries, base, cand, k, metric, int8_base, int8_scales):
+    if int8_base is not None:
+        from ..ops.distance import blocked_rerank_int8
+
+        return blocked_rerank_int8(queries, int8_base, int8_scales, cand,
+                                   k, metric)
+    return _blocked_rerank(queries, base, cand, k, metric)
 
 
 from ..ops.distance import blocked_rerank as _blocked_rerank  # noqa: E402
@@ -689,7 +1055,8 @@ from ..ops.distance import blocked_rerank as _blocked_rerank  # noqa: E402
 )
 def flagship_search_pruned(
     queries, codebooks, codes, valid, base, ids, centroids, members, overflow,
-    k, refine, nprobe, max_len, metric, perm=None,
+    k, refine, nprobe, max_len, metric, perm=None, int8_base=None,
+    int8_scales=None,
 ):
     """IVF-pruned flagship search, fused: coarse probe selection (one small
     matmul) -> gather probed clusters' codes -> ADC scoring -> top-R ->
@@ -751,7 +1118,8 @@ def flagship_search_pruned(
     )
     short = jnp.where(jnp.isfinite(negd), short, -1)
     # exact re-rank (blocked — same OOM-safety as the exhaustive path)
-    d, slots = _blocked_rerank(queries, base, short, k, metric)
+    d, slots = _rerank_any(queries, base, short, k, metric,
+                           int8_base, int8_scales)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
 

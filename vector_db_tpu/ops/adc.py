@@ -215,6 +215,8 @@ def adc_fast_search(
     perm: Optional[Array] = None,
     packed_base: Optional[Array] = None,
     select_r: int = 0,
+    int8_base: Optional[Array] = None,
+    int8_scales: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """The fast codes-only scoring pipeline, ONE device program:
 
@@ -305,8 +307,14 @@ def adc_fast_search(
 
     # exact re-rank (the only stage that reads raw vectors); with a
     # bf16-packed refine store the gather moves half the bytes (see
-    # ops/distance.pack_bf16_rows)
-    if packed_base is not None:
+    # ops/distance.pack_bf16_rows); with an int8 store (the >HBM compressed
+    # regime — no raw f32 rows exist at all) a quarter
+    if int8_base is not None:
+        from .distance import blocked_rerank_int8
+
+        out_d, slots = blocked_rerank_int8(queries, int8_base, int8_scales,
+                                           pool, k, metric, rb=rerank_block)
+    elif packed_base is not None:
         from .distance import blocked_rerank_packed
 
         out_d, slots = blocked_rerank_packed(queries, packed_base, pool, k,

@@ -468,3 +468,99 @@ def blocked_rerank_int8(
     (dd, slots), _ = jax.lax.scan(body, init,
                                   jnp.arange(n_blocks, dtype=jnp.int32))
     return dd, slots
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "block_n", "recall_target")
+)
+def blocked_knn_int8(
+    q: Array,
+    packed: Array,
+    scales: Array,
+    valid: Array,
+    k: int,
+    metric: str = METRIC_L2,
+    b_norms: Optional[Array] = None,
+    block_n: int = 262144,
+    recall_target: float = 0.95,
+) -> tuple[Array, Array]:
+    """`blocked_knn_fast` against an int8 row store (see pack_int8_rows) —
+    the exhaustive-scan path for corpora whose raw f32 rows cannot be
+    HBM-resident (the compressed VectorStore regime; at 10M x 512 the scan
+    streams 5.1 GB instead of 20 GB).
+
+    Distances use the norm identity with the EXACT squared norms captured at
+    write time (``b_norms``), so the only quantization error is in the cross
+    term (scale * q . row8, ~0.4% relative): ranking is near-exact and the
+    returned distance values are exact in the norm terms.  Falls back to
+    decoded norms when ``b_norms`` is None.
+
+    q [Q, d] f32; packed [N, d/4] int32; scales [N] f32; valid [N] bool.
+    Returns (dists [Q, k], slot idx [Q, k]) ascending; +inf / -1 padded.
+    """
+    qn, n = q.shape[0], packed.shape[0]
+    d = packed.shape[1] * 4
+    q_norms = sq_norms(q)
+    dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    qc = q.astype(dt)
+
+    block_n = min(block_n, max(128, -(-n // 128) * 128))
+    n_pad = (-n) % block_n
+    if n_pad:
+        packed = jnp.pad(packed, ((0, n_pad), (0, 0)))
+        scales = jnp.pad(scales, (0, n_pad))
+        valid = jnp.pad(valid, (0, n_pad))
+        if b_norms is not None:
+            b_norms = jnp.pad(b_norms, (0, n_pad))
+    num_blocks = (n + n_pad) // block_n
+
+    def body(carry, blk):
+        top_d, top_i = carry
+        start = blk * block_n
+        p_blk = jax.lax.dynamic_slice_in_dim(packed, start, block_n, axis=0)
+        s_blk = jax.lax.dynamic_slice_in_dim(scales, start, block_n)
+        v_blk = jax.lax.dynamic_slice_in_dim(valid, start, block_n)
+        v8 = jax.lax.bitcast_convert_type(p_blk, jnp.int8).reshape(
+            block_n, d
+        )
+        dots = jax.lax.dot_general(
+            qc, v8.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * s_blk[None, :]
+        if b_norms is not None:
+            vn = jax.lax.dynamic_slice_in_dim(b_norms, start, block_n)
+        else:
+            vn = jnp.sum(v8.astype(jnp.float32) ** 2, axis=1) * (s_blk * s_blk)
+        if metric == METRIC_L2:
+            d_blk = jnp.maximum(q_norms[:, None] + vn[None, :] - 2.0 * dots, 0.0)
+        else:
+            qn_ = jnp.sqrt(jnp.maximum(q_norms, 1e-12))[:, None]
+            d_blk = 1.0 - dots / jnp.maximum(qn_ * jnp.sqrt(vn)[None, :], 1e-12)
+        d_blk = jnp.where(v_blk[None, :], d_blk, jnp.inf)
+        if recall_target >= 1.0:
+            neg, idx = jax.lax.top_k(-d_blk, k)
+        else:
+            neg, idx = jax.lax.approx_max_k(-d_blk, k, recall_target=recall_target)
+        cat_d = jnp.concatenate([top_d, -neg], axis=1)
+        cat_i = jnp.concatenate([top_i, idx.astype(jnp.int32) + start], axis=1)
+        neg2, arg = jax.lax.top_k(-cat_d, k)
+        return ((-neg2), jnp.take_along_axis(cat_i, arg, axis=1)), None
+
+    init = (
+        jnp.full((qn, k), jnp.inf, jnp.float32),
+        jnp.full((qn, k), -1, jnp.int32),
+    )
+    (top_d, top_i), _ = jax.lax.scan(
+        body, init, jnp.arange(num_blocks, dtype=jnp.int32)
+    )
+    top_i = jnp.where(jnp.isfinite(top_d), top_i, -1)
+    return top_d, top_i
+
+
+def unpack_int8_rows(packed: Array, scales: Array) -> Array:
+    """Inverse of pack_int8_rows (up to quantization): [N, d/4] int32 +
+    [N] scales -> [N, d] f32 dequantized rows."""
+    n = packed.shape[0]
+    d = packed.shape[1] * 4
+    v8 = jax.lax.bitcast_convert_type(packed, jnp.int8).reshape(n, d)
+    return v8.astype(jnp.float32) * scales[:, None]
