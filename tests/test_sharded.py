@@ -262,3 +262,82 @@ class TestShardedPca:
         db.fit_pca(8)
         ext3, _ = db.search_pca(0.5 * vecs[7:8], 3, select_r=32)
         assert ext3[0, 0] == 7
+
+
+class TestShardedPersistence:
+    """Round-3 (VERDICT #3): the multi-chip tier persists — save/load over
+    the checkpoint layer preserving search results exactly, plus the
+    vectorized bulk ingest (no per-row Python/argmin loop)."""
+
+    def test_save_load_roundtrip_preserves_search(self, mesh, tmp_path):
+        rng = np.random.default_rng(21)
+        n, dim = 400, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=512, num_subspaces=4)
+        db.add_batch(np.arange(n), vecs)
+        db.train_pq(num_centroids=16, iters=5)
+        db.fit_pca(8)
+        for i in range(0, 40, 3):
+            db.remove(i)
+        q = rng.standard_normal((16, dim)).astype(np.float32)
+        exact_before = db.search(q, 5)
+        flag_before = db.search_flagship(q, 5, refine=64)
+        pca_before = db.search_pca(q, 5, select_r=64)
+        db.save(str(tmp_path / "sdb"))
+
+        db2 = sh.ShardedDatabase.load(mesh, str(tmp_path / "sdb"))
+        assert db2.size() == db.size()
+        exact_after = db2.search(q, 5)
+        np.testing.assert_array_equal(exact_before[0], exact_after[0])
+        np.testing.assert_allclose(exact_before[1], exact_after[1],
+                                   rtol=1e-5, atol=1e-5)
+        flag_after = db2.search_flagship(q, 5, refine=64)
+        np.testing.assert_array_equal(flag_before[0], flag_after[0])
+        pca_after = db2.search_pca(q, 5, select_r=64)
+        np.testing.assert_array_equal(pca_before[0], pca_after[0])
+        # deleted ids stay deleted; CRUD continues post-load
+        assert db2.remove(100)
+        assert len(db2.add_batch([9000], vecs[:1])) == 1
+
+    def test_load_onto_different_mesh_size(self, mesh, tmp_path):
+        rng = np.random.default_rng(22)
+        n, dim = 300, 16
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=512)
+        db.add_batch(np.arange(n), vecs)
+        db.save(str(tmp_path / "sdb4"))
+        mesh4 = sh.make_mesh(4)  # reshard 8 -> 4 devices
+        db2 = sh.ShardedDatabase.load(mesh4, str(tmp_path / "sdb4"))
+        assert db2.n_shards == 4 and db2.size() == n
+        ext, _ = db2.search(vecs[:8], 1)
+        np.testing.assert_array_equal(ext[:, 0], np.arange(8))
+
+    def test_missing_checkpoint_raises(self, mesh, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            sh.ShardedDatabase.load(mesh, str(tmp_path / "nope"))
+
+    def test_bulk_ingest_is_vectorized_and_balanced(self, mesh):
+        import time
+
+        rng = np.random.default_rng(23)
+        n, dim = 100_000, 16
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n)
+        t0 = time.time()
+        acc = db.add_batch(np.arange(n), vecs)
+        dt = time.time() - t0
+        assert len(acc) == n
+        # host time scales ~linearly: 100k well under 1s => 1M < 5s
+        # (VERDICT #3 target); the old per-row loop took ~30s at 100k
+        assert dt < 3.0, f"bulk ingest too slow: {dt:.1f}s at 100k"
+        # shards stay balanced (water filling)
+        loads = db._fill - np.asarray([len(f) for f in db._free])
+        assert loads.max() - loads.min() <= 1
+
+    def test_bulk_ingest_partial_capacity(self, mesh):
+        rng = np.random.default_rng(24)
+        vecs = rng.standard_normal((200, 16)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=16, capacity=128)
+        acc = db.add_batch(np.arange(200), vecs)
+        assert len(acc) == 128  # capacity-bounded, like the loop version
+        assert db.size() == 128

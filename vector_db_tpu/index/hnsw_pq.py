@@ -537,22 +537,21 @@ class HnswPqIndex(VectorIndex):
         if self._fast_cache is None:
             ct = jnp.transpose(self.codes, (1, 0))
             cbt = adc.codebooks_to_cbt(self.codebooks)
-            from ..ops.pallas_kernels import pq_decode_recon_t
-
             cap = ct.shape[1]
-            chunk = 1 << 20
+            chunk = 1 << 19
             if cap <= chunk:
-                r32 = pq_decode_recon_t(ct, cbt).astype(jnp.float32)
-                cnorms = jnp.sum(r32 * r32, axis=0)
+                cnorms = _recon_norms(ct, cbt)
             else:
-                # chunked: a full decode of a 10M-slot code matrix would
-                # transiently materialise a [d, 10M] bf16 buffer (10 GB)
+                # chunked + jit-fused: a full decode of a 10M-slot code
+                # matrix would transiently materialise a [d, 10M] bf16
+                # buffer (10 GB); eager per-op chunks still peak at 5x the
+                # bf16 recon (astype/square/sum each materialise) — the
+                # fused jit keeps peak at one [d, chunk] bf16 block
                 parts = []
                 for s in range(0, cap, chunk):
                     blk = jax.lax.dynamic_slice_in_dim(
                         ct, s, min(chunk, cap - s), axis=1)
-                    r32 = pq_decode_recon_t(blk, cbt).astype(jnp.float32)
-                    parts.append(jnp.sum(r32 * r32, axis=0))
+                    parts.append(_recon_norms(blk, cbt))
                 cnorms = jnp.concatenate(parts)
             self._fast_cache = (ct, cbt, cnorms)
         return self._fast_cache
@@ -698,8 +697,9 @@ class HnswPqIndex(VectorIndex):
             from ..ops import pca
 
             if self._proxy_norms is None:
-                p32 = self.proxy.astype(jnp.float32)
-                self._proxy_norms = jnp.sum(p32 * p32, axis=1)
+                # jit-fused: an eager astype would materialise the full
+                # [cap, p] f32 proxy (2.5 GB at 10M) just to reduce it
+                self._proxy_norms = _rows_sq_norms(self.proxy)
             packed = self._packed_refine_store(st)
             i8 = self._int8_refine_store(st)
             dists, ext = pca.pca_proxy_search(
@@ -908,6 +908,23 @@ import functools
 @jax.jit
 def _slots_to_ids(ids, slots):
     return jnp.where(slots >= 0, ids[jnp.maximum(slots, 0)], -1)
+
+
+@jax.jit
+def _rows_sq_norms(rows):
+    r32 = rows.astype(jnp.float32)
+    return jnp.sum(r32 * r32, axis=1)
+
+
+@jax.jit
+def _recon_norms(ct_blk, cbt):
+    """Squared reconstruction norms of one code chunk, fused (decode +
+    square + reduce in one program — peak memory is the [d, chunk] bf16
+    reconstruction, nothing else materialises)."""
+    from ..ops.pallas_kernels import pq_decode_recon_t
+
+    r = pq_decode_recon_t(ct_blk, cbt)
+    return jnp.sum(r.astype(jnp.float32) * r.astype(jnp.float32), axis=0)
 
 
 @functools.partial(

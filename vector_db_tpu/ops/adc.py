@@ -275,9 +275,16 @@ def adc_fast_search(
         # per-chunk [d, chunk] reconstruction + [Q, chunk] distances, never
         # [Q, N] (the adc_fast analog of the blocked/fused large-N scans)
         if pool_mode == "approx" and select_r > 0:
-            # per-chunk ranked top-select_r, then one cross-chunk select —
-            # same rationale as the non-chunked override above
-            bucket = max(1, -(-chunk_n * winners // select_r))
+            # per-chunk ranked pools capped at 4x the expected per-chunk
+            # share of the global top-select_r (floor 128), then ONE
+            # cross-chunk select below — approx_max_k cost grows steeply
+            # with k, so per-chunk top-select_r wastes most of the scan
+            # (measured at 10M/19 chunks: per-chunk 512 ~4x slower than
+            # per-chunk 128 + final select, same recall)
+            n_chunks_est = max(1, -(-n // chunk_n))
+            r_chunk = min(select_r,
+                          max(128, -(-4 * select_r // n_chunks_est)))
+            bucket = max(1, -(-chunk_n * winners // r_chunk))
         n_pad = (-n) % chunk_n
         ct = (jnp.pad(codes_t, ((0, 0), (0, n_pad))) if n_pad else codes_t)
         mn = (jnp.pad(masked_norms, (0, n_pad), constant_values=jnp.inf)

@@ -466,33 +466,87 @@ class ShardedDatabase:
 
     # ----------------------------------------------------------- mutation
     def add_batch(self, ids, vectors) -> list[int]:
+        """Vectorized batch insert: shard assignment is ONE water-filling
+        pass over the S per-shard loads (S iterations, not N), slot writes
+        are numpy fancy indexing — a 1M-row sharded ingest is host-bound
+        only by the id-map dict update (~1 s), not a per-row Python loop
+        with an O(S) argmin each (the reference batches its ingest over one
+        DirectByteBuffer crossing the same way, jni/NativeIndex.java:153-179).
+        Least-loaded-first placement keeps shards balanced; freed slots are
+        reused before the fill pointer advances."""
         vectors = np.asarray(vectors, np.float32)
-        accepted = []
-        new_slots: list[int] = []
-        for ext_id, vec in zip(np.asarray(ids).tolist(), vectors):
-            ext_id = int(ext_id)
-            if ext_id in self._slot_of or ext_id < 0:
+        ids_np = np.asarray(list(ids), np.int64)
+        # reject duplicates (within the batch and vs the live set) + negatives
+        take_rows: list[int] = []
+        seen = self._slot_of
+        batch_seen: set[int] = set()
+        for row, ext_id in enumerate(ids_np.tolist()):
+            if ext_id < 0 or ext_id in seen or ext_id in batch_seen:
                 continue
-            # least-loaded shard; reuse freed slots before advancing the fill
-            load = self._fill - np.asarray([len(f) for f in self._free])
-            shard = int(np.argmin(load))
-            if self._free[shard]:
-                slot = self._free[shard].pop()
-            elif self._fill[shard] < self.per_shard:
-                slot = shard * self.per_shard + int(self._fill[shard])
-                self._fill[shard] += 1
-            else:
-                break  # capacity full
-            self._h_vec[slot] = vec
-            self._h_ids[slot] = ext_id
-            self._h_valid[slot] = True
-            self._slot_of[ext_id] = slot
-            self._dirty.add(shard)
-            new_slots.append(slot)
-            accepted.append(ext_id)
-        if new_slots and self.codebooks is not None:
-            self._encode_slots(np.asarray(new_slots, np.int64))
-        return accepted
+            batch_seen.add(ext_id)
+            take_rows.append(row)
+        if not take_rows:
+            return []
+        rows = np.asarray(take_rows)
+        load = self._fill - np.asarray([len(f) for f in self._free])
+        avail = (self.per_shard - load).astype(np.int64)
+        n_want = len(rows)
+        counts = np.zeros(self.n_shards, np.int64)
+        remaining = min(n_want, int(avail.sum()))
+        # water-filling: repeatedly top the lowest-loaded shards up to the
+        # next load level (<= S iterations total)
+        while remaining > 0:
+            cur = load + counts
+            lo = cur.min()
+            at_lo = np.flatnonzero((cur == lo) & (counts < avail))
+            if at_lo.size == 0:
+                # all minimum-load shards are full; lift them out of play
+                at_lo = np.flatnonzero(counts < avail)
+                if at_lo.size == 0:
+                    break
+                lvl = cur[at_lo].min()
+                at_lo = at_lo[cur[at_lo] == lvl]
+                lo = lvl
+            above = cur[cur > lo]
+            step = int(above.min() - lo) if above.size else remaining
+            room = np.minimum(step, avail[at_lo] - counts[at_lo])
+            give = int(min(room.sum(), remaining))
+            # distribute `give` across at_lo respecting per-shard room
+            cum = np.cumsum(room)
+            filled = np.minimum(room, np.maximum(0, give - (cum - room)))
+            counts[at_lo] += filled
+            remaining -= int(filled.sum())
+        rows = rows[: int(counts.sum())]
+        # materialise slot arrays per shard: freed slots first, then the
+        # contiguous fill range
+        slot_parts: list[np.ndarray] = []
+        for shard in np.flatnonzero(counts):
+            c = int(counts[shard])
+            from_free = min(c, len(self._free[shard]))
+            part = []
+            if from_free:
+                part.append(np.asarray(
+                    [self._free[shard].pop() for _ in range(from_free)],
+                    np.int64))
+            fresh = c - from_free
+            if fresh:
+                base = shard * self.per_shard + int(self._fill[shard])
+                part.append(np.arange(base, base + fresh, dtype=np.int64))
+                self._fill[shard] += fresh
+            slot_parts.append(np.concatenate(part))
+            self._dirty.add(int(shard))
+        slots = (np.concatenate(slot_parts) if slot_parts
+                 else np.empty(0, np.int64))
+        acc_ids = ids_np[rows]
+        self._h_vec[slots] = vectors[rows]
+        self._h_ids[slots] = acc_ids
+        self._h_valid[slots] = True
+        self._slot_of.update(
+            zip(acc_ids.tolist(), slots.tolist())
+        )
+        if slots.size and self.codebooks is not None:
+            self._encode_slots(slots)
+        return acc_ids.tolist()
 
     def remove(self, ext_id: int) -> bool:
         slot = self._slot_of.pop(int(ext_id), None)
@@ -733,3 +787,88 @@ class ShardedDatabase:
         d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
                     self.codes, self.valid, self.vectors, self.ids, perm_rep)
         return np.asarray(ext), np.asarray(d)
+
+    # ----------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """Checkpoint the full sharded state (reference: every tier of the
+        reference surface persists, storage/VectorStorage.java:176-206 —
+        the multi-chip tier must too).  The host mirrors make this one
+        atomic npz write; no device transfer happens (the mirrors ARE the
+        source of truth under the single-writer model)."""
+        from ..storage import checkpoint as ckpt
+
+        meta = {
+            "format_version": 1,
+            "kind": "sharded",
+            "dim": self.dim,
+            "capacity": self.capacity,
+            "num_subspaces": self.num_subspaces,
+            "metric": self.metric,
+            "size": self.size(),
+        }
+        arrays = {
+            "vectors": self._h_vec,
+            "ids": self._h_ids,
+            "valid": self._h_valid,
+        }
+        if self.codebooks is not None:
+            arrays["codes"] = self._h_codes
+            arrays["codebooks"] = jax.device_get(self.codebooks)
+        if self.perm is not None:
+            arrays["perm"] = np.asarray(self.perm)
+        if getattr(self, "pca_basis", None) is not None:
+            arrays["pca_mean"] = np.asarray(self.pca_mean)
+            arrays["pca_basis"] = np.asarray(self.pca_basis)
+        ckpt.save_checkpoint(path, meta, arrays)
+
+    @classmethod
+    def load(cls, mesh: Mesh, path: str) -> "ShardedDatabase":
+        """Restore a checkpoint onto ``mesh`` — which may have a DIFFERENT
+        device count than the writer's: live rows are re-sharded through the
+        vectorized add_batch (slot layout is a runtime detail, not state),
+        imported codes ride along, quantizer state restores exactly (no
+        retrain)."""
+        from ..storage import checkpoint as ckpt
+
+        loaded = ckpt.load_checkpoint(path)
+        if loaded is None:
+            raise FileNotFoundError(f"no sharded checkpoint at {path}")
+        meta, arrays = loaded
+        if meta.get("kind") != "sharded":
+            raise ValueError(f"not a sharded checkpoint: {meta.get('kind')}")
+        valid = np.asarray(arrays["valid"], bool)
+        ids = np.asarray(arrays["ids"], np.int64)
+        vec = np.asarray(arrays["vectors"], np.float32)
+        live = np.flatnonzero(valid)
+        db = cls(
+            mesh,
+            dim=int(meta["dim"]),
+            capacity=int(meta["capacity"]),
+            num_subspaces=int(meta["num_subspaces"]),
+            metric=meta.get("metric", "l2"),
+        )
+        accepted = db.add_batch(ids[live], vec[live])
+        if len(accepted) != live.size:
+            raise ValueError(
+                f"mesh capacity lost rows on load: {len(accepted)} of "
+                f"{live.size}"
+            )
+        # quantizer state AFTER the bulk add: codebooks present during
+        # add_batch would trigger a full redundant re-encode of rows whose
+        # codes are imported verbatim below
+        if "codebooks" in arrays:
+            (db.codebooks,) = replicate(mesh, jnp.asarray(arrays["codebooks"]))
+        if "perm" in arrays:
+            db.perm = jnp.asarray(arrays["perm"])
+        if "codes" in arrays:
+            # imported codes follow the re-assigned slots — no re-encode
+            codes = np.asarray(arrays["codes"])
+            slots = np.asarray(
+                [db._slot_of[int(i)] for i in ids[live]], np.int64
+            )
+            db._h_codes[slots] = codes[live]
+        if "pca_basis" in arrays:
+            db.pca_mean = jnp.asarray(arrays["pca_mean"])
+            db.pca_basis = jnp.asarray(arrays["pca_basis"])
+            db._proxy_gen = None
+        return db
