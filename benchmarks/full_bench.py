@@ -242,6 +242,34 @@ def main():
         f"{qps7:,.0f} QPS (device)  [target: >=120k QPS @ >=97.6%]")
     log()
 
+    # ------------- config 8: Annoy 128d x 10k + 512d x 100k ---------------
+    log("## 8. Annoy (forest of random-projection trees, vectorized "
+        "level-synchronous build)")
+    from vector_db_tpu.api.config import AnnoyConfig
+    from vector_db_tpu.index.annoy import AnnoyIndex
+
+    ann = AnnoyIndex(dim3, n, "l2", AnnoyConfig(backfill=False))
+    ann.store.bulk_load(range(n), vj3)
+    t0 = time.time(); ann.build(); bt = time.time() - t0
+    ids, qq = api_qps(ann, q3, k)
+    log(f"- honest (backfill off), 128d x 10k: "
+        f"recall {rec(ids, gts3, k):.1%}, {qq:,.0f} QPS (api), "
+        f"build {bt:.1f}s  [reference w/ random-fill: 85% @ 37ms, "
+        f"93s build]")
+    ann.config.backfill = True
+    ids, qq = api_qps(ann, q3, k)
+    log(f"- backfilled (reference semantics), 128d x 10k: "
+        f"recall {rec(ids, gts3, k):.1%}, {qq:,.0f} QPS (api)")
+    ann5 = AnnoyIndex(dim, n5, "l2", AnnoyConfig(backfill=False))
+    ann5.store.bulk_load(range(n5), vj5)
+    t0 = time.time(); ann5.build(); bt5 = time.time() - t0
+    ids, qq = api_qps(ann5, q5_256, k)
+    log(f"- honest (backfill off), 512d x 100k: "
+        f"recall {rec(ids, gts5[:256], k):.1%}, {qq:,.0f} QPS (api), "
+        f"build {bt5:.1f}s  (random-projection trees lose discrimination "
+        f"at high dim — recorded for honesty; use HNSWPQ/LSH there)")
+    log()
+
     report = "\n".join(lines) + "\n"
     # preserve hand-maintained sections (scale demos, frontiers) across reruns
     try:

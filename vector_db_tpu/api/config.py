@@ -283,15 +283,22 @@ class LshConfig:
     bucket width 4) and native/index/LSHIndex.{h,cpp} (10 tables x 20 bits)."""
 
     num_tables: int = 10
-    num_bits: int = 16
-    hamming_radius: int = 4  # > 0 -> multi-probe sign-LSH (the default):
+    num_bits: int = 0  # 0 -> dimension-aware: 16 below 256d, 24 at >= 256d
+    # (high-dim angles concentrate, so more bits are needed before a radius
+    # gate can separate neighbors from the bulk); explicit values <= 31
+    # (codes pack into int32)
+    hamming_radius: int = -1  # multi-probe sign-LSH (the default):
     # candidate iff some table's bit-packed sign code is within this Hamming
     # radius of the query's (one XOR+popcount over the resident code matrix
-    # — the array-program form of multi-probe LSH).  Honest (no-backfill)
-    # Recall@10 at bits=16/r=4/T=10: ~79% on uniform 128d (the reference's
-    # own config scores ~0% without its random-fill), ~88% on a power-law
-    # 512d corpus, while pruning ~2/3 of the corpus.  0 -> exact-bucket
-    # match on quantized projections (strict reference-parity semantics).
+    # — the array-program form of multi-probe LSH).
+    # -1 -> DATA-CALIBRATED at build/first-search (index/lsh._auto_radius):
+    # the radius is set to the ~65th percentile of true-neighbor min-table
+    # Hamming distances measured on a corpus sample, capped so the expected
+    # random-pair collision fraction stays <= ~30% (binomial tail x table
+    # union) — honest recall then tracks the corpus instead of one tuned
+    # scale (a fixed r=4/16-bit setup measured 79% on uniform 128d but 57%
+    # at 512d x 100k).  > 0 -> fixed radius.  0 -> exact-bucket match on
+    # quantized projections (strict reference-parity semantics).
     bucket_width: float = 0.0  # setting this > 0 OPTS INTO exact-bucket
     # mode (hamming_radius is ignored): a width is only meaningful for
     # quantized-projection hashing, so an explicit width means

@@ -146,16 +146,28 @@ class LshIndex(VectorIndex):
     def __init__(self, dim: int, capacity: int, metric: str = "l2", config: Optional[LshConfig] = None):
         super().__init__(dim, capacity, metric)
         self.config = config or LshConfig()
+        # dimension-aware bit count (LshConfig.num_bits=0 -> auto): angles
+        # concentrate at high dim, so 16 bits stop separating neighbors
+        # from the bulk
+        self._bits = self.config.num_bits or (16 if dim < 256 else 24)
         # an explicit bucket_width opts into exact-bucket mode: the width is
         # only meaningful for quantized-projection hashing, so honoring it
         # beats silently ignoring it in favor of the default hamming_radius
         # (LshConfig(num_bits=8, bucket_width=4.0) means reference parity)
-        self._radius = (0 if self.config.bucket_width > 0
-                        else self.config.hamming_radius)
-        if self._radius > 0 and self.config.num_bits > 31:
+        # sign (multi-probe) mode unless an explicit width or radius=0
+        # opts into exact-bucket semantics
+        self._sign_mode = (self.config.bucket_width <= 0
+                           and self.config.hamming_radius != 0)
+        # fixed radius (> 0), or None -> data-calibrated (_auto_radius)
+        self._radius: Optional[int] = (
+            0 if not self._sign_mode
+            else (self.config.hamming_radius
+                  if self.config.hamming_radius > 0 else None)
+        )
+        if self._sign_mode and self._bits > 31:
             raise ValueError(
                 "multi-probe sign codes pack into int32: num_bits <= 31 "
-                f"required with hamming_radius > 0, got {self.config.num_bits}"
+                f"required with hamming_radius != 0, got {self._bits}"
             )
         self.store = VectorStore(capacity, dim)
         self.seed = 42
@@ -176,9 +188,62 @@ class LshIndex(VectorIndex):
     def _make_planes(self) -> jnp.ndarray:
         rng = np.random.default_rng(self.seed + 7919 * self._gen)
         planes = rng.standard_normal(
-            (self.config.num_tables, self.config.num_bits, self.dim)
+            (self.config.num_tables, self._bits, self.dim)
         ).astype(np.float32)
         return jnp.asarray(planes)
+
+    def _auto_radius(self) -> int:
+        """Data-calibrated Hamming radius (the sign-mode analog of
+        _auto_width): measure the min-table Hamming distance between ~256
+        sample points and their TRUE nearest neighbors, take the ~65th
+        percentile (so a typical neighbor collides in at least one table),
+        and cap it where the expected random-pair collision fraction
+        (binomial tail, union over tables) exceeds ~30% — beyond that the
+        gate stops being LSH and becomes a near-full scan."""
+        import math
+
+        st = self.store.state
+        live = np.flatnonzero(np.asarray(st.valid))
+        if live.size < 8:
+            return max(1, self._bits // 4)
+        rng = np.random.default_rng(self.seed + 13)
+        sample = live[rng.permutation(live.size)[:256]]
+        sj = st.vectors[jnp.asarray(sample)]
+        _, nn = blocked_knn(
+            sj, st.vectors, st.valid, 2, metric=self.metric,
+            b_norms=st.norms, block_n=min(8192, st.capacity),
+        )
+        nn_np = np.asarray(nn)[:, 1]  # column 0 is the point itself
+        ok = nn_np >= 0
+        if not ok.any():
+            return max(1, self._bits // 4)
+        qs = _sign_codes(sj, self.planes)                       # [T, S]
+        ns = _sign_codes(st.vectors[jnp.asarray(nn_np[ok])], self.planes)
+        xor = np.asarray(qs)[:, ok] ^ np.asarray(ns)
+        hd = np.array(
+            [[bin(int(v) & 0xFFFFFFFF).count("1") for v in row]
+             for row in xor]
+        )
+        min_hd = hd.min(axis=0)                                 # [S]
+        r = int(np.percentile(min_hd, 75.0))
+        # cap: largest r with union random-collision fraction <= 0.35
+        # (r=4 at 16 bits/10 tables — the 79%-recall setting at 128d —
+        # sits at 0.32; a 0.30 cap regressed it to r=3 / 41%)
+        b, t = self._bits, self.config.num_tables
+        cdf = 0.0
+        r_cap = 1
+        for i in range(b + 1):
+            cdf += math.comb(b, i) / (2.0 ** b)
+            if 1.0 - (1.0 - cdf) ** t <= 0.35:
+                r_cap = i
+            else:
+                break
+        return max(1, min(r, r_cap))
+
+    def _effective_radius(self) -> int:
+        if self._radius is None:
+            self._radius = self._auto_radius()
+        return self._radius
 
     def _auto_width(self) -> float:
         """Data-calibrated bucket width: ~10x the median nearest-neighbor
@@ -222,7 +287,7 @@ class LshIndex(VectorIndex):
         if accepted:
             sl = jnp.asarray(np.asarray(slots, np.int64))
             vecs = self.store.state.vectors[sl]
-            if self._radius > 0:
+            if self._sign_mode:
                 new_b = _sign_codes(vecs, self.planes)  # [T, B]
             else:
                 new_b = _bucket_ids(vecs, self.planes,
@@ -240,8 +305,10 @@ class LshIndex(VectorIndex):
         self.planes = self._make_planes()
         if self.config.bucket_width <= 0:
             self._width = None  # recalibrate against the current corpus
+        if self._sign_mode and self.config.hamming_radius < 0:
+            self._radius = None  # recalibrate against the current corpus
         st = self.store.state
-        if self._radius > 0:
+        if self._sign_mode:
             self.bucket_ids = _sign_codes(st.vectors, self.planes)
         else:
             self.bucket_ids = _bucket_ids(st.vectors, self.planes,
@@ -265,7 +332,7 @@ class LshIndex(VectorIndex):
                 block_n=min(8192, st.capacity),
             )
         else:
-            r = self._radius
+            r = self._effective_radius() if self._sign_mode else 0
             dists, slots = _lsh_search(
                 jnp.asarray(padded), self.planes,
                 jnp.asarray(1.0 if r > 0 else self._effective_width(),
@@ -311,10 +378,13 @@ class LshIndex(VectorIndex):
         s = super().stats()
         s.update(
             num_tables=self.config.num_tables,
-            num_bits=self.config.num_bits,
+            num_bits=self._bits,
             bucket_width=(self._effective_width()
-                          if self._radius <= 0 else 0.0),
-            hamming_radius=self._radius,
+                          if not self._sign_mode else 0.0),
+            # -1 = auto, not yet calibrated (stats must not trigger the
+            # calibration kNN)
+            hamming_radius=(self._radius if self._radius is not None
+                            else -1),
             backfill_rows=self._backfill_rows,
             backfill_queries=self._backfill_queries,
         )
@@ -331,8 +401,11 @@ class LshIndex(VectorIndex):
             # trigger the auto-width corpus calibration
             "width": np.asarray([self._width if self._width is not None
                                  else (self._effective_width()
-                                       if self._radius <= 0
+                                       if not self._sign_mode
                                        else 0.0)], np.float64),
+            # calibrated radius rides along (-1 = not yet calibrated)
+            "radius": np.asarray([self._radius if self._radius is not None
+                                  else -1], np.int64),
         }
 
     def load_state_arrays(self, arrays: dict) -> None:
@@ -343,3 +416,7 @@ class LshIndex(VectorIndex):
         if "width" in arrays:
             w = float(np.asarray(arrays["width"])[0])
             self._width = w if w > 0 else None
+        if "radius" in arrays:
+            r = int(np.asarray(arrays["radius"])[0])
+            if self._sign_mode:
+                self._radius = r if r >= 0 else None
