@@ -153,8 +153,8 @@ def main():
         return rec, NQ / dt
 
     log(f"\nsearch at {db.size():,} live rows:")
-    r_fast, qps_fast = run_mode("adc_fast")
     r_pca, qps_pca = run_mode("pca")
+    r_fast, qps_fast = run_mode("adc_fast")
 
     # ---- CRUD at 10M live --------------------------------------------------
     t0 = time.time()

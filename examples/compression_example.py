@@ -56,8 +56,9 @@ def main():
         ("pca proxy (dim/8 dims + refine)", CompressionConfig.recommended_config(dim), "pca"),
     ]
 
-    print(f"\n{'preset':32s} {'ratio':>6s} {'build s':>8s} {'ms/q':>7s} {'Recall@10':>10s}")
-    print("-" * 70)
+    print(f"\n{'preset':32s} {'ratio':>6s} {'build s':>8s} {'ms/q':>7s} "
+          f"{'Recall@10':>10s} {'index MB':>9s} {'saved':>6s}")
+    print("-" * 84)
     for name, comp, itype in presets:
         if itype in ("adc_fast", "pca"):
             from vector_db_tpu.api.config import HnswPqConfig
@@ -88,12 +89,15 @@ def main():
              for i in range(args.queries)]
         )
         ratio = db.get_compression_ratio()
+        st = db.stats()
+        # memory column (reference: CompressionExample.java:276-282 prints
+        # build/search/memory-savings per preset): compressed index
+        # structures (codes+codebooks+proxy) in MB, plus the savings pct
+        idx_mb = st.get("index_bytes", st["capacity"] * dim * 4) / 1e6
+        saved = db.get_memory_savings_pct() if comp is not None else 0.0
         print(f"{name:32s} {ratio:5.0f}x {t_build:8.1f} "
-              f"{dt*1000/args.queries:7.2f} {recall:10.1%}")
-        if comp is not None:
-            print(f"{'':32s} memory savings: "
-                  f"{db.get_memory_savings_pct():.1f}%  stats: "
-                  f"{ {kk: db.stats()[kk] for kk in ('index_bytes', 'raw_bytes') if kk in db.stats()} }")
+              f"{dt*1000/args.queries:7.2f} {recall:10.1%} {idx_mb:9.1f} "
+              f"{saved:5.1f}%")
         db.close()
     print("\ndone.")
 

@@ -50,12 +50,14 @@ def main():
         (IndexType.HNSW, HnswConfig(m=16, ef_construction=64, ef_search=64)),
         (IndexType.HNSWPQ, HnswPqConfig(num_subspaces=max(4, args.dim // 8))),
         (IndexType.IVF, IvfConfig()),
+        (IndexType.PQ, None),
         (IndexType.LSH, LshConfig()),
         (IndexType.ANNOY, AnnoyConfig()),
     ]
 
-    print(f"\n{'index':8s} {'build s':>8s} {'QPS':>9s} {'ms/query':>9s} {'Recall@10':>10s}")
-    print("-" * 50)
+    print(f"\n{'index':8s} {'build s':>8s} {'QPS':>9s} {'ms/query':>9s} "
+          f"{'Recall@10':>10s} {'memory MB':>10s}")
+    print("-" * 62)
     for itype, cfg in configs:
         b = (VectorDatabase.builder().with_dimension(args.dim)
              .with_max_elements(args.n).with_index_type(itype))
@@ -77,8 +79,11 @@ def main():
             [len({r.id for r in res[i]} & gt_sets[i]) / args.k
              for i in range(args.queries)]
         )
+        st = db.stats()
+        mem = (st.get("index_bytes", 0)
+               + st.get("store_bytes", st["capacity"] * args.dim * 4)) / 1e6
         print(f"{itype.value:8s} {t_build:8.1f} {args.queries/dt:9.0f} "
-              f"{dt*1000/args.queries:9.2f} {recall:10.1%}")
+              f"{dt*1000/args.queries:9.2f} {recall:10.1%} {mem:10.1f}")
 
         # CRUD smoke (reference walks the same sequence)
         assert db.add_vector(10**6, vecs[0])

@@ -341,3 +341,19 @@ class TestShardedPersistence:
         acc = db.add_batch(np.arange(200), vecs)
         assert len(acc) == 128  # capacity-bounded, like the loop version
         assert db.size() == 128
+
+
+class TestMultiprocessExample:
+    def test_single_process_fallback_runs(self, mesh):
+        """examples/multiprocess_dcn.py drives the same shard_map programs a
+        multi-process deployment would (docs/SCALING.md §3); the no-arg
+        fallback must run on the virtual 8-device mesh and agree with a
+        local brute-force check on shard 0's rows."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "mp_example", "examples/multiprocess_dcn.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        d, idx = mod.main(["--per-shard", "256", "--dim", "16"])
+        assert d.shape == (64, 10) and (idx >= 0).all()
+        assert (d[:, :-1] <= d[:, 1:] + 1e-6).all()

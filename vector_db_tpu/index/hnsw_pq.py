@@ -723,12 +723,17 @@ class HnswPqIndex(VectorIndex):
             # exact refine (scoring reads only codes + codebooks)
             ct, cbt, cnorms = self._fast_tables()
             bucket = max(2, min(self.config.adc_bucket, st.capacity // 2))
-            # stream in chunks once [Q, N] distances would exceed 512 MB;
+            # stream in chunks once [Q, N] distances would exceed 512 MB OR
+            # the [d, N] bf16 decode buffer would exceed 1 GB (a Q=1 query
+            # at 10M rows still cannot decode the whole corpus);
             # FEW BIG chunks (see _scan_chunk) — per-chunk approx_max_k
             # fixed cost dominates with many small ones
+            need_chunk = (
+                padded.shape[0] * st.capacity * 4 > 512 * 1024 * 1024
+                or st.capacity * self.dim * 2 > 1024 * 1024 * 1024
+            )
             chunk = (self._scan_chunk(st.capacity, padded.shape[0])
-                     if padded.shape[0] * st.capacity * 4 > 512 * 1024 * 1024
-                     else 0)
+                     if need_chunk else 0)
             packed = self._packed_refine_store(st)
             i8 = self._int8_refine_store(st)
             dists, ext = adc.adc_fast_search(

@@ -285,21 +285,34 @@ def adc_fast_search(
             r_chunk = min(select_r,
                           max(128, -(-4 * select_r // n_chunks_est)))
             bucket = max(1, -(-chunk_n * winners // r_chunk))
-        n_pad = (-n) % chunk_n
-        ct = (jnp.pad(codes_t, ((0, 0), (0, n_pad))) if n_pad else codes_t)
-        mn = (jnp.pad(masked_norms, (0, n_pad), constant_values=jnp.inf)
-              if n_pad else masked_norms)
-        n_total = n + n_pad
-        starts = jnp.arange(0, n_total, chunk_n, dtype=jnp.int32)
+        chunk_n = min(chunk_n, n)
+        num_chunks = -(-n // chunk_n)
+        # clamped ragged last chunk, not padding: jnp.pad would copy the
+        # whole [S, N] code matrix (640 MB at 10M) to align the tail; the
+        # final chunk re-slices [n - chunk_n, n) and masks rows previous
+        # chunks already covered
+        starts = jnp.minimum(
+            jnp.arange(0, num_chunks * chunk_n, chunk_n, dtype=jnp.int32),
+            n - chunk_n,
+        )
+        covered = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32),
+             jnp.arange(1, num_chunks, dtype=jnp.int32) * chunk_n]
+        )
 
-        def one_chunk(start):
-            ct_blk = jax.lax.dynamic_slice_in_dim(ct, start, chunk_n, axis=1)
-            mn_blk = jax.lax.dynamic_slice_in_dim(mn, start, chunk_n)
+        def one_chunk(args):
+            start, cov = args
+            ct_blk = jax.lax.dynamic_slice_in_dim(codes_t, start, chunk_n,
+                                                  axis=1)
+            mn_blk = jax.lax.dynamic_slice_in_dim(masked_norms, start,
+                                                  chunk_n)
+            idx = start + jnp.arange(chunk_n, dtype=jnp.int32)
+            mn_blk = jnp.where(idx < cov, jnp.inf, mn_blk)
             lv, local = _score_pool_chunk(qb, ct_blk, cbt, mn_blk, bucket,
                                           winners, pool_mode)
             return lv, jnp.where(local >= 0, local + start, -1)
 
-        pvals, pools = jax.lax.map(one_chunk, starts)           # [C, Q, w]
+        pvals, pools = jax.lax.map(one_chunk, (starts, covered))  # [C, Q, w]
         pool = jnp.moveaxis(pools, 0, 1).reshape(q_n, -1)
         pool_vals = jnp.moveaxis(pvals, 0, 1).reshape(q_n, -1)
     pool = jnp.where(pool < n, pool, -1)

@@ -135,27 +135,39 @@ def pca_proxy_search(
     if q_n * n * 4 <= 6 * 1024 ** 3 and not force_chunked:
         _, pool = chunk_pool(proxy, masked, r)
     else:
-        n_pad = (-n) % block_n
-        pt = jnp.pad(proxy, ((0, n_pad), (0, 0))) if n_pad else proxy
-        mn = (jnp.pad(masked, (0, n_pad), constant_values=jnp.inf)
-              if n_pad else masked)
-        starts = jnp.arange(0, n + n_pad, block_n, dtype=jnp.int32)
+        block_n = min(block_n, n)
+        num_chunks = -(-n // block_n)
+        # CLAMPED ragged last chunk, not padding: jnp.pad would copy the
+        # whole [N, p] proxy (1.27 GB at 10M) just to align the tail — the
+        # final chunk instead re-slices [n - block_n, n) and masks the rows
+        # the previous chunk already covered
+        starts = jnp.minimum(
+            jnp.arange(0, num_chunks * block_n, block_n, dtype=jnp.int32),
+            n - block_n,
+        )
+        covered = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32),
+             jnp.arange(1, num_chunks, dtype=jnp.int32) * block_n]
+        )  # rows below this index were scanned by earlier chunks
         # per-chunk pools keep 4x the expected per-chunk share of the final
         # top-r (floor 128): approx_max_k's cost grows steeply with k, and a
         # chunk holding > 4r/C of the global top-r is vanishingly unlikely —
         # measured at 10M/r=512: per-chunk 512 cost 187 ms vs 256 at ~95 ms
-        num_chunks = (n + n_pad) // block_n
         r_chunk = min(r, max(128, -(-4 * r // max(num_chunks, 1))))
 
-        def one(start):
+        def one(args):
+            start, cov = args
+            mn_blk = jax.lax.dynamic_slice_in_dim(masked, start, block_n)
+            idx = start + jnp.arange(block_n, dtype=jnp.int32)
+            mn_blk = jnp.where(idx < cov, jnp.inf, mn_blk)
             pv, loc = chunk_pool(
-                jax.lax.dynamic_slice_in_dim(pt, start, block_n, axis=0),
-                jax.lax.dynamic_slice_in_dim(mn, start, block_n),
+                jax.lax.dynamic_slice_in_dim(proxy, start, block_n, axis=0),
+                mn_blk,
                 r_chunk,
             )
             return pv, jnp.where(loc >= 0, loc + start, -1)
 
-        pvals, pools = jax.lax.map(one, starts)           # [C, Q, r]
+        pvals, pools = jax.lax.map(one, (starts, covered))  # [C, Q, r]
         cand = jnp.moveaxis(pools, 0, 1).reshape(q_n, -1)
         cvals = jnp.moveaxis(pvals, 0, 1).reshape(q_n, -1)
         cvals = jnp.where(cand >= 0, cvals, jnp.inf)
