@@ -357,3 +357,78 @@ class TestMultiprocessExample:
         d, idx = mod.main(["--per-shard", "256", "--dim", "16"])
         assert d.shape == (64, 10) and (idx >= 0).all()
         assert (d[:, :-1] <= d[:, 1:] + 1e-6).all()
+
+
+class TestShardedCompressedTier:
+    """raw_store=False on the multi-chip tier: int8-packed shards (4x less
+    HBM per chip AND per host mirror), near-exact int8 scan, flagship with
+    int8 refine, persistence — the docs/SCALING.md '~80M per 8-chip slice'
+    stack through the API."""
+
+    def _gt(self, vecs, q, k=10):
+        d = ((q**2).sum(1)[:, None] + (vecs**2).sum(1)[None, :]
+             - 2.0 * q @ vecs.T)
+        return np.argsort(d, 1)[:, :k]
+
+    def test_int8_scan_near_exact(self, mesh):
+        rng = np.random.default_rng(31)
+        n, dim = 2048, 64
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False)
+        db.add_batch(np.arange(n), vecs)
+        q = rng.standard_normal((64, dim)).astype(np.float32)
+        ext, d = db.search(q, 10)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(64)])
+        assert rec >= 0.97
+        assert (d[:, :-1] <= d[:, 1:] + 1e-5).all()
+
+    def test_flagship_int8_refine(self, mesh):
+        rng = np.random.default_rng(32)
+        n, dim = 2048, 64
+        scale = ((np.arange(dim) + 1.0) ** -0.5).astype(np.float32)
+        vecs = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n + 64,
+                                num_subspaces=16, raw_store=False)
+        db.add_batch(np.arange(n), vecs)
+        db.train_pq(num_centroids=64, iters=8)
+        q = (rng.standard_normal((64, dim)) * scale).astype(np.float32)
+        ext, _ = db.search_flagship(q, 10, refine=128)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(64)])
+        assert rec >= 0.9
+        # incremental adds encode through the dequantized-row seam
+        more = (rng.standard_normal((8, dim)) * scale).astype(np.float32) + 2.0
+        db.add_batch(np.arange(5000, 5008), more)
+        ext2, _ = db.search_flagship(more, 1, refine=128)
+        np.testing.assert_array_equal(ext2[:, 0], np.arange(5000, 5008))
+
+    def test_compressed_save_load(self, mesh, tmp_path):
+        rng = np.random.default_rng(33)
+        n, dim = 1024, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n,
+                                num_subspaces=8, raw_store=False)
+        db.add_batch(np.arange(n), vecs)
+        db.train_pq(num_centroids=32, iters=5)
+        q = rng.standard_normal((16, dim)).astype(np.float32)
+        before = db.search(q, 5)
+        flag_before = db.search_flagship(q, 5, refine=64)
+        db.save(str(tmp_path / "c8"))
+        db2 = sh.ShardedDatabase.load(mesh, str(tmp_path / "c8"))
+        assert not db2.raw
+        after = db2.search(q, 5)
+        np.testing.assert_array_equal(before[0], after[0])
+        np.testing.assert_allclose(before[1], after[1], rtol=1e-5, atol=1e-5)
+        flag_after = db2.search_flagship(q, 5, refine=64)
+        np.testing.assert_array_equal(flag_before[0], flag_after[0])
+
+    def test_pca_guarded(self, mesh):
+        db = sh.ShardedDatabase(mesh, dim=32, capacity=256, raw_store=False)
+        db.add_batch(np.arange(64),
+                     np.random.default_rng(0).standard_normal(
+                         (64, 32)).astype(np.float32))
+        with pytest.raises(ValueError, match="raw_store"):
+            db.fit_pca(8)

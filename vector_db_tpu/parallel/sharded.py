@@ -196,6 +196,106 @@ def sharded_flagship(mesh: Mesh, k: int, refine: int, metric: str = "l2"):
     )
 
 
+def _merge_topk(local_d, local_e, k):
+    """Shared winners-only merge: all_gather per-shard [Q, k'] results over
+    ICI, one top-k.  Merge bandwidth is S*Q*k'*8 bytes — independent of N."""
+    d_all = jax.lax.all_gather(local_d, AXIS)
+    e_all = jax.lax.all_gather(local_e, AXIS)
+    s, qn, kk = d_all.shape
+    d_flat = jnp.moveaxis(d_all, 0, 1).reshape(qn, s * kk)
+    e_flat = jnp.moveaxis(e_all, 0, 1).reshape(qn, s * kk)
+    neg2, arg = jax.lax.top_k(-d_flat, k)
+    out_e = jnp.take_along_axis(e_flat, arg, 1)
+    return -neg2, jnp.where(jnp.isfinite(-neg2), out_e, -1)
+
+
+# --------------------------------------------------------------------------
+# corpus-sharded int8 programs (the compressed >HBM-per-chip tier)
+# --------------------------------------------------------------------------
+
+def sharded_knn_int8(mesh: Mesh, k: int, metric: str = "l2"):
+    """Corpus-sharded near-exact scan over int8-packed rows (the multi-chip
+    analog of ops/distance.blocked_knn_int8): per chip one dequantizing
+    matmul against its shard with write-time-exact norms, then the standard
+    winners-only ICI merge.  Returns GLOBAL slot ids.
+
+    fn: (q [Q,d], packed [N,d/4] i32, scales [N], valid [N], norms [N])
+        -> (dists [Q,k], global idx [Q,k]).
+    """
+
+    def local(q, p_s, sc_s, valid_s, norms_s):
+        n_s = p_s.shape[0]
+        d = p_s.shape[1] * 4
+        dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        v8 = jax.lax.bitcast_convert_type(p_s, jnp.int8).reshape(n_s, d)
+        cross = jax.lax.dot_general(
+            q.astype(dt), v8.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sc_s[None, :]
+        q_norms = jnp.sum(q * q, axis=1)
+        if metric == "cosine":
+            qn = jnp.sqrt(jnp.maximum(q_norms, 1e-12))
+            dist = 1.0 - cross / jnp.maximum(
+                qn[:, None] * jnp.sqrt(jnp.maximum(norms_s, 1e-12))[None, :],
+                1e-12)
+        else:
+            dist = jnp.maximum(
+                q_norms[:, None] + norms_s[None, :] - 2.0 * cross, 0.0)
+        dist = jnp.where(valid_s[None, :], dist, jnp.inf)
+        neg, idx = jax.lax.top_k(-dist, k)
+        idx = idx + jax.lax.axis_index(AXIS) * n_s
+        idx = jnp.where(jnp.isfinite(-neg), idx, -1)
+        return _merge_topk(-neg, idx, k)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs are replicated by the all_gather+merge
+        )
+    )
+
+
+def sharded_flagship_int8(mesh: Mesh, k: int, refine: int,
+                          metric: str = "l2"):
+    """Corpus-sharded flagship for the compressed tier: per-chip ADC top-R
+    over the code shard (decode kernel + MXU), then a blocked INT8 refine
+    against the packed row shard — no raw f32 rows exist anywhere — and the
+    winners-only ICI merge.  With 10M compressed rows per chip, an 8-chip
+    slice serves ~80M vectors (docs/SCALING.md §2).
+
+    fn: (q, codebooks, codes [N,S] u8, valid [N], packed [N,d/4] i32,
+         scales [N], ids [N], perm [d]) -> (dists [Q,k], external ids).
+    """
+
+    def local(q, codebooks, codes_s, valid_s, p_s, sc_s, ids_s, perm):
+        from ..ops import adc
+        from ..ops.distance import blocked_rerank_int8, normalize_rows
+
+        r = min(refine, codes_s.shape[0])
+        ct = jnp.transpose(codes_s, (1, 0))
+        cbt = adc.codebooks_to_cbt(codebooks)
+        q_scan = normalize_rows(q) if metric == "cosine" else q
+        _, cand = adc.adc_decode_topk(q_scan, ct, cbt, valid_s, r, perm=perm)
+        negd, loc = blocked_rerank_int8(q, p_s, sc_s, cand, min(k, r),
+                                        metric, rb=min(512, r))
+        ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
+        return _merge_topk(negd, ext, k)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(AXIS, None),
+                      P(AXIS), P(AXIS), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs are replicated by the all_gather+merge
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # corpus-sharded PCA-proxy search (proxy scan + exact refine)
 # --------------------------------------------------------------------------
@@ -384,6 +484,17 @@ def sharded_encode(mesh: Mesh, norm_rows: bool = False):
     )
 
 
+def _pack_rows_np(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side int8 row packing, byte-order-compatible with the device
+    ops/distance.pack_int8_rows (verified by test: numpy .view(int8) of the
+    int32 words reproduces the device dequantization exactly)."""
+    amax = np.abs(v).max(axis=1)
+    scale = (np.maximum(amax, 1e-30) / 127.0).astype(np.float32)
+    q = np.clip(np.round(v / scale[:, None]), -127, 127).astype(np.int8)
+    packed = q.reshape(len(v), -1, 4).view(np.int32)[..., 0]
+    return packed, scale
+
+
 class ShardedDatabase:
     """Multi-chip corpus-sharded database: CRUD + sharded build + search.
 
@@ -404,7 +515,8 @@ class ShardedDatabase:
                  codebooks: np.ndarray | None = None,
                  dim: int | None = None, capacity: int | None = None,
                  num_subspaces: int = 8, metric: str = "l2",
-                 perm: np.ndarray | None = None):
+                 perm: np.ndarray | None = None,
+                 raw_store: bool = True):
         """`perm`: the variance-balancing dimension permutation the imported
         `codes`/`codebooks` were trained under.  Codebooks exported from a
         default-config single-chip index (HnswPqConfig/PqConfig default
@@ -427,8 +539,20 @@ class ShardedDatabase:
         self.capacity = self.per_shard * self.n_shards
         self.dim = dim
         self.num_subspaces = num_subspaces
+        # the compressed (>HBM-per-chip) tier: int8-packed rows instead of
+        # raw f32 — 4x smaller per chip AND per host mirror; search() runs
+        # the near-exact int8 scan, search_flagship the codes + int8-refine
+        # program.  See HnswPqConfig.raw_store for the single-chip analog.
+        self.raw = raw_store
+        if not raw_store and dim % 4 != 0:
+            raise ValueError("raw_store=False requires dim % 4 == 0")
         # host mirrors (single-writer)
-        self._h_vec = np.zeros((self.capacity, dim), np.float32)
+        if raw_store:
+            self._h_vec = np.zeros((self.capacity, dim), np.float32)
+        else:
+            self._h_packed = np.zeros((self.capacity, dim // 4), np.int32)
+            self._h_scales = np.zeros(self.capacity, np.float32)
+            self._h_norms = np.zeros(self.capacity, np.float32)
         self._h_ids = np.full(self.capacity, -1, np.int32)
         self._h_valid = np.zeros(self.capacity, bool)
         self._h_codes = np.zeros((self.capacity, num_subspaces), np.uint8)
@@ -517,6 +641,8 @@ class ShardedDatabase:
             counts[at_lo] += filled
             remaining -= int(filled.sum())
         rows = rows[: int(counts.sum())]
+        if rows.size == 0:
+            return []
         # materialise slot arrays per shard: freed slots first, then the
         # contiguous fill range
         slot_parts: list[np.ndarray] = []
@@ -538,7 +664,15 @@ class ShardedDatabase:
         slots = (np.concatenate(slot_parts) if slot_parts
                  else np.empty(0, np.int64))
         acc_ids = ids_np[rows]
-        self._h_vec[slots] = vectors[rows]
+        if self.raw:
+            self._h_vec[slots] = vectors[rows]
+        else:
+            packed, scales = _pack_rows_np(vectors[rows])
+            self._h_packed[slots] = packed
+            self._h_scales[slots] = scales
+            # norms captured EXACTLY from the incoming f32 rows
+            self._h_norms[slots] = (vectors[rows] ** 2).sum(
+                1, dtype=np.float32)
         self._h_ids[slots] = acc_ids
         self._h_valid[slots] = True
         self._slot_of.update(
@@ -547,6 +681,16 @@ class ShardedDatabase:
         if slots.size and self.codebooks is not None:
             self._encode_slots(slots)
         return acc_ids.tolist()
+
+    def _rows_host(self, slots) -> np.ndarray:
+        """Host f32 rows for the given slots — raw-mirror slices or int8
+        dequantization (the compressed tier's only f32 view, ~0.4% error).
+        The seam every row-value consumer (PQ/PCA training, incremental
+        encode, save) goes through."""
+        if self.raw:
+            return self._h_vec[slots]
+        v8 = self._h_packed[slots].view(np.int8).reshape(len(slots), self.dim)
+        return v8.astype(np.float32) * self._h_scales[slots][:, None]
 
     def remove(self, ext_id: int) -> bool:
         slot = self._slot_of.pop(int(ext_id), None)
@@ -573,6 +717,30 @@ class ShardedDatabase:
             raise ValueError("not enough live vectors to train")
         rng = np.random.default_rng(seed)
         from ..ops.adc import balanced_subspace_perm
+
+        if not self.raw:
+            # compressed tier: single-device fit on a dequantized host
+            # sample (the same train-on-sample contract as the single-chip
+            # index) — a sharded fit would need the raw row matrix the
+            # tier exists to avoid
+            from ..ops.kmeans import subspace_kmeans_fit
+
+            sample = live
+            if sample.size > 65536:
+                sample = np.sort(rng.choice(sample, 65536, replace=False))
+            rows_s = self._rows_host(sample)
+            if self.metric == "cosine":
+                rows_s = rows_s / np.maximum(
+                    np.linalg.norm(rows_s, axis=1, keepdims=True), 1e-12)
+            perm_np = balanced_subspace_perm(rows_s.var(axis=0), s)
+            self.perm = jnp.asarray(perm_np)
+            cb = subspace_kmeans_fit(
+                jax.random.PRNGKey(seed), jnp.asarray(rows_s[:, perm_np]),
+                s, k=num_centroids, iters=iters, plus_plus=True,
+            )
+            (self.codebooks,) = replicate(self.mesh, cb)
+            self._encode_all()
+            return
 
         rows = self._h_vec[live]
         if self.metric == "cosine":
@@ -601,6 +769,16 @@ class ShardedDatabase:
         self._encode_all()
 
     def _encode_all(self) -> None:
+        if not self.raw:
+            # compressed tier: encode from the dequantized host mirrors in
+            # chunks (no device-resident f32 matrix exists to shard-encode)
+            live = np.flatnonzero(self._h_valid)
+            chunk = 1 << 17
+            for s in range(0, live.size, chunk):
+                self._encode_slots(live[s:s + chunk])
+            self._dev_pieces.pop("codes", None)
+            self._put_field("codes")
+            return
         enc = self._knn_cache.get("encode")
         if enc is None:
             enc = sharded_encode(self.mesh,
@@ -624,7 +802,7 @@ class ShardedDatabase:
             self._cb_host_gen = self.codebooks
         perm_np = (np.arange(self.dim) if self.perm is None
                    else np.asarray(self.perm))
-        rows = self._h_vec[slots]
+        rows = self._rows_host(slots)
         if self.metric == "cosine":  # cosine sphere contract
             rows = rows / np.maximum(
                 np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
@@ -644,9 +822,14 @@ class ShardedDatabase:
             "vectors": lambda lo, hi: self._h_vec[lo:hi],
             "ids": lambda lo, hi: self._h_ids[lo:hi],
             "valid": lambda lo, hi: self._h_valid[lo:hi],
-            "norms": lambda lo, hi: (self._h_vec[lo:hi] ** 2).sum(
-                1, dtype=np.float32),
+            # raw tier derives norms from the rows; compressed keeps an
+            # exact-norms mirror (rows are quantized, norms must not be)
+            "norms": lambda lo, hi: (
+                (self._h_vec[lo:hi] ** 2).sum(1, dtype=np.float32)
+                if self.raw else self._h_norms[lo:hi]),
             "codes": lambda lo, hi: self._h_codes[lo:hi],
+            "packed": lambda lo, hi: self._h_packed[lo:hi],
+            "scales": lambda lo, hi: self._h_scales[lo:hi],
         }[name]
         shapes = {
             "vectors": (self.capacity, self.dim),
@@ -654,6 +837,8 @@ class ShardedDatabase:
             "valid": (self.capacity,),
             "norms": (self.capacity,),
             "codes": (self.capacity, self._h_codes.shape[1]),
+            "packed": (self.capacity, self.dim // 4),
+            "scales": (self.capacity,),
         }
         shape = shapes[name]
         spec = P(AXIS, *([None] * (len(shape) - 1)))
@@ -673,26 +858,36 @@ class ShardedDatabase:
         arr = jax.make_array_from_single_device_arrays(
             shape, sharding, pieces
         )
-        setattr(self, {"vectors": "vectors", "ids": "ids", "valid": "valid",
-                       "norms": "norms", "codes": "codes"}[name], arr)
+        setattr(self, name, arr)
 
     def _refresh(self) -> None:
         if not self._dirty and self._dev_pieces:
             return
-        for name in ("vectors", "ids", "valid", "norms", "codes"):
+        fields = (("vectors",) if self.raw else ("packed", "scales"))
+        for name in fields + ("ids", "valid", "norms", "codes"):
             self._put_field(name)
         self._dirty.clear()
 
     # ----------------------------------------------------------- search
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Corpus-sharded exact search -> (external ids, dists)."""
+        """Corpus-sharded exact search -> (external ids, dists).  On the
+        compressed tier this is the near-exact int8 scan (write-time-exact
+        norms; only the cross term carries the ~0.4% quantization error)."""
         self._refresh()
-        fn = self._knn_cache.get(("exact", k))
-        if fn is None:
-            fn = sharded_knn(self.mesh, k, metric=self.metric)
-            self._knn_cache[("exact", k)] = fn
-        d, idx = fn(jnp.asarray(queries, jnp.float32), self.vectors,
-                    self.valid, self.norms)
+        if self.raw:
+            fn = self._knn_cache.get(("exact", k))
+            if fn is None:
+                fn = sharded_knn(self.mesh, k, metric=self.metric)
+                self._knn_cache[("exact", k)] = fn
+            d, idx = fn(jnp.asarray(queries, jnp.float32), self.vectors,
+                        self.valid, self.norms)
+        else:
+            fn = self._knn_cache.get(("exact8", k))
+            if fn is None:
+                fn = sharded_knn_int8(self.mesh, k, metric=self.metric)
+                self._knn_cache[("exact8", k)] = fn
+            d, idx = fn(jnp.asarray(queries, jnp.float32), self.packed,
+                        self.scales, self.valid, self.norms)
         idx_np = np.asarray(idx)
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
@@ -706,6 +901,12 @@ class ShardedDatabase:
         contract as HnswPqIndex.train's sampling)."""
         from ..ops import pca as pca_ops
 
+        if not self.raw:
+            raise ValueError(
+                "the PCA-proxy tier derives its proxy from raw rows; with "
+                "raw_store=False use search() (int8 scan) or "
+                "search_flagship() (codes + int8 refine)"
+            )
         live = np.flatnonzero(self._h_valid)
         if live.size > 20000:
             rng = np.random.default_rng(seed)
@@ -773,19 +974,33 @@ class ShardedDatabase:
 
     def search_flagship(self, queries: np.ndarray, k: int, refine: int = 1024
                         ) -> tuple[np.ndarray, np.ndarray]:
-        """Corpus-sharded ADC scan + blocked exact refine -> (ids, dists)."""
+        """Corpus-sharded ADC scan + blocked refine -> (ids, dists).  The
+        refine reads raw f32 rows on the raw tier, int8-packed rows on the
+        compressed tier (sharded_flagship_int8)."""
         if self.codebooks is None:
             raise ValueError("no PQ codebooks: call train_pq() first")
         self._refresh()
-        fn = self._knn_cache.get(("flag", k, refine))
-        if fn is None:
-            fn = sharded_flagship(self.mesh, k, refine, metric=self.metric)
-            self._knn_cache[("flag", k, refine)] = fn
         perm = (self.perm if self.perm is not None
                 else jnp.arange(self.dim, dtype=jnp.int32))
         (perm_rep,) = replicate(self.mesh, perm)
-        d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
-                    self.codes, self.valid, self.vectors, self.ids, perm_rep)
+        if self.raw:
+            fn = self._knn_cache.get(("flag", k, refine))
+            if fn is None:
+                fn = sharded_flagship(self.mesh, k, refine,
+                                      metric=self.metric)
+                self._knn_cache[("flag", k, refine)] = fn
+            d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
+                        self.codes, self.valid, self.vectors, self.ids,
+                        perm_rep)
+        else:
+            fn = self._knn_cache.get(("flag8", k, refine))
+            if fn is None:
+                fn = sharded_flagship_int8(self.mesh, k, refine,
+                                           metric=self.metric)
+                self._knn_cache[("flag8", k, refine)] = fn
+            d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
+                        self.codes, self.valid, self.packed, self.scales,
+                        self.ids, perm_rep)
         return np.asarray(ext), np.asarray(d)
 
     # ----------------------------------------------------------- persistence
@@ -804,13 +1019,19 @@ class ShardedDatabase:
             "capacity": self.capacity,
             "num_subspaces": self.num_subspaces,
             "metric": self.metric,
+            "raw_store": self.raw,
             "size": self.size(),
         }
         arrays = {
-            "vectors": self._h_vec,
             "ids": self._h_ids,
             "valid": self._h_valid,
         }
+        if self.raw:
+            arrays["vectors"] = self._h_vec
+        else:
+            arrays["packed8"] = self._h_packed
+            arrays["scales8"] = self._h_scales
+            arrays["norms"] = self._h_norms
         if self.codebooks is not None:
             arrays["codes"] = self._h_codes
             arrays["codebooks"] = jax.device_get(self.codebooks)
@@ -838,7 +1059,7 @@ class ShardedDatabase:
             raise ValueError(f"not a sharded checkpoint: {meta.get('kind')}")
         valid = np.asarray(arrays["valid"], bool)
         ids = np.asarray(arrays["ids"], np.int64)
-        vec = np.asarray(arrays["vectors"], np.float32)
+        raw = bool(meta.get("raw_store", True))
         live = np.flatnonzero(valid)
         db = cls(
             mesh,
@@ -846,8 +1067,19 @@ class ShardedDatabase:
             capacity=int(meta["capacity"]),
             num_subspaces=int(meta["num_subspaces"]),
             metric=meta.get("metric", "l2"),
+            raw_store=raw,
         )
-        accepted = db.add_batch(ids[live], vec[live])
+        if raw:
+            vec = np.asarray(arrays["vectors"], np.float32)[live]
+        else:
+            # dequantize for the re-shard add (requantizing a dequantized
+            # row reproduces identical codes — same per-row max); exact
+            # norms restore below
+            p8 = np.asarray(arrays["packed8"])[live]
+            vec = (p8.view(np.int8).reshape(live.size, int(meta["dim"]))
+                   .astype(np.float32)
+                   * np.asarray(arrays["scales8"])[live][:, None])
+        accepted = db.add_batch(ids[live], vec)
         if len(accepted) != live.size:
             raise ValueError(
                 f"mesh capacity lost rows on load: {len(accepted)} of "
@@ -860,12 +1092,18 @@ class ShardedDatabase:
             (db.codebooks,) = replicate(mesh, jnp.asarray(arrays["codebooks"]))
         if "perm" in arrays:
             db.perm = jnp.asarray(arrays["perm"])
+        slots = np.asarray(
+            [db._slot_of[int(i)] for i in ids[live]], np.int64
+        )
+        if not raw:
+            # restore the EXACT write-time norms (the re-shard add computed
+            # them from dequantized rows — ~0.4% off)
+            db._h_norms[slots] = np.asarray(arrays["norms"])[live]
+            for sh_ in range(db.n_shards):
+                db._dirty.add(sh_)
         if "codes" in arrays:
             # imported codes follow the re-assigned slots — no re-encode
             codes = np.asarray(arrays["codes"])
-            slots = np.asarray(
-                [db._slot_of[int(i)] for i in ids[live]], np.int64
-            )
             db._h_codes[slots] = codes[live]
         if "pca_basis" in arrays:
             db.pca_mean = jnp.asarray(arrays["pca_mean"])
