@@ -69,7 +69,10 @@ class TestMemberTable:
         t0 = time.time()
         table, max_len, over = build_member_table(assign, valid, 1024)
         dt = time.time() - t0
-        assert dt < 1.0, f"member table build took {dt:.2f}s"
+        # generous bound: the point is "numpy, not a Python
+        # loop" (the loop version took ~30s); parallel suite
+        # load can double wall time
+        assert dt < 3.0, f"member table build took {dt:.2f}s"
         n_entries = int((table >= 0).sum()) + int((over >= 0).sum())
         # overflow dedups slots, so entries <= pairs; nothing lost:
         covered = set(table[table >= 0].tolist()) | set(
@@ -233,3 +236,93 @@ class TestLshAutoRadius:
 
         idx = LshIndex(512, 256, config=LshConfig(hamming_radius=5))
         assert idx._radius == 5 and idx._sign_mode
+
+
+class TestReviewFixes:
+    """Round-3 code-review findings (water-filling balance, IVF blocked
+    rerank, stream crash consistency, config aliasing, exact int8
+    fallback)."""
+
+    def test_shared_config_not_mutated(self):
+        import dataclasses
+
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        cfg = HnswPqConfig(raw_store=False, num_subspaces=48)
+        before = dataclasses.asdict(cfg)
+        idx = HnswPqIndex(64, 256, config=cfg)
+        assert dataclasses.asdict(cfg) == before  # caller object untouched
+        assert idx.config.refine_store == "int8"  # private copy adjusted
+        assert idx.config.num_subspaces == 32     # 64 % 48 != 0 -> adjusted down
+
+    def test_sharded_water_filling_balanced(self):
+        import jax
+
+        from vector_db_tpu.parallel import sharded as sh
+
+        mesh = sh.make_mesh(4)
+        rng = np.random.default_rng(0)
+        db = sh.ShardedDatabase(mesh, dim=16, capacity=4 * 64)
+        db.add_batch(np.arange(100),
+                     rng.standard_normal((100, 16)).astype(np.float32))
+        load = db._fill - np.asarray([len(f) for f in db._free])
+        assert load.max() - load.min() <= 1, load.tolist()
+        # uneven prior load: fills lowest shards first, never over-fills
+        db2 = sh.ShardedDatabase(mesh, dim=16, capacity=4 * 64)
+        db2._fill[:] = [30, 5, 0, 60]
+        db2.add_batch(np.arange(1000, 1100),
+                      rng.standard_normal((100, 16)).astype(np.float32))
+        load2 = (db2._fill - np.asarray([len(f) for f in db2._free]))
+        assert load2.tolist() == [45, 45, 45, 60]
+
+    def test_stream_failure_keeps_index_consistent(self):
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((1024, 32)).astype(np.float32)
+        idx = HnswPqIndex(32, 2048, config=HnswPqConfig(
+            num_subspaces=8, training_samples=512))
+        # second chunk repeats ids -> must fail BEFORE writing chunk 2,
+        # leaving chunk 1 fully tracked (no ghost rows)
+        with pytest.raises(ValueError, match="across chunks"):
+            idx.bulk_load_stream([
+                (range(512), vecs[:512]),
+                (range(512), vecs[512:1024]),
+            ])
+        assert idx.size() == 512
+        ids, _ = idx.search_batch(vecs[:4], 1)
+        assert ids[:, 0].tolist() == [0, 1, 2, 3]
+        # CRUD still works after the failed stream
+        assert idx.add_batch([9000], vecs[-1:]) == [9000]
+        assert idx.remove(9000)
+
+    def test_int8_untrained_fallback_exact(self):
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        rng = np.random.default_rng(6)
+        vecs = rng.standard_normal((40, 32)).astype(np.float32)
+        idx = HnswPqIndex(32, 512, config=HnswPqConfig(raw_store=False))
+        idx.add_batch(range(40), vecs)
+        ids, _ = idx.search_batch(vecs[:2], 64)  # k > n_live
+        # every live row must come back (exhaustive-path guarantee)
+        assert (np.sort(ids[0][ids[0] >= 0]) == np.arange(40)).all()
+
+    def test_ivf_blocked_rerank_overflow(self, rng):
+        """Skewed corpus (one mega cluster): overflow candidates are scanned
+        through the BLOCKED rerank — results stay lossless."""
+        from vector_db_tpu.api.config import IvfConfig
+        from vector_db_tpu.index.ivf import IvfIndex
+
+        n, dim = 3000, 16
+        base = rng.standard_normal((n, dim)).astype(np.float32)
+        base[: n // 2] *= 0.01  # half the corpus collapses into one cluster
+        idx = IvfIndex(dim, n, "l2", IvfConfig(num_clusters=30,
+                                               num_probes=5))
+        idx.add_batch(range(n), base)
+        idx.build()
+        q = base[:32] + 1e-4
+        ids, _ = idx.search_batch(q, 1)
+        assert (ids[:, 0] == np.arange(32)).all()

@@ -292,7 +292,7 @@ class LshConfig:
     # radius of the query's (one XOR+popcount over the resident code matrix
     # — the array-program form of multi-probe LSH).
     # -1 -> DATA-CALIBRATED at build/first-search (index/lsh._auto_radius):
-    # the radius is set to the ~65th percentile of true-neighbor min-table
+    # the radius is set to the ~75th percentile of true-neighbor min-table
     # Hamming distances measured on a corpus sample, capped so the expected
     # random-pair collision fraction stays <= ~30% (binomial tail x table
     # union) — honest recall then tracks the corpus instead of one tuned

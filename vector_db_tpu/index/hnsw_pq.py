@@ -49,7 +49,12 @@ class HnswPqIndex(VectorIndex):
         metric: str = "l2",
         config: Optional[HnswPqConfig] = None,
     ):
-        config = config or HnswPqConfig()
+        import dataclasses
+
+        # private copy: the ctor adjusts num_subspaces/refine_store below,
+        # and a config object shared across indexes must not inherit that
+        # (the same aliasing contract as Builder.with_search_mode)
+        config = dataclasses.replace(config) if config else HnswPqConfig()
         sub = min(config.num_subspaces, dim)
         while dim % sub != 0:  # auto-adjust (reference: HnswPqIndex.java:78-84)
             sub -= 1
@@ -185,54 +190,61 @@ class HnswPqIndex(VectorIndex):
         codes = self.codes
         proxy = None
         start = 0
-        all_ids: list[np.ndarray] = []
         assigns: list[np.ndarray] = []
-        for ids, vecs in chunks:
-            ids_np = np.asarray(ids, np.int32)
-            vecs = jnp.asarray(vecs, jnp.float32)
-            c = vecs.shape[0]
-            if vecs.ndim != 2 or vecs.shape[1] != self.dim:
-                raise ValueError(f"expected [*, {self.dim}] chunk, got {vecs.shape}")
-            if len(ids_np) != c:
-                raise ValueError("ids/vectors length mismatch in chunk")
-            if start + c > cap:
-                raise ValueError(
-                    f"stream exceeds capacity: {start + c} > {cap}"
+        id_map = self.store._id_to_slot  # updated per chunk (crash-safe:
+        # on a mid-stream exception every WRITTEN row is tracked)
+        try:
+            for ids, vecs in chunks:
+                ids_np = np.asarray(ids, np.int32)
+                vecs = jnp.asarray(vecs, jnp.float32)
+                c = vecs.shape[0]
+                # validate BEFORE writing anything of this chunk — a late
+                # global check would leave committed ghost rows behind
+                if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+                    raise ValueError(
+                        f"expected [*, {self.dim}] chunk, got {vecs.shape}")
+                if len(ids_np) != c:
+                    raise ValueError("ids/vectors length mismatch in chunk")
+                if start + c > cap:
+                    raise ValueError(
+                        f"stream exceeds capacity: {start + c} > {cap}")
+                if np.any(ids_np < 0):
+                    raise ValueError("negative ids in bulk_load_stream")
+                if np.unique(ids_np).size != c:
+                    raise ValueError("duplicate ids within a chunk")
+                if any(int(v) in id_map for v in ids_np):
+                    raise ValueError("duplicate ids across chunks")
+                if not self.trained:
+                    self._fit_quantizers(vecs)
+                    if self.proxy is not None:
+                        proxy = self.proxy
+                state, codes, proxy, assign = _stream_ingest_step(
+                    state, codes, proxy, vecs,
+                    jnp.asarray(ids_np), jnp.int32(start),
+                    self.codebooks, self.perm, self.pca_mean, self.pca_basis,
+                    self.coarse_centroids, self.metric,
                 )
-            if not self.trained:
-                self._fit_quantizers(vecs)
-                if self.proxy is not None:
-                    proxy = self.proxy
-            state, codes, proxy, assign = _stream_ingest_step(
-                state, codes, proxy, vecs,
-                jnp.asarray(ids_np), jnp.int32(start),
-                self.codebooks, self.perm, self.pca_mean, self.pca_basis,
-                self.coarse_centroids, self.metric,
-            )
-            if assign is not None:
-                assigns.append(np.asarray(assign))
-            all_ids.append(ids_np)
-            start += c
-            # keep self pointing at LIVE buffers: the step donates its
-            # inputs, so the previous state/codes/proxy objects are dead
-            self.store.state = state
-            self.codes = codes
-        if proxy is not None:
-            self.proxy = proxy
-            self._proxy_norms = None
-        self._fast_cache = None
-        ids_cat = (np.concatenate(all_ids) if all_ids
-                   else np.empty(0, np.int32))
-        uniq = np.unique(ids_cat)
-        if uniq.size != ids_cat.size:
-            raise ValueError("duplicate ids in bulk_load_stream")
-        if np.any(ids_cat < 0):
-            raise ValueError("negative ids in bulk_load_stream")
-        self.store._id_to_slot = {int(v): i for i, v in enumerate(ids_cat)}
-        self.store._free = list(range(cap - 1, start - 1, -1))
-        if assigns:
-            self.coarse_assign[:start] = np.concatenate(assigns)
-            self._members_dirty = True
+                if assign is not None:
+                    assigns.append(np.asarray(assign))
+                id_map.update(zip(ids_np.tolist(), range(start, start + c)))
+                start += c
+                # keep self pointing at LIVE buffers: the step donates its
+                # inputs, so the previous state/codes/proxy objects are dead
+                self.store.state = state
+                self.codes = codes
+                if proxy is not None:
+                    self.proxy = proxy
+        finally:
+            # slot bookkeeping reflects whatever was actually written, even
+            # when a later chunk raised
+            self.store._free = list(range(cap - 1, start - 1, -1))
+            if proxy is not None:
+                self._proxy_norms = None
+            self._fast_cache = None
+            if assigns:
+                done = np.concatenate(assigns)
+                self.coarse_assign[:done.size] = done
+                self._members_dirty = True
         return start
 
     def _fit_quantizers(self, data: jax.Array) -> None:
@@ -630,10 +642,13 @@ class HnswPqIndex(VectorIndex):
             else:
                 from ..ops.distance import blocked_knn_int8
 
+                # recall_target=1.0: this fallback is the guaranteed-
+                # exhaustive path (n_live <= k must return every live row),
+                # matching the raw store's exact blocked_knn
                 dists, slots = blocked_knn_int8(
                     jnp.asarray(padded), st.packed, st.scales, st.valid,
                     k_pad, metric=self.metric, b_norms=st.norms,
-                    block_n=min(262144, st.capacity),
+                    block_n=min(262144, st.capacity), recall_target=1.0,
                 )
             return self._to_external(q_n, k, k_eff, slots, dists)
 

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..api.config import IvfConfig
 from ..core.store import VectorStore
-from ..ops.distance import blocked_knn, pairwise_dist
+from ..ops.distance import blocked_knn, blocked_rerank, pairwise_dist
 from ..ops.topk import smallest_k
 from .base import VectorIndex, pad_queries_pow2, pow2
 
@@ -64,25 +64,14 @@ def _ivf_search(
         axis=1,
     )
     cand = jnp.where(dup, -1, cand)
-    ok = cand >= 0
-    safe = jnp.maximum(cand, 0)
-    ok = ok & valid[safe]
+    cand = jnp.where(valid[jnp.maximum(cand, 0)], cand, -1)
 
-    # 3. exact distances over the gathered block
-    cand_vecs = base[safe]  # [Q, P*L, d]
-    if metric == "l2":
-        d = jnp.sum((cand_vecs - queries[:, None, :]) ** 2, axis=2)
-    else:
-        qn = jnp.linalg.norm(queries, axis=1, keepdims=True)
-        vn = jnp.linalg.norm(cand_vecs, axis=2)
-        dot = jnp.einsum("qd,qrd->qr", queries, cand_vecs)
-        d = 1.0 - dot / jnp.maximum(qn * vn, 1e-12)
-    d = jnp.where(ok, d, jnp.inf)
-    if cand.shape[1] < k:  # tiny clusters: pad candidate pool up to k
-        pad = k - cand.shape[1]
-        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
-    top_d, top_i = smallest_k(d, k, cand)
+    # 3. exact distances, BLOCKED with a running top-k merge: the candidate
+    #    row is nprobe*L + |overflow|, and the overflow list is unbounded on
+    #    skewed corpora — a one-shot [Q, C, d] gather at the mega-cluster
+    #    scale the quota exists for would be a ~100 GiB allocation
+    #    (CLAUDE.md: always block re-ranks)
+    top_d, top_i = blocked_rerank(queries, base, cand, k, metric)
 
     # 4. random-fill parity (reference: IvfIndex.java:246-257): rows the
     #    probed clusters could not fill get random live slots with their

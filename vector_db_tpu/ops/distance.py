@@ -504,22 +504,28 @@ def blocked_knn_int8(
     dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     qc = q.astype(dt)
 
-    block_n = min(block_n, max(128, -(-n // 128) * 128))
-    n_pad = (-n) % block_n
-    if n_pad:
-        packed = jnp.pad(packed, ((0, n_pad), (0, 0)))
-        scales = jnp.pad(scales, (0, n_pad))
-        valid = jnp.pad(valid, (0, n_pad))
-        if b_norms is not None:
-            b_norms = jnp.pad(b_norms, (0, n_pad))
-    num_blocks = (n + n_pad) // block_n
+    # clamped ragged last chunk, not padding: jnp.pad would transiently copy
+    # the whole packed store (5+ GB at 10M) — the final chunk re-slices
+    # [n - block_n, n) and masks rows previous chunks already covered
+    block_n = min(block_n, n)
+    num_blocks = -(-n // block_n)
+    starts = jnp.minimum(
+        jnp.arange(0, num_blocks * block_n, block_n, dtype=jnp.int32),
+        n - block_n,
+    )
+    covered = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         jnp.arange(1, num_blocks, dtype=jnp.int32) * block_n]
+    )
 
-    def body(carry, blk):
+    def body(carry, args):
+        start, cov = args
         top_d, top_i = carry
-        start = blk * block_n
         p_blk = jax.lax.dynamic_slice_in_dim(packed, start, block_n, axis=0)
         s_blk = jax.lax.dynamic_slice_in_dim(scales, start, block_n)
         v_blk = jax.lax.dynamic_slice_in_dim(valid, start, block_n)
+        idx_blk = start + jnp.arange(block_n, dtype=jnp.int32)
+        v_blk = v_blk & (idx_blk >= cov)
         v8 = jax.lax.bitcast_convert_type(p_blk, jnp.int8).reshape(
             block_n, d
         )
@@ -550,9 +556,7 @@ def blocked_knn_int8(
         jnp.full((qn, k), jnp.inf, jnp.float32),
         jnp.full((qn, k), -1, jnp.int32),
     )
-    (top_d, top_i), _ = jax.lax.scan(
-        body, init, jnp.arange(num_blocks, dtype=jnp.int32)
-    )
+    (top_d, top_i), _ = jax.lax.scan(body, init, (starts, covered))
     top_i = jnp.where(jnp.isfinite(top_d), top_i, -1)
     return top_d, top_i
 

@@ -224,28 +224,19 @@ def sharded_knn_int8(mesh: Mesh, k: int, metric: str = "l2"):
     """
 
     def local(q, p_s, sc_s, valid_s, norms_s):
+        from ..ops.distance import blocked_knn_int8
+
         n_s = p_s.shape[0]
-        d = p_s.shape[1] * 4
-        dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
-        v8 = jax.lax.bitcast_convert_type(p_s, jnp.int8).reshape(n_s, d)
-        cross = jax.lax.dot_general(
-            q.astype(dt), v8.astype(dt), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sc_s[None, :]
-        q_norms = jnp.sum(q * q, axis=1)
-        if metric == "cosine":
-            qn = jnp.sqrt(jnp.maximum(q_norms, 1e-12))
-            dist = 1.0 - cross / jnp.maximum(
-                qn[:, None] * jnp.sqrt(jnp.maximum(norms_s, 1e-12))[None, :],
-                1e-12)
-        else:
-            dist = jnp.maximum(
-                q_norms[:, None] + norms_s[None, :] - 2.0 * cross, 0.0)
-        dist = jnp.where(valid_s[None, :], dist, jnp.inf)
-        neg, idx = jax.lax.top_k(-dist, k)
-        idx = idx + jax.lax.axis_index(AXIS) * n_s
-        idx = jnp.where(jnp.isfinite(-neg), idx, -1)
-        return _merge_topk(-neg, idx, k)
+        # shard-local scan is BLOCKED (running top-k over <=262144-row
+        # tiles): at the tier's design point of ~10M compressed rows per
+        # chip an unblocked [Q, n_shard] f32 distance matrix would be
+        # 40 GB at Q=1024
+        d, idx = blocked_knn_int8(
+            q, p_s, sc_s, valid_s, k, metric=metric, b_norms=norms_s,
+            block_n=min(262144, n_s), recall_target=1.0,
+        )
+        idx = jnp.where(idx >= 0, idx + jax.lax.axis_index(AXIS) * n_s, -1)
+        return _merge_topk(d, idx, k)
 
     return jax.jit(
         jax.shard_map(
@@ -615,31 +606,29 @@ class ShardedDatabase:
         load = self._fill - np.asarray([len(f) for f in self._free])
         avail = (self.per_shard - load).astype(np.int64)
         n_want = len(rows)
-        counts = np.zeros(self.n_shards, np.int64)
         remaining = min(n_want, int(avail.sum()))
-        # water-filling: repeatedly top the lowest-loaded shards up to the
-        # next load level (<= S iterations total)
-        while remaining > 0:
-            cur = load + counts
-            lo = cur.min()
-            at_lo = np.flatnonzero((cur == lo) & (counts < avail))
-            if at_lo.size == 0:
-                # all minimum-load shards are full; lift them out of play
-                at_lo = np.flatnonzero(counts < avail)
-                if at_lo.size == 0:
-                    break
-                lvl = cur[at_lo].min()
-                at_lo = at_lo[cur[at_lo] == lvl]
-                lo = lvl
-            above = cur[cur > lo]
-            step = int(above.min() - lo) if above.size else remaining
-            room = np.minimum(step, avail[at_lo] - counts[at_lo])
-            give = int(min(room.sum(), remaining))
-            # distribute `give` across at_lo respecting per-shard room
-            cum = np.cumsum(room)
-            filled = np.minimum(room, np.maximum(0, give - (cum - room)))
-            counts[at_lo] += filled
-            remaining -= int(filled.sum())
+        # water-filling by level: binary-search the smallest level W whose
+        # fill sum(clip(W - load, 0, avail)) covers the batch, take every
+        # shard to W-1, then spread the remainder ONE ROW PER SHARD across
+        # shards still below W.  (An earlier cumsum-based variant dumped the
+        # whole batch into the first shards whenever all candidates sat at
+        # one load level — [64, 36, 0, 0] instead of [25, 25, 25, 25].)
+        counts = np.zeros(self.n_shards, np.int64)
+        if remaining > 0:
+            lo_w = int(load.min())
+            hi_w = int(load.max()) + remaining + 1
+            while lo_w < hi_w:
+                mid = (lo_w + hi_w) // 2
+                if int(np.minimum(np.maximum(mid - load, 0),
+                                  avail).sum()) >= remaining:
+                    hi_w = mid
+                else:
+                    lo_w = mid + 1
+            w = lo_w
+            counts = np.minimum(np.maximum(w - 1 - load, 0), avail)
+            short = remaining - int(counts.sum())
+            can = np.flatnonzero((counts < avail) & (load + counts < w))
+            counts[can[:short]] += 1
         rows = rows[: int(counts.sum())]
         if rows.size == 0:
             return []
