@@ -572,14 +572,23 @@ class HnswPqIndex(VectorIndex):
             self._fast_cache = (ct, cbt, cnorms)
         return self._fast_cache
 
-    @staticmethod
-    def _scan_chunk(capacity: int, q_n: int) -> int:
+    def _scan_chunk(self, capacity: int, q_n: int) -> int:
         """Chunk length for streamed large-N scans: FEW BIG chunks (the
         per-chunk approx_max_k fixed cost dominates with many small ones —
         measured 416 ms at 76 chunks vs ~60 ms at 8 for 10M), capped so the
-        transient [Q, chunk] f32 distance block stays <= ~2 GB."""
-        by_mem = (1 << 29) // max(q_n, 1)
-        chunk = max(131072, min(1 << 20, by_mem))
+        transient [Q, chunk] f32 distance block stays <= ~2 GB AND the
+        [dim, chunk] bf16 decode buffer <= ~512 MB (at small Q the query
+        bound alone allowed a 1 GB decode block, which tipped the ~8 GB-
+        resident 10M compressed state over HBM)."""
+        if q_n <= 64:
+            # single/small-query path: per-chunk fixed costs are irrelevant
+            # (one user call), so take the smallest chunk — the [d, chunk]
+            # decode spike is what tips a ~8 GB-resident 10M index over HBM
+            # when fragmentation is unlucky
+            return min(131072, max(capacity, 128))
+        by_q = (1 << 29) // max(q_n, 1)
+        by_decode = (1 << 28) // max(self.dim, 1)
+        chunk = max(131072, min(1 << 20, by_q, by_decode))
         return min(chunk - chunk % 128, max(capacity, 128))
 
     # ------------------------------------------------------------- graph ops
@@ -699,12 +708,7 @@ class HnswPqIndex(VectorIndex):
                     st.ids, k_pad, self.metric,
                     min(32768, st.capacity), self.config.scan_recall_target,
                 )
-            ext_np = np.asarray(ext)[:q_n, :k_eff]
-            out_ids = np.full((q_n, k), -1, np.int32)
-            out_d = np.full((q_n, k), np.inf, np.float32)
-            out_ids[:, :k_eff] = ext_np
-            out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
-            return out_ids, out_d
+            return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "pca" and self.proxy is None:
             raise ValueError(
                 "search_mode='pca' needs a fitted proxy: set proxy_dims > 0 "
@@ -721,22 +725,17 @@ class HnswPqIndex(VectorIndex):
                 self._proxy_norms = _rows_sq_norms(self.proxy)
             packed = self._packed_refine_store(st)
             i8 = self._int8_refine_store(st)
-            dists, ext = pca.pca_proxy_search(
+            dists, ext = _pca_search_jit(
                 jnp.asarray(padded), self.pca_mean, self.pca_basis,
                 self.proxy, self._proxy_norms, st.valid,
                 st.vectors if self.store.raw else self.proxy,
-                st.ids, k_pad, select_r=max(self.config.pca_r, k_pad),
+                st.ids, k=k_pad, select_r=max(self.config.pca_r, k_pad),
                 metric=self.metric, packed_base=packed,
                 block_n=self._scan_chunk(st.capacity, padded.shape[0]),
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
             )
-            ext_np = np.asarray(ext)[:q_n, :k_eff]
-            out_ids = np.full((q_n, k), -1, np.int32)
-            out_d = np.full((q_n, k), np.inf, np.float32)
-            out_ids[:, :k_eff] = ext_np
-            out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
-            return out_ids, out_d
+            return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "adc_fast":
             # fast memory-bound path: decode-kernel scan + unranked pool +
             # exact refine (scoring reads only codes + codebooks)
@@ -755,10 +754,10 @@ class HnswPqIndex(VectorIndex):
                      if need_chunk else 0)
             packed = self._packed_refine_store(st)
             i8 = self._int8_refine_store(st)
-            dists, ext = adc.adc_fast_search(
+            dists, ext = _adc_fast_jit(
                 jnp.asarray(padded), ct, cbt, st.valid,
                 st.vectors if self.store.raw else st.packed, st.ids,
-                k_pad, bucket=bucket, winners=self.config.adc_winners,
+                k=k_pad, bucket=bucket, winners=self.config.adc_winners,
                 metric=self.metric, chunk_n=chunk,
                 pool_mode=self.config.adc_pool, code_norms=cnorms,
                 perm=self.perm, packed_base=packed,
@@ -766,12 +765,7 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
             )
-            ext_np = np.asarray(ext)[:q_n, :k_eff]
-            out_ids = np.full((q_n, k), -1, np.int32)
-            out_d = np.full((q_n, k), np.inf, np.float32)
-            out_ids[:, :k_eff] = ext_np
-            out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
-            return out_ids, out_d
+            return self._emit(q_n, k, k_eff, dists, ext)
         if (mode == "graph" or self.config.use_graph) and int(self.graph.entry) >= 0:
             # graph path: ADC-distance traversal + exact re-rank (reference
             # search shape, HnswPqIndex.java:616-664)
@@ -809,11 +803,18 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
             )
-        ext_np = np.asarray(ext)[:q_n, :k_eff]
+        return self._emit(q_n, k, k_eff, dists, ext)
+
+    def _emit(self, q_n, k, k_eff, dists, ext):
+        """Fetch (dists, external ids) in ONE device_get (each separate
+        np.asarray is a tunnel round trip) and shape the [q_n, k] result."""
+        import jax as _jax
+
+        d_np, ext_np = _jax.device_get((dists, ext))
         out_ids = np.full((q_n, k), -1, np.int32)
         out_d = np.full((q_n, k), np.inf, np.float32)
-        out_ids[:, :k_eff] = ext_np
-        out_d[:, :k_eff] = np.asarray(dists)[:q_n, :k_eff]
+        out_ids[:, :k_eff] = ext_np[:q_n, :k_eff]
+        out_d[:, :k_eff] = d_np[:q_n, :k_eff]
         return out_ids, out_d
 
     def _to_external(self, q_n, k, k_eff, slots, dists):
@@ -932,6 +933,25 @@ import functools
 @jax.jit
 def _slots_to_ids(ids, slots):
     return jnp.where(slots >= 0, ids[jnp.maximum(slots, 0)], -1)
+
+
+# ONE-dispatch wrappers: adc_fast_search / pca_proxy_search are compositions
+# of jitted pieces with eager glue — called eagerly from the index layer,
+# every glue op is a separate dispatch, and on the tunneled runtime each
+# dispatch costs ~45 ms RTT.  The index layer always calls through these.
+from ..ops import pca as _pca_mod  # noqa: E402
+
+_adc_fast_jit = functools.partial(
+    jax.jit,
+    static_argnames=("k", "bucket", "winners", "metric", "rerank_block",
+                     "chunk_n", "pool_mode", "select_r"),
+)(adc.adc_fast_search)
+
+_pca_search_jit = functools.partial(
+    jax.jit,
+    static_argnames=("k", "select_r", "metric", "rerank_block", "block_n",
+                     "force_chunked"),
+)(_pca_mod.pca_proxy_search)
 
 
 @jax.jit

@@ -31,7 +31,11 @@ class PqIndex(VectorIndex):
     kind = "pq"
 
     def __init__(self, dim: int, capacity: int, metric: str = "l2", config: Optional[PqConfig] = None):
-        config = config or PqConfig()
+        import dataclasses
+
+        # private copy: subspace auto-adjust must not leak into a config
+        # object shared across indexes (same contract as HnswPqIndex)
+        config = dataclasses.replace(config) if config else PqConfig()
         # auto-adjust subspaces so dim divides evenly
         # (reference: index/HnswPqIndex.java:78-84)
         sub = min(config.num_subspaces, dim)
