@@ -574,10 +574,11 @@ class ShardedDatabase:
                 # id was rejected by add_batch (duplicates, capacity) are
                 # skipped rather than raising KeyError mid-import
                 codes = np.asarray(codes)
-                for i in live:
-                    slot = self._slot_of.get(int(ids[i]))
-                    if slot is not None:
-                        self._h_codes[slot] = codes[i]
+                pairs = [(i, self._slot_of[int(ids[i])]) for i in live
+                         if int(ids[i]) in self._slot_of]
+                if pairs:
+                    rows_ok, slots_ok = map(np.asarray, zip(*pairs))
+                    self._h_codes[slots_ok] = codes[rows_ok]
 
     # ----------------------------------------------------------- mutation
     def add_batch(self, ids, vectors) -> list[int]:
