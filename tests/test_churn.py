@@ -28,6 +28,15 @@ CONFIGS = [
     (IndexType.HNSWPQ, HnswPqConfig(num_subspaces=4, num_centroids=16,
                                     training_samples=64, search_mode="pca",
                                     proxy_dims=6, pca_r=64)),
+    # the compressed (>HBM) regime under churn: int8 store, adc_fast and
+    # scan_int8 paths
+    (IndexType.HNSWPQ, HnswPqConfig(raw_store=False, num_subspaces=4,
+                                    num_centroids=16, training_samples=64,
+                                    search_mode="adc_fast", adc_bucket=4,
+                                    adc_winners=2)),
+    (IndexType.HNSWPQ, HnswPqConfig(raw_store=False, num_subspaces=4,
+                                    num_centroids=16, training_samples=64,
+                                    search_mode="scan_int8")),
     (IndexType.IVF, IvfConfig(num_clusters=8, num_probes=8)),
     (IndexType.LSH, LshConfig(num_tables=6, num_bits=8)),
     (IndexType.ANNOY, AnnoyConfig(num_trees=4, leaf_size=8)),
@@ -76,7 +85,11 @@ def test_churn_cycles(itype, cfg, rng):
         for vid, vec in some:
             got = db.get_vector(vid)
             assert got is not None
-            np.testing.assert_allclose(got.values, vec, rtol=1e-6)
+            # int8-compressed stores round-trip values through per-row
+            # quantization (|err| <= max|v|/254); raw stores are exact
+            raw = getattr(getattr(db.index, "store", None), "raw", True)
+            atol = 0.0 if raw else float(np.abs(vec).max()) / 120.0
+            np.testing.assert_allclose(got.values, vec, rtol=1e-6, atol=atol)
             res = db.search(vec, 5)
             assert res, f"{itype}: empty result for live id {vid}"
             ids_out = [x.id for x in res]
