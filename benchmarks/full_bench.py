@@ -107,10 +107,10 @@ def main():
         hnsw.config.ef_search = ef
         ids, qq = api_qps(hnsw, q_np, k)
         log(f"- ef={ef}: recall {rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)")
-    hnsw.config.ef_search = 0  # adaptive log-N policy (HNSWIndex.h:31-50)
+    hnsw.config.ef_search = 0  # adaptive log-N policy + dim-aware floor
     ids, qq = api_qps(hnsw, q_np, k)
-    log(f"- ef=adaptive ({hnsw.config.ef_for_query(k, n)} @10k): recall "
-        f"{rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)")
+    log(f"- ef=adaptive ({hnsw.config.ef_for_query(k, n, dim)} @512d/10k): "
+        f"recall {rec(ids, gts256, k):.1%}, {qq:,.0f} QPS (api)")
     log()
 
     # ---------------- config 3: IVF nprobe sweep 128d x 10k ---------------
@@ -199,6 +199,22 @@ def main():
     log(f"- honest (backfill off), 128d x 10k: "
         f"recall {rec(ids, gts3, k):.1%}, {qq:,.0f} QPS (api)  "
         f"[reference w/ random-fill: 75% @ 1ms]")
+    # spectral 512d x 100k (the realistic embedding case; the isotropic row
+    # above is LSH's information-theoretic worst case) — the auto-calibrated
+    # bits/radius were tuned against exactly this scale (round-2 fixed
+    # defaults measured 57% here)
+    scale6 = jnp.asarray((np.arange(dim) + 1.0) ** -0.5, jnp.float32)
+    vj6 = gen(jax.random.PRNGKey(42), (n5, dim)) * scale6[None, :]
+    qj6 = gen(jax.random.PRNGKey(7), (256, dim)) * scale6[None, :]
+    gts6 = gt_sets(qj6, vj6, k)
+    lsh6 = LshIndex(dim, n5, "l2", LshConfig(backfill=False))
+    lsh6.store.bulk_load(range(n5), vj6)
+    lsh6.build()
+    ids, qq = api_qps(lsh6, np.asarray(qj6), k)
+    st6 = lsh6.stats()
+    log(f"- honest (backfill off), 512d x 100k SPECTRAL: "
+        f"recall {rec(ids, gts6, k):.1%}, {qq:,.0f} QPS (api)  "
+        f"(auto bits={st6['num_bits']} r={st6['hamming_radius']})")
     log()
 
     # ------------- config 7: memory-bound adc_fast 512d x 100k ------------
