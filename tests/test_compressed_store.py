@@ -260,3 +260,33 @@ class TestCompressedDatabase:
         idx.config.search_mode = "scan_int8"
         ids, _ = idx.search_batch(q, K)
         assert _recall(ids, gt) >= 0.97
+
+
+class TestScanBf16:
+    def test_scan_bf16_matches_brute(self):
+        vecs = _corpus(4096)
+        cfg = HnswPqConfig(num_subspaces=16, training_samples=2048,
+                           search_mode="scan_bf16")
+        idx = HnswPqIndex(DIM, 4096, config=cfg)
+        idx.bulk_load_stream([(range(4096), vecs)])
+        q = _corpus(128, seed=7)
+        ids, dists = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q)) >= 0.98
+        assert np.all(dists[:, :-1] <= dists[:, 1:] + 1e-6)
+
+    def test_scan_bf16_cosine(self):
+        r = np.random.default_rng(13)
+        vecs = (r.standard_normal((2048, DIM))
+                * r.uniform(0.5, 5.0, (2048, 1))).astype(np.float32)
+        idx = HnswPqIndex(DIM, 2048, metric="cosine", config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024,
+            search_mode="scan_bf16"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        q = r.standard_normal((64, DIM)).astype(np.float32)
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q, metric="cosine")) >= 0.97
+
+    def test_rejected_on_compressed(self):
+        with pytest.raises(ValueError):
+            HnswPqIndex(DIM, 1024, config=HnswPqConfig(
+                raw_store=False, search_mode="scan_bf16"))

@@ -182,8 +182,8 @@ class HnswPqConfig:
     # restricts the scan to nprobe clusters (the ScaNN-style partition +
     # PQ-score + re-rank pipeline for the memory-bound regime)
     nprobe: int = 32
-    search_mode: str = "auto"  # auto | scan_exact | scan_pallas | adc |
-    # adc_fast | pca | graph | scan_int8.
+    search_mode: str = "auto"  # auto | scan_exact | scan_bf16 |
+    # scan_pallas | adc | adc_fast | pca | graph | scan_int8.
     # "auto"/"scan_exact": blocked MXU exact scan over the raw store with
     #   approx_max_k block reduction — measured 441k QPS / 99.74% Recall@10 at
     #   512d/100k on one v5e chip (67k @ 99.8% at 1M), vs ~1k QPS for
@@ -191,6 +191,10 @@ class HnswPqConfig:
     #   streams beat gathers: the exhaustive matmul IS the fast path whenever
     #   the raw vectors are HBM-resident (the reference also keeps raw vectors
     #   for its 50k-deep exact re-rank, HnswPqIndex.java:647-664).
+    # "scan_bf16": bf16-cross-term scan + exact f32 refine of a small
+    #   ranked pool — the f32 exact scan is MXU-compute-bound and bf16 runs
+    #   at ~2x the f32 rate; selection only has to contain the true top-k
+    #   (hnsw_pq.bf16_scan_refine).
     # "scan_pallas": the fused Pallas kernel (ops/pallas_kernels.py) — the
     #   LARGE-N scan: never materialises [Q, N] distances (peak memory is the
     #   [Q, N/128] bucket-winner matrix), at ~283k QPS / 97% R@10 vs XLA's

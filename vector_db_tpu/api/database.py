@@ -235,7 +235,7 @@ class VectorDatabase:
             return self
 
         def with_search_mode(self, mode: str) -> "VectorDatabase.Builder":
-            """HNSWPQ search-mode shortcut (auto | scan_exact | scan_pallas
+            """HNSWPQ search-mode shortcut (auto | scan_exact | scan_bf16 | scan_pallas
             | adc | adc_fast | pca | graph — see HnswPqConfig.search_mode)
             without hand-building an index config."""
             self._search_mode = mode

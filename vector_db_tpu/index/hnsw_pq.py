@@ -71,7 +71,8 @@ class HnswPqIndex(VectorIndex):
                     "raw_store=False is incompatible with use_graph=True "
                     "(graph construction reads raw rows); use the scan modes"
                 )
-            if config.search_mode in ("scan_exact", "scan_pallas", "graph"):
+            if config.search_mode in ("scan_exact", "scan_pallas",
+                                      "scan_bf16", "graph"):
                 raise ValueError(
                     f"search_mode={config.search_mode!r} needs the raw f32 "
                     "store; with raw_store=False use adc_fast | pca | adc | "
@@ -667,7 +668,7 @@ class HnswPqIndex(VectorIndex):
             mode = (_auto_scan_mode(self.config.use_graph)
                     if self.store.raw else "adc_fast")
         if not self.store.raw and mode in ("scan_exact", "scan_pallas",
-                                           "graph"):
+                                           "scan_bf16", "graph"):
             raise ValueError(
                 f"search_mode={mode!r} needs the raw f32 store "
                 "(raw_store=False)"
@@ -690,6 +691,27 @@ class HnswPqIndex(VectorIndex):
                 recall_target=self.config.scan_recall_target,
             )
             return self._to_external(q_n, k, k_eff, slots, dists)
+        if mode == "scan_bf16":
+            # bf16 scan + exact refine: the f32 exact scan is MXU-COMPUTE-
+            # bound at 512d x 100k (the [Q, d] x [d, N] cross term), and the
+            # v5e MXU runs bf16 at ~2x f32 — selection precision only has to
+            # CONTAIN the true top-k, which the exact f32 refine then orders
+            if padded.shape[0] * st.capacity * 2 > 2 * 1024 ** 3:
+                # [Q, N] bf16 distances would not fit: use the blocked exact
+                # scan instead (same recall class, streams tiles)
+                dists, ext = exact_scan_search(
+                    jnp.asarray(padded), st.vectors, st.norms, st.valid,
+                    st.ids, k_pad, self.metric,
+                    min(32768, st.capacity), self.config.scan_recall_target,
+                )
+            else:
+                dists, ext = bf16_scan_refine(
+                    jnp.asarray(padded), st.vectors, st.norms, st.valid,
+                    st.ids, k_pad, self.metric,
+                    min(max(4 * k_pad, 32), st.capacity),
+                    self.config.scan_recall_target,
+                )
+            return self._emit(q_n, k, k_eff, dists, ext)
         if mode in ("scan_exact", "scan_pallas"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
             if mode == "scan_pallas":
@@ -1047,6 +1069,41 @@ def _auto_scan_mode(use_graph: bool) -> str:
     if use_graph:
         return "graph"
     return "scan_exact"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "pool", "recall_target")
+)
+def bf16_scan_refine(queries, base, norms, valid, ids, k, metric, pool,
+                     recall_target):
+    """bf16-cross-term scan + exact f32 refine of a small ranked pool.
+
+    Selection distance = exact-f32 norms − 2·(bf16 q·v): ~0.4%-relative
+    cross-term error, far under neighbor-gap scale for CONTAINMENT; the
+    blocked exact refine then orders the pool in f32.  The bf16 matmul runs
+    at ~2x the f32 MXU rate, which is the whole budget of the exact scan at
+    512d x 100k."""
+    from ..ops.distance import blocked_rerank, normalize_rows
+
+    q_scan = normalize_rows(queries) if metric == "cosine" else queries
+    qb = q_scan.astype(jnp.bfloat16)
+    cross = jax.lax.dot_general(
+        qb, base.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "cosine":
+        # sphere ranking: codeless cosine via normalized q and norm-divided
+        # cross term (selection only; the refine re-scores exactly)
+        sel = -cross / jnp.sqrt(jnp.maximum(norms, 1e-12))[None, :]
+    else:
+        sel = norms[None, :] - 2.0 * cross   # + ||q||^2 == const per row
+    sel = jnp.where(valid[None, :], sel, jnp.inf)
+    _, cand = jax.lax.approx_max_k(-sel, pool, recall_target=recall_target)
+    cand = jnp.where(jnp.isfinite(jnp.take_along_axis(sel, cand, 1)),
+                     cand.astype(jnp.int32), -1)
+    d, slots = blocked_rerank(queries, base, cand, k, metric)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
+    return d, ext
 
 
 @functools.partial(
