@@ -155,15 +155,26 @@ def main():
     # ---- CRUD at 10M live (before the batch sweeps: their accumulated
     # program/buffer residue plus a fresh Q=8 compile was observed to tip
     # HBM over; a user process does one or the other) ----------------------
+    def retry_once(fn):
+        # transient RESOURCE_EXHAUSTED / FAILED_PRECONDITION through the
+        # tunnel at ~8 GB resident is fragmentation-/timing-sensitive (see
+        # CLAUDE.md) — one retry after a beat reliably clears it
+        try:
+            return fn()
+        except Exception as e:  # jax.errors.JaxRuntimeError
+            log(f"  transient ({type(e).__name__}: {str(e)[:80]}); retrying")
+            time.sleep(5)
+            return fn()
+
     t0 = time.time()
     probe = np.asarray(gen_chunk(jnp.int32(0)))[0]
     assert db.add_vector(99_000_000, probe + 3.0)
     assert db.get_vector(99_000_000) is not None
     db.index.config.search_mode = "adc_fast"
-    res = db.search(probe + 3.0, 1)
+    res = retry_once(lambda: db.search(probe + 3.0, 1))
     assert res[0].id == 99_000_000, res[0]
     assert db.delete_vector(99_000_000)
-    res = db.search(probe + 3.0, 1)
+    res = retry_once(lambda: db.search(probe + 3.0, 1))
     assert res[0].id != 99_000_000
     log(f"CRUD (add/get/search-hit/delete) at 10M live: {time.time()-t0:.1f}s")
 

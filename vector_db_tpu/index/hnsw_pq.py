@@ -692,25 +692,26 @@ class HnswPqIndex(VectorIndex):
             )
             return self._to_external(q_n, k, k_eff, slots, dists)
         if mode == "scan_bf16":
-            # bf16 scan + exact refine: the f32 exact scan is MXU-COMPUTE-
-            # bound at 512d x 100k (the [Q, d] x [d, N] cross term), and the
-            # v5e MXU runs bf16 at ~2x f32 — selection precision only has to
-            # CONTAIN the true top-k, which the exact f32 refine then orders
-            if padded.shape[0] * st.capacity * 2 > 2 * 1024 ** 3:
-                # [Q, N] bf16 distances would not fit: use the blocked exact
-                # scan instead (same recall class, streams tiles)
-                dists, ext = exact_scan_search(
-                    jnp.asarray(padded), st.vectors, st.norms, st.valid,
-                    st.ids, k_pad, self.metric,
-                    min(32768, st.capacity), self.config.scan_recall_target,
-                )
+            # bf16 scan + exact refine: past ~100k rows the exact scan is
+            # bound by the [Q, N] score buffer's f32 HBM round-trip (the
+            # matmul itself already runs at bf16 MXU rate under JAX's
+            # default precision) — a bf16 buffer halves that traffic, and
+            # selection only has to CONTAIN the true top-k, which the exact
+            # f32 refine then orders (see ops/distance.bf16_pool_scan)
+            if padded.shape[0] * st.capacity * 2 > 512 * 1024 * 1024:
+                # full-row bf16 buffer would not fit comfortably: stream
+                # blocks (bf16 block buffer capped at ~512 MB)
+                bn = max(131072, min(st.capacity,
+                                     (1 << 28) // max(padded.shape[0], 1)))
+                bn -= bn % 128
             else:
-                dists, ext = bf16_scan_refine(
-                    jnp.asarray(padded), st.vectors, st.norms, st.valid,
-                    st.ids, k_pad, self.metric,
-                    min(max(4 * k_pad, 32), st.capacity),
-                    self.config.scan_recall_target,
-                )
+                bn = 0
+            dists, ext = bf16_scan_refine(
+                jnp.asarray(padded), st.vectors, st.norms, st.valid,
+                st.ids, k_pad, self.metric,
+                min(max(4 * k_pad, 32), st.capacity),
+                self.config.scan_recall_target, block_n=bn,
+            )
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode in ("scan_exact", "scan_pallas"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
@@ -1072,37 +1073,25 @@ def _auto_scan_mode(use_graph: bool) -> str:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "pool", "recall_target")
+    jax.jit,
+    static_argnames=("k", "metric", "pool", "recall_target", "block_n"),
 )
 def bf16_scan_refine(queries, base, norms, valid, ids, k, metric, pool,
-                     recall_target):
-    """bf16-cross-term scan + exact f32 refine of a small ranked pool.
+                     recall_target, block_n=0):
+    """bf16-selection scan + exact f32 refine of a small ranked pool.
 
-    Selection distance = exact-f32 norms − 2·(bf16 q·v): ~0.4%-relative
-    cross-term error, far under neighbor-gap scale for CONTAINMENT; the
-    blocked exact refine then orders the pool in f32.  The bf16 matmul runs
-    at ~2x the f32 MXU rate, which is the whole budget of the exact scan at
-    512d x 100k."""
-    from ..ops.distance import blocked_rerank, normalize_rows
+    Selection runs entirely in bf16 (ops/distance.bf16_pool_scan: bf16
+    cross term AND a bf16 norm-centered score buffer — the [Q, N] buffer's
+    HBM round-trip is the scan's real bound past ~100k rows, and bf16
+    halves it); the blocked exact refine then orders the pool in f32.
+    ``block_n`` streams the selection in blocks once the full-row bf16
+    buffer would not fit (large-N regime)."""
+    from ..ops.distance import bf16_pool_scan, blocked_rerank
 
-    q_scan = normalize_rows(queries) if metric == "cosine" else queries
-    qb = q_scan.astype(jnp.bfloat16)
-    cross = jax.lax.dot_general(
-        qb, base.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    cand = bf16_pool_scan(
+        queries, base, valid, pool, metric=metric, b_norms=norms,
+        block_n=block_n, recall_target=recall_target,
     )
-    if metric == "cosine":
-        # sphere ranking: codeless cosine via normalized q and norm-divided
-        # cross term (selection only; the refine re-scores exactly)
-        sel = -cross / jnp.sqrt(jnp.maximum(norms, 1e-12))[None, :]
-    else:
-        sel = norms[None, :] - 2.0 * cross   # + ||q||^2 == const per row
-    sel = jnp.where(valid[None, :], sel, jnp.inf)
-    # approx_max_k already returns the selected values — re-gathering them
-    # with take_along_axis from the [Q, N] buffer measured ~100x slower
-    # than using the returned operand
-    vals, cand = jax.lax.approx_max_k(-sel, pool, recall_target=recall_target)
-    cand = jnp.where(jnp.isfinite(vals), cand.astype(jnp.int32), -1)
     # rb=pool: the default 512-row block pads a 32-candidate refine 16x
     # (the gather is the refine's whole cost)
     d, slots = blocked_rerank(queries, base, cand, k, metric, rb=pool)

@@ -258,6 +258,104 @@ def blocked_knn_fast(
     return top_d, top_i
 
 
+@functools.partial(
+    jax.jit, static_argnames=("pool", "metric", "block_n", "recall_target")
+)
+def bf16_pool_scan(
+    q: Array,
+    base: Array,
+    valid: Array,
+    pool: int,
+    metric: str = METRIC_L2,
+    b_norms: Optional[Array] = None,
+    block_n: int = 0,
+    recall_target: float = 0.95,
+) -> Array:
+    """Candidate-pool selection over a bf16 [Q, block] score buffer.
+
+    The exact f32 scan is HBM-traffic-bound past ~100k rows, not MXU-bound:
+    the [Q, N] distance buffer cannot fuse into ``approx_max_k`` (an XLA
+    custom call), so it round-trips HBM in f32 — at 1M x 512 x Q=1024 that
+    is 8 GB of the ~12 GB total traffic.  Writing the SELECTION scores in
+    bf16 halves it.  Two precision moves make bf16 ranking safe:
+
+      * sq-L2 scores are centered by the mean live norm before the cast —
+        raw values sit at ~||v||^2 magnitude (~1024 at 512d) where one bf16
+        ULP (~4.0) exceeds near-neighbor gaps; centered they sit at ~0 with
+        ULP ~0.25 (the cross term dominates the spread);
+      * the caller exactly re-ranks the pool in f32
+        (:func:`blocked_rerank`), so bf16 only has to CONTAIN the true
+        top-k, not order it.
+
+    ``block_n=0`` selects the one-shot full-row path (the [Q, N] bf16
+    buffer must fit); otherwise blocks stream with per-block approx pools
+    merged exactly.  Returns slot indices [Q, pool], -1-padded; score
+    values are deliberately not returned (bf16 selection scores are not
+    distances).
+    """
+    qn, n = q.shape[0], base.shape[0]
+    if b_norms is None:
+        b_norms = sq_norms(base)
+    if metric == METRIC_COSINE:
+        q = normalize_rows(q)
+    qb = q.astype(jnp.bfloat16)
+    live = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    center = jnp.sum(jnp.where(valid, b_norms, 0.0)) / live
+
+    def block_scores(b_blk, n_blk, v_blk):
+        cross = jax.lax.dot_general(
+            qb, b_blk.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == METRIC_COSINE:
+            s = -cross * jax.lax.rsqrt(jnp.maximum(n_blk, 1e-12))[None, :]
+        else:
+            s = (n_blk - center)[None, :] - 2.0 * cross
+        return jnp.where(v_blk[None, :], s.astype(jnp.bfloat16),
+                         jnp.asarray(jnp.inf, jnp.bfloat16))
+
+    if block_n <= 0 or block_n >= n:
+        sel = block_scores(base, b_norms, valid)
+        vals, cand = jax.lax.approx_max_k(
+            -sel, pool, recall_target=recall_target)
+        return jnp.where(jnp.isfinite(vals.astype(jnp.float32)),
+                         cand.astype(jnp.int32), -1)
+
+    # clamped ragged last chunk, not padding (jnp.pad would copy the corpus)
+    num_blocks = -(-n // block_n)
+    starts = jnp.minimum(
+        jnp.arange(0, num_blocks * block_n, block_n, dtype=jnp.int32),
+        n - block_n,
+    )
+    covered = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         jnp.arange(1, num_blocks, dtype=jnp.int32) * block_n]
+    )
+
+    def body(carry, args):
+        start, cov = args
+        top_v, top_i = carry
+        b_blk = jax.lax.dynamic_slice_in_dim(base, start, block_n, axis=0)
+        v_blk = jax.lax.dynamic_slice_in_dim(valid, start, block_n)
+        n_blk = jax.lax.dynamic_slice_in_dim(b_norms, start, block_n)
+        idx_blk = start + jnp.arange(block_n, dtype=jnp.int32)
+        v_blk = v_blk & (idx_blk >= cov)
+        sel = block_scores(b_blk, n_blk, v_blk)
+        vals, idx = jax.lax.approx_max_k(
+            -sel, pool, recall_target=recall_target)
+        cat_v = jnp.concatenate([top_v, vals.astype(jnp.float32)], axis=1)
+        cat_i = jnp.concatenate([top_i, idx.astype(jnp.int32) + start], axis=1)
+        v2, arg = jax.lax.top_k(cat_v, pool)
+        return (v2, jnp.take_along_axis(cat_i, arg, axis=1)), None
+
+    init = (
+        jnp.full((qn, pool), -jnp.inf, jnp.float32),
+        jnp.full((qn, pool), -1, jnp.int32),
+    )
+    (top_v, top_i), _ = jax.lax.scan(body, init, (starts, covered))
+    return jnp.where(jnp.isfinite(top_v), top_i, -1)
+
+
 def blocked_rerank(
     q: Array,
     base: Array,
