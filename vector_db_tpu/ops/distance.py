@@ -279,38 +279,81 @@ def bf16_pool_scan(
     is 8 GB of the ~12 GB total traffic.  Writing the SELECTION scores in
     bf16 halves it.  Two precision moves make bf16 ranking safe:
 
-      * sq-L2 scores are centered by the mean live norm before the cast —
-        raw values sit at ~||v||^2 magnitude (~1024 at 512d) where one bf16
-        ULP (~4.0) exceeds near-neighbor gaps; centered they sit at ~0 with
-        ULP ~0.25 (the cross term dominates the spread);
+      * every large common-mode component is cancelled IN F32 before the
+        bf16 cast.  On a mean-offset corpus (real embedding spaces: v =
+        mu + v_hat) the raw sq-L2 score ||v||^2 - 2 q.v sits at ~|mu|^2
+        magnitude where one bf16 ULP exceeds near-neighbor gaps (measured
+        31% pool recall at |mu| ~ 10 x noise).  Queries are therefore
+        centered by an estimated corpus mean (q - mu rides the matmul; mu
+        itself rides as one extra query row so mu.v is free), and the
+        score is assembled as the well-conditioned
+        ``(||v - mu||^2 - E||v - mu||^2) - 2 (q - mu).v_hat``;
       * the caller exactly re-ranks the pool in f32
         (:func:`blocked_rerank`), so bf16 only has to CONTAIN the true
         top-k, not order it.
 
     ``block_n=0`` selects the one-shot full-row path (the [Q, N] bf16
     buffer must fit); otherwise blocks stream with per-block approx pools
-    merged exactly.  Returns slot indices [Q, pool], -1-padded; score
-    values are deliberately not returned (bf16 selection scores are not
-    distances).
+    merged exactly (per-query constants are global, so merged values stay
+    comparable across blocks).  Returns slot indices [Q, pool], -1-padded;
+    score values are deliberately not returned (bf16 selection scores are
+    not distances).
     """
     qn, n = q.shape[0], base.shape[0]
     if b_norms is None:
         b_norms = sq_norms(base)
     if metric == METRIC_COSINE:
         q = normalize_rows(q)
-    qb = q.astype(jnp.bfloat16)
-    live = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    center = jnp.sum(jnp.where(valid, b_norms, 0.0)) / live
+
+    # corpus-mean estimate from a valid-weighted prefix window: any vector
+    # near the data mean conditions the cast; exactness is not required
+    m = min(4096, n)
+    pref = jax.lax.dynamic_slice_in_dim(base, 0, m, axis=0)
+    w = jax.lax.dynamic_slice_in_dim(valid, 0, m).astype(jnp.float32)
+    mu = jnp.sum(pref * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    musq = jnp.sum(mu * mu)
+
+    if metric == METRIC_COSINE:
+        # queries are unit vectors, so center by the unit mean DIRECTION
+        # (centering by raw mu would blow |q - c| back up to |mu|); the
+        # per-candidate common mode cos(v, mu_hat) is centered by its
+        # prefix-sample mean c0 (a global scalar, so blocked merges stay
+        # comparable)
+        c = mu * jax.lax.rsqrt(jnp.maximum(musq, 1e-12))
+        pn = jnp.sqrt(jnp.maximum(jnp.sum(pref * pref, axis=1), 1e-12))
+        c0 = jnp.sum((pref @ c) / pn * w) / jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        c = mu
+        live = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        mean_norm = jnp.sum(jnp.where(valid, b_norms, 0.0)) / live
+        # E||v - mu||^2 = E||v||^2 - ||mu||^2 (since E[mu.v] = ||mu||^2)
+        center = mean_norm - musq
+
+    qc = q - c[None, :]
+    # c rides as TWO bf16 rows (hi + residual): a single-bf16 c.v carries
+    # absolute error ~|c||v| 2^-9 sqrt(d), which drowns the near-neighbor
+    # signal once the common mode is large (the exact case this centering
+    # exists for); the hi/lo split drops it ~2^-8 x for one extra row
+    c_hi = c.astype(jnp.bfloat16).astype(jnp.float32)
+    qaug = jnp.concatenate(
+        [qc, c_hi[None, :], (c - c_hi)[None, :]]).astype(jnp.bfloat16)
+    qmu = qc @ c  # [Q] f32 per-query constants (row offsets, L2 only)
 
     def block_scores(b_blk, n_blk, v_blk):
         cross = jax.lax.dot_general(
-            qb, b_blk.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            qaug, b_blk.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        cv = cross[-2] + cross[-1]  # c.v per candidate (hi + lo)
         if metric == METRIC_COSINE:
-            s = -cross * jax.lax.rsqrt(jnp.maximum(n_blk, 1e-12))[None, :]
+            # cos(q, v) = (qc.v + mu_hat.v) / |v|, centered by the mean
+            # corpus cosine c0 — every term is O(cosine spread) at the cast
+            iv = jax.lax.rsqrt(jnp.maximum(n_blk, 1e-12))
+            s = -((cross[:qn] + cv[None, :]) * iv[None, :] - c0)
         else:
-            s = (n_blk - center)[None, :] - 2.0 * cross
+            # ||v_hat||^2 - E||v_hat||^2 - 2 (q - mu).v_hat   (all O(noise))
+            vhat_sq = n_blk + musq - 2.0 * cv - center
+            s = vhat_sq[None, :] - 2.0 * (cross[:qn] - qmu[:, None])
         return jnp.where(v_blk[None, :], s.astype(jnp.bfloat16),
                          jnp.asarray(jnp.inf, jnp.bfloat16))
 
