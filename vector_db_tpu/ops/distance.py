@@ -333,10 +333,14 @@ def bf16_pool_scan(
     # c rides as TWO bf16 rows (hi + residual): a single-bf16 c.v carries
     # absolute error ~|c||v| 2^-9 sqrt(d), which drowns the near-neighbor
     # signal once the common mode is large (the exact case this centering
-    # exists for); the hi/lo split drops it ~2^-8 x for one extra row
+    # exists for); the hi/lo split drops it ~2^-8 x for one extra row.
+    # Rows pad to a multiple of 8 so the [Q+, N] cross matrix keeps full
+    # sublanes and the cross[:qn] prefix slice is relayout-free (a ragged
+    # Q+2 row count measured +1.2 ms at [1024, 100k])
     c_hi = c.astype(jnp.bfloat16).astype(jnp.float32)
+    extra = jnp.zeros(((-qn - 2) % 8, q.shape[1]), jnp.float32)
     qaug = jnp.concatenate(
-        [qc, c_hi[None, :], (c - c_hi)[None, :]]).astype(jnp.bfloat16)
+        [qc, c_hi[None, :], (c - c_hi)[None, :], extra]).astype(jnp.bfloat16)
     qmu = qc @ c  # [Q] f32 per-query constants (row offsets, L2 only)
 
     def block_scores(b_blk, n_blk, v_blk):
@@ -344,7 +348,7 @@ def bf16_pool_scan(
             qaug, b_blk.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        cv = cross[-2] + cross[-1]  # c.v per candidate (hi + lo)
+        cv = cross[qn] + cross[qn + 1]  # c.v per candidate (hi + lo)
         if metric == METRIC_COSINE:
             # cos(q, v) = (qc.v + mu_hat.v) / |v|, centered by the mean
             # corpus cosine c0 — every term is O(cosine spread) at the cast
