@@ -592,6 +592,15 @@ class HnswPqIndex(VectorIndex):
         chunk = max(131072, min(1 << 20, by_q, by_decode))
         return min(chunk - chunk % 128, max(capacity, 128))
 
+    def _f32_scan_block(self, capacity: int, q_n: int) -> int:
+        """Block length for the blocked f32 exact scan: FEW BIG blocks.
+        Per-block approx_max_k fixed costs dominate small blocks at large N
+        (measured at 1M x 512, Q=1024: block 32768 -> 41 ms/batch vs block
+        262144 -> 15.8 ms in the same process); the [Q, block] f32 buffer
+        is capped at ~1 GB."""
+        block = max(32768, min(1 << 20, (1 << 28) // max(q_n, 1)))
+        return min(block - block % 128, max(capacity, 128))
+
     # ------------------------------------------------------------- graph ops
     def _insert_graph(self, slots: np.ndarray) -> None:
         levels = self._sample_levels(len(slots))
@@ -729,7 +738,8 @@ class HnswPqIndex(VectorIndex):
                 dists, ext = exact_scan_search(
                     jnp.asarray(padded), st.vectors, st.norms, st.valid,
                     st.ids, k_pad, self.metric,
-                    min(32768, st.capacity), self.config.scan_recall_target,
+                    self._f32_scan_block(st.capacity, padded.shape[0]),
+                    self.config.scan_recall_target,
                 )
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "pca" and self.proxy is None:
