@@ -155,16 +155,20 @@ def main():
     # ---- CRUD at 10M live (before the batch sweeps: their accumulated
     # program/buffer residue plus a fresh Q=8 compile was observed to tip
     # HBM over; a user process does one or the other) ----------------------
-    def retry_once(fn):
+    def retry_once(fn, tries=3):
         # transient RESOURCE_EXHAUSTED / FAILED_PRECONDITION through the
         # tunnel at ~8 GB resident is fragmentation-/timing-sensitive (see
-        # CLAUDE.md) — one retry after a beat reliably clears it
-        try:
-            return fn()
-        except Exception as e:  # jax.errors.JaxRuntimeError
-            log(f"  transient ({type(e).__name__}: {str(e)[:80]}); retrying")
-            time.sleep(5)
-            return fn()
+        # CLAUDE.md), and the tunnel server can hold a prior heavy job's
+        # memory for tens of seconds — retry with a long beat
+        for attempt in range(tries):
+            try:
+                return fn()
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                if attempt == tries - 1:
+                    raise
+                log(f"  transient ({type(e).__name__}: {str(e)[:80]}); "
+                    f"retrying in 60s")
+                time.sleep(60)
 
     t0 = time.time()
     probe = np.asarray(gen_chunk(jnp.int32(0)))[0]
