@@ -110,6 +110,9 @@ class HnswPqIndex(VectorIndex):
         # bf16-packed refine shadow (config.refine_store="bf16"), keyed on
         # the store's immutable vectors array
         self._packed_cache: Optional[tuple] = None
+        # bf16 scan shadow for the fused Pallas pool kernel
+        # (search_mode="scan_pallas"), keyed on the vectors array
+        self._scan16_cache: Optional[tuple] = None
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
         # at train time, proxy rows [cap, p] bf16 maintained per encode
         self.pca_mean: Optional[jax.Array] = None
@@ -548,6 +551,22 @@ class HnswPqIndex(VectorIndex):
             self._packed_cache = (st.vectors, *pack_int8_rows(st.vectors))
         return self._packed_cache[1], self._packed_cache[2]
 
+    def _scan16_shadow(self, st):
+        """Cached bf16 scan shadow for search_mode="scan_pallas" (see
+        _build_scan16_shadow).  Keyed on BOTH the vectors array and the
+        valid mask: the selection offset bakes the tombstones in, so a
+        delete must invalidate (unlike the refine shadows, whose stale
+        rows are filtered by valid upstream)."""
+        if (self._scan16_cache is None
+                or self._scan16_cache[0] is not st.vectors
+                or self._scan16_cache[1] is not st.valid):
+            self._scan16_cache = (
+                st.vectors, st.valid,
+                _build_scan16_shadow(st.vectors, st.norms, st.valid,
+                                     self.metric, 2048),
+            )
+        return self._scan16_cache[2]
+
     def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
         """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
         norms [cap] for adc_fast_search (the C2 norms-cache analog)."""
@@ -725,14 +744,15 @@ class HnswPqIndex(VectorIndex):
         if mode in ("scan_exact", "scan_pallas"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
             if mode == "scan_pallas":
-                from ..ops.pallas_kernels import fused_scan_topk
-
-                dists, slots = fused_scan_topk(
-                    jnp.asarray(padded), st.vectors,
-                    jnp.where(st.valid, st.norms, jnp.inf), k_pad,
-                )
-                ext = jnp.where(
-                    slots >= 0, st.ids[jnp.maximum(slots, 0)], -1
+                # fused-kernel path: bf16 shadow scan entirely in VMEM +
+                # exact refine (the [Q, block] score buffer that bounds the
+                # XLA scan past ~100k rows never touches HBM)
+                base16, off, sc, cvec = self._scan16_shadow(st)
+                w = min(2048, base16.shape[0])
+                dists, ext = pallas_scan_refine(
+                    jnp.asarray(padded), st.vectors, base16, off, sc,
+                    cvec, st.ids, k_pad, self.metric,
+                    pool=min(max(4 * k_pad, 64), w), w=w,
                 )
             else:
                 dists, ext = exact_scan_search(
@@ -1104,6 +1124,71 @@ def bf16_scan_refine(queries, base, norms, valid, ids, k, metric, pool,
     )
     # rb=pool: the default 512-row block pads a 32-candidate refine 16x
     # (the gather is the refine's whole cost)
+    d, slots = blocked_rerank(queries, base, cand, k, metric, rb=pool)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
+    return d, ext
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "pad_to"))
+def _build_scan16_shadow(vectors, norms, valid, metric, pad_to):
+    """bf16 scan shadow for the fused Pallas pool kernel: (base16 padded to
+    a ``pad_to`` row multiple, per-slot selection offset, per-slot scale,
+    query centering vector).  Conditioning mirrors
+    ops/distance.bf16_pool_scan: a prefix-estimated corpus mean centers the
+    queries and every large common-mode term is folded into the f32
+    offset/scale rows, so the kernel's bf16 inputs only carry
+    O(noise)-scale signal."""
+    n = vectors.shape[0]
+    m = min(4096, n)
+    pref = vectors[:m]
+    w = valid[:m].astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mu = jnp.sum(pref * w[:, None], axis=0) / wsum
+    musq = jnp.sum(mu * mu)
+    live = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    if metric == "cosine":
+        cdir = mu * jax.lax.rsqrt(jnp.maximum(musq, 1e-12))
+        cv = vectors @ cdir
+        iv = jax.lax.rsqrt(jnp.maximum(norms, 1e-12))
+        pn = jnp.sqrt(jnp.maximum(jnp.sum(pref * pref, axis=1), 1e-12))
+        c0 = jnp.sum((pref @ cdir) / pn * w) / wsum
+        off = c0 - cv * iv
+        sc = -iv
+        center_vec = cdir
+    else:
+        mv = vectors @ mu
+        mean_norm = jnp.sum(jnp.where(valid, norms, 0.0)) / live
+        off = norms + musq - 2.0 * mv - (mean_norm - musq)
+        sc = jnp.full((n,), -2.0, jnp.float32)
+        center_vec = mu
+    off = jnp.where(valid, off, jnp.inf)
+    base16 = vectors.astype(jnp.bfloat16)
+    pad = (-n) % pad_to
+    if pad:
+        base16 = jnp.pad(base16, ((0, pad), (0, 0)))
+        off = jnp.pad(off, (0, pad), constant_values=jnp.inf)
+        sc = jnp.pad(sc, (0, pad))
+    return base16, off, sc, center_vec
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "pool", "w")
+)
+def pallas_scan_refine(queries, base, base16, off, sc, center_vec, ids,
+                       k, metric, pool, w):
+    """Fused-kernel scan + exact refine: the Pallas pool kernel keeps the
+    [Q, N] score matrix in VMEM (ops/pallas_kernels.fused_raw_pool), a tiny
+    approx select ranks the [Q, w] bucket winners, and the blocked exact
+    refine orders the pool in f32."""
+    from ..ops.distance import blocked_rerank, normalize_rows
+    from ..ops.pallas_kernels import fused_raw_pool
+
+    q = normalize_rows(queries) if metric == "cosine" else queries
+    qc = q - center_vec[None, :]
+    vals, idx = fused_raw_pool(qc, base16, off, sc, w)
+    nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
+    cand = jnp.take_along_axis(idx, sel, axis=1)
+    cand = jnp.where(jnp.isfinite(nv), cand, -1)
     d, slots = blocked_rerank(queries, base, cand, k, metric, rb=pool)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext

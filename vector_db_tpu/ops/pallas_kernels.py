@@ -376,6 +376,150 @@ def fused_adc_pool(
     return vals[:qn], idxs[:qn]
 
 
+def _make_raw_pool_kernel(block_n: int, nb_w: int):
+    """Raw-corpus fused scan + strided-bucket pool kernel body.
+
+    The bf16 sibling of `_make_adc_pool_kernel` without the decode stage:
+    score a resident query tile against streamed bf16 base blocks on the
+    MXU and min-accumulate bucket winners in VMEM — the [Q, N] score
+    matrix never touches HBM (the XLA pipeline's f32 [Q, block] buffer
+    round-trip is the exact scan's dominant traffic past ~100k rows, and
+    measured attempts to shrink it with a bf16 XLA buffer LOST — the
+    centering epilogue does not fuse into the dot, adding a round-trip:
+    24.8 ms vs f32's 16.0 ms at 1M x 512).
+
+    Scores are selection-grade (bf16 inputs, f32 accumulation): callers
+    exactly re-rank the pool (blocked_rerank) for true distances.
+    """
+
+    def kernel(q_ref, b_ref, off_ref, sc_ref, val_ref, idx_ref):
+        jm = pl.program_id(1)
+        jd = pl.program_id(2)
+        qt = q_ref.shape[0]
+
+        cross = jax.lax.dot_general(
+            q_ref[:, :], b_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [QT, BN]
+        # sel = off + cross * sc: off carries the f32-conditioned per-slot
+        # term (+inf at dead slots); sc is -2 for sq-L2, -1/|v| for cosine
+        dist = off_ref[0, :][None, :] + cross * sc_ref[0, :][None, :]
+
+        block_i = jd * nb_w + jm
+        slot = (
+            block_i * block_n
+            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
+        )
+
+        @pl.when(jd == 0)
+        def _():
+            val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
+            idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
+
+        better = dist < val_ref[:, :]
+        val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
+        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "block_n", "q_tile", "interpret")
+)
+def fused_raw_pool(
+    q: Array,
+    base16: Array,
+    sel_off: Array,
+    sel_scale: Array,
+    w: int,
+    block_n: int = 512,
+    q_tile: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Fused bf16 scan + strided-bucket pool over a RAW (bf16) corpus.
+
+    q [Q, d] f32 (pre-centered by the caller's mu estimate — see
+    ops/distance.bf16_pool_scan for the conditioning rationale);
+    base16 [N, d] bf16 (the scan shadow).  Selection score is
+    ``sel_off[n] + (q . v_n) * sel_scale[n]`` — sq-L2 passes
+    off = centered ||v - mu||^2 (+inf at dead slots), scale = -2;
+    cosine passes off = centered mu_hat-cosine term, scale = -1/|v|.
+    Returns an UNRANKED pool (selection scores [Q, w], slot idx [Q, w],
+    -1 where empty).  HBM traffic: corpus ONCE (bf16, half the f32
+    scan's rows) + tiny outputs; the [Q, N] score matrix stays in VMEM
+    tiles.  Keep q_tile >= Q so the corpus streams a single time; N
+    should be pre-padded to a multiple of ``w`` by the (cached) shadow
+    builder — padding here copies the corpus.
+
+    Grid (q_tiles, jmod, jdiv), jdiv innermost: the output window
+    (i, jmod) stays VMEM-resident across the jdiv sweep; bucket
+    (jmod*block_n + lane) collects slots spaced w apart (strided buckets
+    decorrelate insertion order).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, d = base16.shape
+    qn = q.shape[0]
+    assert q.shape[1] == d, (q.shape, base16.shape)
+    w_aligned = -(-w // LANES) * LANES
+    block_n = min(block_n, max(LANES, w_aligned))
+    w = -(-w_aligned // block_n) * block_n
+    nb_w = w // block_n
+    n_pad = (-n) % w
+    if n_pad:
+        base16 = jnp.pad(base16, ((0, n_pad), (0, 0)))
+        sel_off = jnp.pad(sel_off, (0, n_pad), constant_values=jnp.inf)
+        sel_scale = jnp.pad(sel_scale, (0, n_pad))
+    n_total = n + n_pad
+    passes = n_total // w
+    # q rows pad to a multiple of 16 (the bf16 min sublane tile), then the
+    # tile clamps to the padded count so small batches stay one tile
+    q_pad = (-qn) % 16
+    qb = q.astype(jnp.bfloat16)
+    if q_pad:
+        qb = jnp.pad(qb, ((0, q_pad), (0, 0)))
+    qp = qb.shape[0]
+    q_tile = min(q_tile, qp)
+    if qp % q_tile:
+        extra = q_tile - qp % q_tile
+        qb = jnp.pad(qb, ((0, extra), (0, 0)))
+        qp += extra
+
+    vals, idxs = pl.pallas_call(
+        _make_raw_pool_kernel(block_n, nb_w),
+        grid=(qp // q_tile, nb_w, passes),
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, jm, jd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, jm, jd: (jd * nb_w + jm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, w), jnp.float32),
+            jax.ShapeDtypeStruct((qp, w), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n_total * d,
+            bytes_accessed=(n_total * (d * 2 + 8) + qp * d * 2
+                            + 2 * qp * w * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qb, base16, sel_off[None, :], sel_scale[None, :])
+    idxs = jnp.where(jnp.isfinite(vals) & (idxs < n), idxs, -1)
+    return vals[:qn], idxs[:qn]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_n", "interpret", "winners")
 )
