@@ -162,10 +162,14 @@ class TestAutoMode:
     def test_crossover_selection(self):
         from vector_db_tpu.index.hnsw_pq import _auto_scan_mode
 
-        # the blocked exact scan wins at every measured size (67k QPS @
-        # 99.8% at 1M vs the Pallas kernel's 34k @ 97.2% — BENCH_REPORT A2)
-        assert _auto_scan_mode(False) == "scan_exact"
-        assert _auto_scan_mode(True) == "graph"
+        # blocked exact scan up to mid N (520k QPS @ 100k, 134k @ 512k);
+        # the fused Pallas bf16-shadow kernel overtakes at large N
+        # (83.5k vs 64.6k QPS @ 1M) — crossover threshold 700k live rows
+        assert _auto_scan_mode(False, 100_000) == "scan_exact"
+        assert _auto_scan_mode(False, 524_288) == "scan_exact"
+        assert _auto_scan_mode(False, 1_000_000) == "scan_pallas"
+        assert _auto_scan_mode(True, 100_000) == "graph"
+        assert _auto_scan_mode(True, 1_000_000) == "graph"
 
 
 class TestChunkedLargeN:

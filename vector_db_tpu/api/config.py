@@ -184,9 +184,11 @@ class HnswPqConfig:
     nprobe: int = 32
     search_mode: str = "auto"  # auto | scan_exact | scan_bf16 |
     # scan_pallas | adc | adc_fast | pca | graph | scan_int8.
-    # "auto"/"scan_exact": blocked MXU exact scan over the raw store with
+    # "auto": scan_exact below 700k live rows, scan_pallas above (measured
+    #   crossover — hnsw_pq._auto_scan_mode), adc_fast when raw_store=False.
+    # "scan_exact": blocked MXU exact scan over the raw store with
     #   approx_max_k block reduction — measured 441k QPS / 99.74% Recall@10 at
-    #   512d/100k on one v5e chip (67k @ 99.8% at 1M), vs ~1k QPS for
+    #   512d/100k on one v5e chip (64.6k @ ~100% at 1M), vs ~1k QPS for
     #   XLA-gather ADC.  On TPU,
     #   streams beat gathers: the exhaustive matmul IS the fast path whenever
     #   the raw vectors are HBM-resident (the reference also keeps raw vectors
@@ -195,10 +197,12 @@ class HnswPqConfig:
     #   ranked pool — the f32 exact scan is MXU-compute-bound and bf16 runs
     #   at ~2x the f32 rate; selection only has to contain the true top-k
     #   (hnsw_pq.bf16_scan_refine).
-    # "scan_pallas": the fused Pallas kernel (ops/pallas_kernels.py) — the
-    #   LARGE-N scan: never materialises [Q, N] distances (peak memory is the
-    #   [Q, N/128] bucket-winner matrix), at ~283k QPS / 97% R@10 vs XLA's
-    #   618k / 99.7% — use when Q x N won't fit HBM.
+    # "scan_pallas": the fused Pallas kernel (ops/pallas_kernels.
+    #   fused_raw_pool) — the LARGE-N scan: bf16 conditioned-shadow scan +
+    #   strided-bucket pool entirely in VMEM (the [Q, block] score buffer
+    #   that bounds the XLA scan past ~100k rows never touches HBM) + exact
+    #   f32 refine.  83.5k QPS / 98.6% R@10 at 1M x 512 vs the exact scan's
+    #   64.6k / ~100% — the auto choice at >= 700k rows.
     # "adc": ADC scan (+ optional IVF pruning) + exact refine — the
     #   memory-bound path; uses only codes + codebooks for candidate scoring.
     # "adc_fast": the FAST memory-bound path — Pallas decode kernel + MXU

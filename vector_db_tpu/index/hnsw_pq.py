@@ -18,7 +18,9 @@ corpus size on this chip (441k vs ~3k QPS at 100k; at 1M the blocked scan
 holds 67-69k while sequential beam expansion cannot feed the systolic
 array), so the graph mode exists for reference-parity semantics,
 incremental single-insert workloads, and stats — never as the speed path
-(`_auto_scan_mode` accordingly always routes auto to the scan).
+(`_auto_scan_mode` accordingly always routes auto to a scan: the blocked
+f32 exact scan up to ~700k live rows, the fused Pallas bf16-shadow kernel
+above that — see its docstring for the measured crossover).
 """
 
 from __future__ import annotations
@@ -693,7 +695,7 @@ class HnswPqIndex(VectorIndex):
         refine = min(max(pow2(self.config.refine_k), k_pad), st.capacity)
         mode = self.config.search_mode
         if mode == "auto":
-            mode = (_auto_scan_mode(self.config.use_graph)
+            mode = (_auto_scan_mode(self.config.use_graph, n_live)
                     if self.store.raw else "adc_fast")
         if not self.store.raw and mode in ("scan_exact", "scan_pallas",
                                            "scan_bf16", "graph"):
@@ -1082,23 +1084,30 @@ def _stream_ingest_step(
     return state, codes, proxy, assign
 
 
-def _auto_scan_mode(use_graph: bool) -> str:
-    """search_mode="auto" resolution from MEASURED numbers (BENCH_REPORT
-    §5/A2, one v5e chip):
+def _auto_scan_mode(use_graph: bool, n_live: int) -> str:
+    """search_mode="auto" resolution from MEASURED numbers (one v5e chip,
+    512d, Q=1024, k=10):
 
       * graph only when explicitly configured (the parity/incremental path —
         sequential beam expansion cannot feed a systolic array)
-      * the BLOCKED exact scan (exact_scan_search streams [Q, block_n]
-        tiles, never [Q, N]) wins at every measured size: 440k QPS at 100k,
-        67k QPS @ 99.8% at 1M — vs the fused Pallas kernel's 34k @ 97.2%
-        at 1M.  Round 1 routed large N to scan_pallas based on a full-row
-        [Q, N] comparison; the blocked scan removed that memory cliff, so
-        auto is now always the exact scan.  scan_pallas remains selectable
-        (its peak memory, the [Q, N/128] winner matrix, is ~30x smaller
-        than the blocked scan's [Q, block_n] working set at equal N).
+      * small/mid N: the BLOCKED f32 exact scan (exact_scan_search streams
+        [Q, block_n] tiles, never [Q, N]) — 520k QPS @ 100k, 346k @ 256k,
+        134k @ 512k, always ~100% recall
+      * large N: the fused Pallas kernel (pallas_scan_refine — bf16 shadow
+        scan whose [Q, block] score buffer lives entirely in VMEM, + exact
+        f32 refine) overtakes the XLA scan once the f32 score buffer's HBM
+        round-trip dominates: 83.5k vs 64.6k QPS @ 1M (recall 98.6% vs
+        ~100%, both above the 97.6% north star).  Crossover measured
+        between 512k (exact 134k vs pallas 119k) and 1M; threshold 700k.
+        Caveat the auto user inherits: the bf16 shadow is cached keyed on
+        the vectors array, so the first search after a mutation batch pays
+        a ~0.7s/1M-rows rebuild (scan_exact has no such cache — pin
+        search_mode="scan_exact" for churn-heavy large-N workloads).
     """
     if use_graph:
         return "graph"
+    if n_live >= 700_000:
+        return "scan_pallas"
     return "scan_exact"
 
 
