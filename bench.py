@@ -85,21 +85,33 @@ def main():
     # under-measure; a single final scalar materialisation closes the chain.
     st = idx.store.state
     reps = 30
+    # the same Q/capacity-aware block the shipped search path picks (FEW BIG
+    # blocks: per-block approx_max_k fixed costs dominate small blocks)
+    blk = idx._f32_scan_block(n, nq)
 
     @jax.jit
     def timed_loop(q):
         def body(i, eps):
             d, _ = exact_scan_search(
                 q + eps, st.vectors, st.norms, st.valid, st.ids, 16, "l2",
-                32768, cfg.scan_recall_target,
+                blk, cfg.scan_recall_target,
             )
             return d[0, 0] * 1e-30
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    _ = float(timed_loop(qj))  # compile + warm
-    t0 = time.time()
-    _ = float(timed_loop(qj))
-    dt = (time.time() - t0) / reps
+    def best_of(loop_fn, arg, passes=3):
+        """Best of several timed passes (each = `reps` serialized in-jit
+        iterations): the tunneled runtime's per-process clock/host jitter is
+        ±10-20%; the minimum is the honest device number."""
+        _ = float(loop_fn(arg))  # compile + warm
+        best = float("inf")
+        for _i in range(passes):
+            t0 = time.time()
+            _ = float(loop_fn(arg))
+            best = min(best, (time.time() - t0) / reps)
+        return best
+
+    dt = best_of(timed_loop, qj)
     qps = nq / dt
     log(f"device QPS: {qps:.0f}  ({dt*1000:.2f} ms / {nq}-query batch, "
         f"{reps} serialized reps in one program)")
@@ -152,10 +164,7 @@ def main():
             return d[0, 0] * 1e-30
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    _ = float(mb_loop(qj2))
-    t0 = time.time()
-    _ = float(mb_loop(qj2))
-    dt2 = (time.time() - t0) / reps
+    dt2 = best_of(mb_loop, qj2)
     qps2 = nq / dt2
     log(f"memory-bound device QPS: {qps2:.0f}  ({dt2*1000:.2f} ms / "
         f"{nq}-query batch)")
