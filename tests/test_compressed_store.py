@@ -290,3 +290,61 @@ class TestScanBf16:
         with pytest.raises(ValueError):
             HnswPqIndex(DIM, 1024, config=HnswPqConfig(
                 raw_store=False, search_mode="scan_bf16"))
+
+
+class TestScanPallasInt8:
+    """search_mode="scan_pallas_int8": s8 x s8 fused pool + exact refine."""
+
+    def test_matches_brute(self):
+        vecs = _corpus(4096)
+        cfg = HnswPqConfig(num_subspaces=16, training_samples=2048,
+                           search_mode="scan_pallas_int8")
+        idx = HnswPqIndex(DIM, 4096, config=cfg)
+        idx.bulk_load_stream([(range(4096), vecs)])
+        q = _corpus(128, seed=7)
+        ids, dists = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q)) >= 0.97
+        assert np.all(dists[:, :-1] <= dists[:, 1:] + 1e-6)
+
+    def test_cosine(self):
+        r = np.random.default_rng(13)
+        vecs = (r.standard_normal((2048, DIM))
+                * r.uniform(0.5, 5.0, (2048, 1))).astype(np.float32)
+        idx = HnswPqIndex(DIM, 2048, metric="cosine", config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024,
+            search_mode="scan_pallas_int8"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        q = r.standard_normal((64, DIM)).astype(np.float32)
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q, metric="cosine")) >= 0.95
+
+    def test_mean_offset_corpus(self):
+        """Common-mode offset is the regime int8 centering exists for."""
+        r = np.random.default_rng(5)
+        vecs = (r.standard_normal((2048, DIM)) + 10.0).astype(np.float32)
+        idx = HnswPqIndex(DIM, 2048, config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024,
+            search_mode="scan_pallas_int8"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        q = (r.standard_normal((64, DIM)) + 10.0).astype(np.float32)
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q)) >= 0.95
+
+    def test_delete_invalidates_shadow(self):
+        vecs = _corpus(1024)
+        idx = HnswPqIndex(DIM, 1024, config=HnswPqConfig(
+            num_subspaces=16, training_samples=512,
+            search_mode="scan_pallas_int8"))
+        idx.bulk_load_stream([(range(1024), vecs)])
+        q = vecs[:8]
+        ids, _ = idx.search_batch(q, 1)
+        assert list(ids[:, 0]) == list(range(8))
+        for i in range(8):
+            idx.remove(i)
+        ids, _ = idx.search_batch(q, 1)
+        assert not set(ids[:, 0].tolist()) & set(range(8))
+
+    def test_rejected_on_compressed(self):
+        with pytest.raises(ValueError):
+            HnswPqIndex(DIM, 1024, config=HnswPqConfig(
+                raw_store=False, search_mode="scan_pallas_int8"))

@@ -170,3 +170,81 @@ class TestFusedRawPool:
         full = ((np.asarray(q)[:, None] - np.asarray(base)[None]) ** 2).sum(-1)
         best = int(np.argmin(full[0]))
         assert best in set(np.asarray(idx)[0].tolist())
+
+
+class TestFusedInt8Pool:
+    """fused_int8_pool: s8 x s8 -> s32 in-VMEM scan + strided-bucket pool
+    (the scan_pallas_int8 candidate stage; pallas_scan8_refine orders it
+    exactly).  Same contract as TestFusedRawPool with a quantized shadow."""
+
+    def _setup(self, n=3000, d=64, q=16, offset=0.0, seed=3):
+        r = np.random.default_rng(seed)
+        base = (r.standard_normal((n, d)) + offset).astype(np.float32)
+        qs = (r.standard_normal((q, d)) + offset).astype(np.float32)
+        return jnp.asarray(qs), jnp.asarray(base)
+
+    def _shadow(self, base, valid, metric="l2"):
+        from vector_db_tpu.index.hnsw_pq import _build_scan8_shadow
+
+        norms = jnp.sum(base * base, axis=1)
+        return _build_scan8_shadow(base, norms, jnp.asarray(valid),
+                                   metric, 1024)
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine"])
+    @pytest.mark.parametrize("offset", [0.0, 10.0])
+    def test_pool_contains_topk(self, metric, offset):
+        from vector_db_tpu.ops.distance import blocked_knn, normalize_rows
+        from vector_db_tpu.ops.pallas_kernels import fused_int8_pool
+
+        q, base = self._setup(offset=offset)
+        valid = np.ones(base.shape[0], bool)
+        base8, off, sc, cvec = self._shadow(base, valid, metric)
+        assert base8.dtype == jnp.int8
+        qq = normalize_rows(q) if metric == "cosine" else q
+        vals, idx = fused_int8_pool(qq - cvec[None, :], base8, off, sc, 512)
+        _, gt_i = blocked_knn(q, base, jnp.asarray(valid), 10,
+                              metric=metric, block_n=512)
+        got, gt = np.asarray(idx), np.asarray(gt_i)
+        rec = np.mean([len(set(got[i]) & set(gt[i])) / 10
+                       for i in range(q.shape[0])])
+        # strided buckets + int8 quantization noise: containment must
+        # survive both (the exact refine orders the pool downstream)
+        assert rec >= 0.9, (metric, offset, rec)
+
+    def test_dead_slots_never_returned(self):
+        from vector_db_tpu.ops.pallas_kernels import fused_int8_pool
+
+        q, base = self._setup()
+        valid = np.ones(base.shape[0], bool)
+        dead = np.random.default_rng(0).choice(base.shape[0], 500,
+                                               replace=False)
+        valid[dead] = False
+        base8, off, sc, cvec = self._shadow(base, valid)
+        _, idx = fused_int8_pool(q - cvec[None, :], base8, off, sc, 512)
+        live = np.asarray(idx)
+        live = live[live >= 0]
+        assert valid[live].all()
+
+    def test_ragged_n_pads_in_shadow(self):
+        from vector_db_tpu.ops.pallas_kernels import fused_int8_pool
+
+        q, base = self._setup(n=1111)
+        valid = np.ones(1111, bool)
+        base8, off, sc, cvec = self._shadow(base, valid)
+        assert base8.shape[0] % 1024 == 0
+        vals, idx = fused_int8_pool(q - cvec[None, :], base8, off, sc, 256)
+        got = np.asarray(idx)
+        assert got.max() < 1111
+        assert (np.asarray(vals)[got >= 0] < np.inf).all()
+
+    def test_small_batch_single_query(self):
+        from vector_db_tpu.ops.pallas_kernels import fused_int8_pool
+
+        q, base = self._setup(q=1)
+        valid = np.ones(base.shape[0], bool)
+        base8, off, sc, cvec = self._shadow(base, valid)
+        vals, idx = fused_int8_pool(q - cvec[None, :], base8, off, sc, 256)
+        assert idx.shape == (1, 256)
+        full = ((np.asarray(q)[:, None] - np.asarray(base)[None]) ** 2).sum(-1)
+        best = int(np.argmin(full[0]))
+        assert best in set(np.asarray(idx)[0].tolist())

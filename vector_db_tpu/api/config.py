@@ -183,7 +183,8 @@ class HnswPqConfig:
     # PQ-score + re-rank pipeline for the memory-bound regime)
     nprobe: int = 32
     search_mode: str = "auto"  # auto | scan_exact | scan_bf16 |
-    # scan_pallas | adc | adc_fast | pca | graph | scan_int8.
+    # scan_pallas | scan_pallas_int8 | adc | adc_fast | pca | graph |
+    # scan_int8.
     # "auto": scan_exact below 700k live rows, scan_pallas above (measured
     #   crossover — hnsw_pq._auto_scan_mode), adc_fast when raw_store=False.
     # "scan_exact": blocked MXU exact scan over the raw store with
@@ -203,6 +204,12 @@ class HnswPqConfig:
     #   that bounds the XLA scan past ~100k rows never touches HBM) + exact
     #   f32 refine.  83.5k QPS / 98.6% R@10 at 1M x 512 vs the exact scan's
     #   64.6k / ~100% — the auto choice at >= 700k rows.
+    # "scan_pallas_int8": the s8 x s8 -> s32 fused kernel (ops/
+    #   pallas_kernels.fused_int8_pool) — same pool + exact-refine pipeline
+    #   over a per-row-quantized CENTERED int8 shadow: half the bf16
+    #   shadow's stream bytes AND 2x the MXU rate (v5e runs s8 x s8 at
+    #   double its bf16 throughput), with exact-f32 per-slot offsets so
+    #   quantization only perturbs the O(noise) cross term.
     # "adc": ADC scan (+ optional IVF pruning) + exact refine — the
     #   memory-bound path; uses only codes + codebooks for candidate scoring.
     # "adc_fast": the FAST memory-bound path — Pallas decode kernel + MXU

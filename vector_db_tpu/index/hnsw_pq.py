@@ -74,7 +74,8 @@ class HnswPqIndex(VectorIndex):
                     "(graph construction reads raw rows); use the scan modes"
                 )
             if config.search_mode in ("scan_exact", "scan_pallas",
-                                      "scan_bf16", "graph"):
+                                      "scan_pallas_int8", "scan_bf16",
+                                      "graph"):
                 raise ValueError(
                     f"search_mode={config.search_mode!r} needs the raw f32 "
                     "store; with raw_store=False use adc_fast | pca | adc | "
@@ -115,6 +116,9 @@ class HnswPqIndex(VectorIndex):
         # bf16 scan shadow for the fused Pallas pool kernel
         # (search_mode="scan_pallas"), keyed on the vectors array
         self._scan16_cache: Optional[tuple] = None
+        # int8 scan shadow for the s8 x s8 fused pool kernel
+        # (search_mode="scan_pallas_int8"), keyed like _scan16_cache
+        self._scan8_cache: Optional[tuple] = None
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
         # at train time, proxy rows [cap, p] bf16 maintained per encode
         self.pca_mean: Optional[jax.Array] = None
@@ -569,6 +573,20 @@ class HnswPqIndex(VectorIndex):
             )
         return self._scan16_cache[2]
 
+    def _scan8_shadow(self, st):
+        """Cached int8 scan shadow for search_mode="scan_pallas_int8" (see
+        _build_scan8_shadow).  Keyed on vectors AND valid like
+        _scan16_shadow (the selection offset bakes tombstones in)."""
+        if (self._scan8_cache is None
+                or self._scan8_cache[0] is not st.vectors
+                or self._scan8_cache[1] is not st.valid):
+            self._scan8_cache = (
+                st.vectors, st.valid,
+                _build_scan8_shadow(st.vectors, st.norms, st.valid,
+                                    self.metric, 2048),
+            )
+        return self._scan8_cache[2]
+
     def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
         """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
         norms [cap] for adc_fast_search (the C2 norms-cache analog)."""
@@ -698,7 +716,8 @@ class HnswPqIndex(VectorIndex):
             mode = (_auto_scan_mode(self.config.use_graph, n_live)
                     if self.store.raw else "adc_fast")
         if not self.store.raw and mode in ("scan_exact", "scan_pallas",
-                                           "scan_bf16", "graph"):
+                                           "scan_pallas_int8", "scan_bf16",
+                                           "graph"):
             raise ValueError(
                 f"search_mode={mode!r} needs the raw f32 store "
                 "(raw_store=False)"
@@ -743,9 +762,19 @@ class HnswPqIndex(VectorIndex):
                 self.config.scan_recall_target, block_n=bn,
             )
             return self._emit(q_n, k, k_eff, dists, ext)
-        if mode in ("scan_exact", "scan_pallas"):
+        if mode in ("scan_exact", "scan_pallas", "scan_pallas_int8"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
-            if mode == "scan_pallas":
+            if mode == "scan_pallas_int8":
+                # s8 x s8 fused-kernel path: quarter-width shadow at 2x
+                # MXU rate + exact refine (see _build_scan8_shadow)
+                base8, off, sc, cvec = self._scan8_shadow(st)
+                w = min(2048, base8.shape[0])
+                dists, ext = pallas_scan8_refine(
+                    jnp.asarray(padded), st.vectors, base8, off, sc,
+                    cvec, st.ids, k_pad, self.metric,
+                    pool=min(max(4 * k_pad, 64), w), w=w,
+                )
+            elif mode == "scan_pallas":
                 # fused-kernel path: bf16 shadow scan entirely in VMEM +
                 # exact refine (the [Q, block] score buffer that bounds the
                 # XLA scan past ~100k rows never touches HBM)
@@ -1178,6 +1207,87 @@ def _build_scan16_shadow(vectors, norms, valid, metric, pad_to):
         off = jnp.pad(off, (0, pad), constant_values=jnp.inf)
         sc = jnp.pad(sc, (0, pad))
     return base16, off, sc, center_vec
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "pad_to"))
+def _build_scan8_shadow(vectors, norms, valid, metric, pad_to):
+    """int8 scan shadow for the s8 x s8 fused pool kernel: (base8 [N, d]
+    int8 padded to a ``pad_to`` row multiple, per-slot f32 selection
+    offset, per-slot f32 scale, query centering vector).
+
+    Per-row symmetric quantization of CENTERED rows — centering matters
+    more for int8 than bf16 (the range is absolute, so a common-mode
+    offset eats quantization levels directly):
+
+      * sq-L2: rows store (v - mu) / sv with sv = max|v - mu| / 127;
+        off = ||v - mu||^2 exact f32; sc = -2 sv.  Selection score
+        off + (q8 . v8) sc sq  ~=  ||v - mu||^2 - 2 (q - mu).(v - mu)
+        = ||q - v||^2 - ||q - mu||^2 — rank-equivalent (per-query const).
+      * cosine: rows store (v_hat - c0 cdir) / sv (NORMALIZED rows,
+        centered by the mean corpus direction scaled by the mean cosine
+        c0 — a per-slot 1/|v| scale would break shift-invariance on raw
+        rows, so normalization happens before quantization);
+        off = -(v_hat . cdir) exact f32; sc = -sv; queries center as
+        q_hat - cdir.  Score ~= -q_hat . v_hat + per-query/global consts.
+
+    `off` rides exact f32, so quantization only perturbs the O(noise)
+    cross term; the caller's exact refine re-orders the pool.
+    """
+    n = vectors.shape[0]
+    m = min(4096, n)
+    pref = vectors[:m]
+    w = valid[:m].astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mu = jnp.sum(pref * w[:, None], axis=0) / wsum
+    musq = jnp.sum(mu * mu)
+    if metric == "cosine":
+        cdir = mu * jax.lax.rsqrt(jnp.maximum(musq, 1e-12))
+        iv = jax.lax.rsqrt(jnp.maximum(norms, 1e-12))
+        pn = jnp.sqrt(jnp.maximum(jnp.sum(pref * pref, axis=1), 1e-12))
+        c0 = jnp.sum((pref @ cdir) / pn * w) / wsum
+        vhat = vectors * iv[:, None]
+        ctr = vhat - c0 * cdir[None, :]
+        off = -(vhat @ cdir)
+        sgn = -1.0
+        center_vec = cdir
+    else:
+        ctr = vectors - mu[None, :]
+        off = norms + musq - 2.0 * (vectors @ mu)  # ||v - mu||^2 exact
+        sgn = -2.0
+        center_vec = mu
+    sv = jnp.maximum(jnp.max(jnp.abs(ctr), axis=1), 1e-12) / 127.0
+    base8 = jnp.clip(jnp.round(ctr / sv[:, None]), -127, 127).astype(jnp.int8)
+    sc = sgn * sv
+    off = jnp.where(valid, off, jnp.inf)
+    pad = (-n) % pad_to
+    if pad:
+        base8 = jnp.pad(base8, ((0, pad), (0, 0)))
+        off = jnp.pad(off, (0, pad), constant_values=jnp.inf)
+        sc = jnp.pad(sc, (0, pad))
+    return base8, off, sc, center_vec
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "pool", "w")
+)
+def pallas_scan8_refine(queries, base, base8, off, sc, center_vec, ids,
+                        k, metric, pool, w):
+    """s8 x s8 fused-kernel scan + exact refine: the int8 pool kernel
+    (ops/pallas_kernels.fused_int8_pool) streams the quarter-width shadow
+    at 2x MXU rate, a tiny approx select ranks the [Q, w] bucket winners,
+    and the blocked exact refine orders the pool in f32."""
+    from ..ops.distance import blocked_rerank, normalize_rows
+    from ..ops.pallas_kernels import fused_int8_pool
+
+    q = normalize_rows(queries) if metric == "cosine" else queries
+    qc = q - center_vec[None, :]
+    vals, idx = fused_int8_pool(qc, base8, off, sc, w)
+    nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
+    cand = jnp.take_along_axis(idx, sel, axis=1)
+    cand = jnp.where(jnp.isfinite(nv), cand, -1)
+    d, slots = blocked_rerank(queries, base, cand, k, metric, rb=pool)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
+    return d, ext
 
 
 @functools.partial(

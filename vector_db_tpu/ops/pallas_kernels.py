@@ -520,6 +520,153 @@ def fused_raw_pool(
     return vals[:qn], idxs[:qn]
 
 
+def _make_int8_pool_kernel(block_n: int, nb_w: int):
+    """s8 x s8 -> s32 fused scan + strided-bucket pool kernel body.
+
+    The int8 sibling of `_make_raw_pool_kernel`: the corpus shadow is
+    per-row-scaled int8 (HALF the bf16 shadow's HBM traffic, and the MXU
+    runs s8 x s8 at 2x its bf16 rate on v5e — the bf16 kernel at 1M x 512
+    sits near the bf16 FLOPs floor, so int8 moves BOTH walls).  Selection
+    score stays the rank-equivalent ``off + cross * sc * sq`` form: the
+    i32 cross term is dequantized by the per-slot shadow scale (folded
+    into sc) and the per-query quantization scale sq (broadcast from a
+    resident column), both f32 — `off` is exact f32, so quantization only
+    perturbs the O(noise) cross term.
+    """
+
+    def kernel(q_ref, sq_ref, b_ref, off_ref, sc_ref, val_ref, idx_ref):
+        jm = pl.program_id(1)
+        jd = pl.program_id(2)
+        qt = q_ref.shape[0]
+
+        cross = jax.lax.dot_general(
+            q_ref[:, :], b_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                   # [QT, BN] i32
+        dist = off_ref[0, :][None, :] + (
+            cross.astype(jnp.float32) * sc_ref[0, :][None, :]
+            * sq_ref[:, 0:1]
+        )
+
+        block_i = jd * nb_w + jm
+        slot = (
+            block_i * block_n
+            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
+        )
+
+        @pl.when(jd == 0)
+        def _():
+            val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
+            idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
+
+        better = dist < val_ref[:, :]
+        val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
+        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "block_n", "q_tile", "interpret")
+)
+def fused_int8_pool(
+    q: Array,
+    base8: Array,
+    sel_off: Array,
+    sel_scale: Array,
+    w: int,
+    block_n: int = 512,
+    q_tile: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Fused s8 x s8 scan + strided-bucket pool over an int8 corpus shadow.
+
+    q [Q, d] f32 — pre-centered by the caller (see
+    index/hnsw_pq._build_scan8_shadow for the shadow + conditioning math);
+    quantized here per QUERY row to int8 (sq = max|q_i|/127).
+    base8 [N, d] int8 — per-row-quantized centered corpus rows;
+    sel_off [N] f32 exact per-slot term (+inf at dead slots);
+    sel_scale [N] f32 = metric sign x per-row shadow scale, so the true
+    selection score is ``off[n] + (q8 . v8_n) * sel_scale[n] * sq[i]``.
+    Returns an UNRANKED pool (selection scores [Q, w], slot idx, -1 where
+    empty) exactly like `fused_raw_pool`; callers re-rank in exact f32.
+
+    Reference analog: the int8 evolution of the reference's BLAS scan
+    (native/compute/BatchDistance.cpp:20-147) — same identity, quarter
+    the row bytes, double the systolic-array rate.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, d = base8.shape
+    qn = q.shape[0]
+    assert q.shape[1] == d, (q.shape, base8.shape)
+    w_aligned = -(-w // LANES) * LANES
+    block_n = min(block_n, max(LANES, w_aligned))
+    w = -(-w_aligned // block_n) * block_n
+    nb_w = w // block_n
+    n_pad = (-n) % w
+    if n_pad:
+        base8 = jnp.pad(base8, ((0, n_pad), (0, 0)))
+        sel_off = jnp.pad(sel_off, (0, n_pad), constant_values=jnp.inf)
+        sel_scale = jnp.pad(sel_scale, (0, n_pad))
+    n_total = n + n_pad
+    passes = n_total // w
+
+    # per-row symmetric int8 quantization of the centered queries
+    sq = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(q / sq[:, None]), -127, 127).astype(jnp.int8)
+
+    # q rows pad to a multiple of 32 (the int8 min sublane tile)
+    q_pad = (-qn) % 32
+    if q_pad:
+        q8 = jnp.pad(q8, ((0, q_pad), (0, 0)))
+        sq = jnp.pad(sq, (0, q_pad), constant_values=1.0)
+    qp = q8.shape[0]
+    q_tile = min(q_tile, qp)
+    if qp % q_tile:
+        extra = q_tile - qp % q_tile
+        q8 = jnp.pad(q8, ((0, extra), (0, 0)))
+        sq = jnp.pad(sq, (0, extra), constant_values=1.0)
+        qp += extra
+    sq_col = jnp.broadcast_to(sq[:, None], (qp, LANES))
+
+    vals, idxs = pl.pallas_call(
+        _make_int8_pool_kernel(block_n, nb_w),
+        grid=(qp // q_tile, nb_w, passes),
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, jm, jd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, LANES), lambda i, jm, jd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, jm, jd: (jd * nb_w + jm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, w), jnp.float32),
+            jax.ShapeDtypeStruct((qp, w), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n_total * d,
+            bytes_accessed=(n_total * (d + 8) + qp * d
+                            + 2 * qp * w * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q8, sq_col, base8, sel_off[None, :], sel_scale[None, :])
+    idxs = jnp.where(jnp.isfinite(vals) & (idxs < n), idxs, -1)
+    return vals[:qn], idxs[:qn]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_n", "interpret", "winners")
 )
