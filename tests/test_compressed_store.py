@@ -344,7 +344,37 @@ class TestScanPallasInt8:
         ids, _ = idx.search_batch(q, 1)
         assert not set(ids[:, 0].tolist()) & set(range(8))
 
-    def test_rejected_on_compressed(self):
-        with pytest.raises(ValueError):
-            HnswPqIndex(DIM, 1024, config=HnswPqConfig(
-                raw_store=False, search_mode="scan_pallas_int8"))
+    def test_compressed_store_fused_scan(self):
+        """raw_store=False + scan_pallas_int8: the fused kernel streams the
+        store's OWN packed rows (no shadow copy) at near-exact recall."""
+        vecs = _corpus(4096)
+        idx = HnswPqIndex(DIM, 4096, config=HnswPqConfig(
+            num_subspaces=16, training_samples=2048, raw_store=False,
+            search_mode="scan_pallas_int8"))
+        idx.bulk_load_stream([(range(4096), vecs)])
+        q = _corpus(128, seed=7)
+        ids, dists = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q)) >= 0.97
+        assert np.all(dists[:, :-1] <= dists[:, 1:] + 1e-6)
+
+    def test_compressed_store_fused_scan_cosine_offset(self):
+        r = np.random.default_rng(11)
+        vecs = (r.standard_normal((2048, DIM)) + 5.0).astype(np.float32)
+        idx = HnswPqIndex(DIM, 2048, metric="cosine", config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024, raw_store=False,
+            search_mode="scan_pallas_int8"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        q = (r.standard_normal((64, DIM)) + 5.0).astype(np.float32)
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q, metric="cosine")) >= 0.93
+
+    def test_compressed_store_fused_scan_delete(self):
+        vecs = _corpus(2048)
+        idx = HnswPqIndex(DIM, 2048, config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024, raw_store=False,
+            search_mode="scan_pallas_int8"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        for i in range(8):
+            idx.remove(i)
+        ids, _ = idx.search_batch(vecs[:8], 1)
+        assert not set(ids[:, 0].tolist()) & set(range(8))

@@ -94,6 +94,10 @@ def init_store(capacity: int, dim: int, raw: bool = True):
     if not raw:
         if dim % 4 != 0:
             raise ValueError(f"compressed store requires dim % 4 == 0, got {dim}")
+        # 2048-rounded so the fused packed-pool kernel (ops/pallas_kernels.
+        # fused_packed_pool) never has to pad-copy the multi-GB packed array
+        # (its pool width w <= 2048 must divide the row count)
+        cap = _round_up(cap, 2048)
         return Int8StoreState(
             packed=jnp.zeros((cap, dim // 4), jnp.int32),
             scales=jnp.zeros((cap,), jnp.float32),

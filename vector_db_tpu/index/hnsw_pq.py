@@ -74,12 +74,11 @@ class HnswPqIndex(VectorIndex):
                     "(graph construction reads raw rows); use the scan modes"
                 )
             if config.search_mode in ("scan_exact", "scan_pallas",
-                                      "scan_pallas_int8", "scan_bf16",
-                                      "graph"):
+                                      "scan_bf16", "graph"):
                 raise ValueError(
                     f"search_mode={config.search_mode!r} needs the raw f32 "
                     "store; with raw_store=False use adc_fast | pca | adc | "
-                    "scan_int8 | auto"
+                    "scan_int8 | scan_pallas_int8 | auto"
                 )
             config.refine_store = "int8"
         self.config = config
@@ -119,6 +118,9 @@ class HnswPqIndex(VectorIndex):
         # int8 scan shadow for the s8 x s8 fused pool kernel
         # (search_mode="scan_pallas_int8"), keyed like _scan16_cache
         self._scan8_cache: Optional[tuple] = None
+        # packed-store conditioning vectors (scan_pallas_int8 on the
+        # compressed tier — no corpus copy, just off/sc/center)
+        self._scan8p_cache: Optional[tuple] = None
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
         # at train time, proxy rows [cap, p] bf16 maintained per encode
         self.pca_mean: Optional[jax.Array] = None
@@ -587,6 +589,21 @@ class HnswPqIndex(VectorIndex):
             )
         return self._scan8_cache[2]
 
+    def _scan8p_shadow(self, st):
+        """Cached conditioning vectors for the packed-store fused scan
+        (search_mode="scan_pallas_int8", raw_store=False — see
+        _build_scan8p_shadow).  Keyed on packed AND valid; the arrays are
+        O(N) vectors, not a corpus copy."""
+        if (self._scan8p_cache is None
+                or self._scan8p_cache[0] is not st.packed
+                or self._scan8p_cache[1] is not st.valid):
+            self._scan8p_cache = (
+                st.packed, st.valid,
+                _build_scan8p_shadow(st.packed, st.scales, st.norms,
+                                     st.valid, self.metric),
+            )
+        return self._scan8p_cache[2]
+
     def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
         """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
         norms [cap] for adc_fast_search (the C2 norms-cache analog)."""
@@ -716,12 +733,23 @@ class HnswPqIndex(VectorIndex):
             mode = (_auto_scan_mode(self.config.use_graph, n_live)
                     if self.store.raw else "adc_fast")
         if not self.store.raw and mode in ("scan_exact", "scan_pallas",
-                                           "scan_pallas_int8", "scan_bf16",
-                                           "graph"):
+                                           "scan_bf16", "graph"):
             raise ValueError(
                 f"search_mode={mode!r} needs the raw f32 store "
                 "(raw_store=False)"
             )
+        if mode == "scan_pallas_int8" and not self.store.raw:
+            # compressed tier: the fused s8 kernel streams the store's OWN
+            # packed rows (zero shadow memory) + int8 refine with exact
+            # write-time norms (see _build_scan8p_shadow)
+            off, sc, cvec = self._scan8p_shadow(st)
+            w = min(2048, st.capacity)
+            dists, ext = pallas_scan8p_refine(
+                jnp.asarray(padded), st.packed, st.scales, off, sc,
+                cvec, st.ids, k_pad, self.metric,
+                pool=min(max(4 * k_pad, 64), w), w=w,
+            )
+            return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "scan_int8":
             # exhaustive near-exact scan over the int8 rows (see
             # ops/distance.blocked_knn_int8)
@@ -1265,6 +1293,93 @@ def _build_scan8_shadow(vectors, norms, valid, metric, pad_to):
         off = jnp.pad(off, (0, pad), constant_values=jnp.inf)
         sc = jnp.pad(sc, (0, pad))
     return base8, off, sc, center_vec
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _build_scan8p_shadow(packed, scales, norms, valid, metric):
+    """Conditioning vectors for the packed-store fused scan
+    (search_mode="scan_pallas_int8" on the COMPRESSED tier): (per-slot f32
+    selection offset, per-slot f32 scale, query centering vector).
+
+    Unlike the raw-store shadows there is NO corpus copy — the kernel
+    (ops/pallas_kernels.fused_packed_pool) streams the store's own packed
+    int8 rows.  Rows were quantized uncentered at write time (that error is
+    the store's contract); centering here is query-side only, with the
+    per-slot cross term ``cvec . v8_n`` folded into the offset by one
+    blocked decode pass:
+
+      * sq-L2: off = norms - 2 sv (mu . v8); sc = -2 sv; queries center
+        as q - mu.  Score ~= ||q - v||^2 - ||q||-consts (v = quantized
+        row, whose norm-term is EXACT from the stored write-time norms).
+      * cosine: off = -sv/|v| (cdir . v8); sc = -sv/|v|; queries center
+        as q_hat - cdir.  Score ~= -q_hat . v_hat + per-query consts.
+    """
+    n, dw = packed.shape
+    d = dw * 4
+
+    def _decode(chunk):
+        return jax.lax.bitcast_convert_type(chunk, jnp.int8).reshape(
+            chunk.shape[0], d).astype(jnp.float32)
+
+    m = min(4096, n)
+    pref8 = _decode(packed[:m]) * scales[:m, None]
+    w = valid[:m].astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    if metric == "cosine":
+        pn = jnp.sqrt(jnp.maximum(jnp.sum(pref8 * pref8, axis=1), 1e-12))
+        mu = jnp.sum(pref8 / pn[:, None] * w[:, None], axis=0) / wsum
+        cvec = mu * jax.lax.rsqrt(jnp.maximum(jnp.sum(mu * mu), 1e-12))
+    else:
+        cvec = jnp.sum(pref8 * w[:, None], axis=0) / wsum
+
+    # blocked correction pass: corr[n] = v8_n . cvec (selection-grade; the
+    # per-chunk [chunk, d] f32 decode stays ~16-270 MB, never [N, d])
+    chunk = 2048
+    for mult in (64, 16, 4):
+        if n % (2048 * mult) == 0:
+            chunk = 2048 * mult
+            break
+
+    def body(i, corr):
+        blk = jax.lax.dynamic_slice_in_dim(packed, i * chunk, chunk, axis=0)
+        c = _decode(blk) @ cvec
+        return jax.lax.dynamic_update_slice_in_dim(corr, c, i * chunk, 0)
+
+    corr = jax.lax.fori_loop(0, n // chunk, body,
+                             jnp.zeros((n,), jnp.float32))
+    if metric == "cosine":
+        iv = jax.lax.rsqrt(jnp.maximum(norms, 1e-12))
+        sc = -scales * iv
+        off = sc * corr
+    else:
+        sc = -2.0 * scales
+        off = norms - 2.0 * scales * corr
+    off = jnp.where(valid, off, jnp.inf)
+    return off, sc, cvec
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "pool", "w")
+)
+def pallas_scan8p_refine(queries, packed, scales, off, sc, center_vec, ids,
+                         k, metric, pool, w):
+    """Packed-store fused-kernel scan + int8 refine (the compressed tier's
+    exhaustive fast path): fused_packed_pool streams the store's own int8
+    rows at s8 MXU rate, a tiny approx select ranks the bucket winners, and
+    blocked_rerank_int8 re-scores the pool with exact write-time norms."""
+    from ..ops.distance import blocked_rerank_int8, normalize_rows
+    from ..ops.pallas_kernels import fused_packed_pool
+
+    q = normalize_rows(queries) if metric == "cosine" else queries
+    qc = q - center_vec[None, :]
+    vals, idx = fused_packed_pool(qc, packed, off, sc, w)
+    nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
+    cand = jnp.take_along_axis(idx, sel, axis=1)
+    cand = jnp.where(jnp.isfinite(nv), cand, -1)
+    d, slots = blocked_rerank_int8(queries, packed, scales, cand, k, metric,
+                                   rb=pool)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
+    return d, ext
 
 
 @functools.partial(

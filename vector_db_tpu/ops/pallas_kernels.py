@@ -667,6 +667,164 @@ def fused_int8_pool(
     return vals[:qn], idxs[:qn]
 
 
+def _make_packed_pool_kernel(block_n: int, nb_w: int, dw: int):
+    """Packed-int8 fused scan + strided-bucket pool kernel body.
+
+    The compressed-store sibling of `_make_int8_pool_kernel`: corpus blocks
+    arrive as int32-packed int8 quads ([bn, d/4] words — the store's native
+    gather-friendly layout, ops/distance.pack_int8_rows), and the kernel
+    unpacks them with four VPU shift/mask extractions + a lane concat.  The
+    concat emits dims in the order (byte j of word c) -> lane j*d/4 + c,
+    i.e. a FIXED permutation of the true dim order — the caller permutes
+    the query rows identically (a [Q, d] reshape-transpose, free at query
+    scale), which leaves the dot product invariant.  Everything downstream
+    (scales, offsets, accumulate) matches `_make_int8_pool_kernel`.
+    """
+
+    def kernel(q_ref, sq_ref, p_ref, off_ref, sc_ref, val_ref, idx_ref):
+        jm = pl.program_id(1)
+        jd = pl.program_id(2)
+        qt = q_ref.shape[0]
+
+        w32 = p_ref[:, :]                                   # [BN, d/4] i32
+        # little-endian quads: byte 0 = low bits = dim 4c + 0
+        b0 = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(w32, 24), 24)
+        b1 = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(w32, 16), 24)
+        b2 = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(w32, 8), 24)
+        b3 = jax.lax.shift_right_arithmetic(w32, 24)
+        v8 = jnp.concatenate([b0, b1, b2, b3], axis=1).astype(jnp.int8)
+
+        cross = jax.lax.dot_general(
+            q_ref[:, :], v8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                   # [QT, BN] i32
+        dist = off_ref[0, :][None, :] + (
+            cross.astype(jnp.float32) * sc_ref[0, :][None, :]
+            * sq_ref[:, 0:1]
+        )
+
+        block_i = jd * nb_w + jm
+        slot = (
+            block_i * block_n
+            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
+        )
+
+        @pl.when(jd == 0)
+        def _():
+            val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
+            idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
+
+        better = dist < val_ref[:, :]
+        val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
+        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "block_n", "q_tile", "interpret")
+)
+def fused_packed_pool(
+    q: Array,
+    packed: Array,
+    sel_off: Array,
+    sel_scale: Array,
+    w: int,
+    block_n: int = 512,
+    q_tile: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Fused s8 x s8 scan + strided-bucket pool DIRECTLY over the
+    compressed store's int32-packed int8 rows (zero shadow memory).
+
+    q [Q, d] f32 pre-centered by the caller (see
+    index/hnsw_pq._build_scan8p_shadow — the "shadow" is just three small
+    conditioning vectors; the corpus operand IS the store's packed array);
+    packed [N, d/4] int32 (ops/distance.pack_int8_rows layout);
+    sel_off [N] f32 exact per-slot term (+inf at dead slots);
+    sel_scale [N] f32 = metric sign x per-row store scale.  Queries are
+    quantized per row here and PERMUTED to the kernel's unpack order.
+    Returns an UNRANKED pool exactly like `fused_int8_pool`.
+
+    N must be a multiple of the (rounded) ``w`` — padding here would copy
+    the multi-GB packed store; the compressed VectorStore rounds its
+    capacity to 2048 for exactly this reason.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, dw = packed.shape
+    d = dw * 4
+    qn = q.shape[0]
+    assert q.shape[1] == d, (q.shape, packed.shape)
+    w_aligned = -(-w // LANES) * LANES
+    block_n = min(block_n, max(LANES, w_aligned))
+    w = -(-w_aligned // block_n) * block_n
+    nb_w = w // block_n
+    if n % w:
+        raise ValueError(
+            f"packed store rows ({n}) must be a multiple of the pool width "
+            f"({w}); round the store capacity up (the compressed "
+            "VectorStore rounds to 2048)"
+        )
+    passes = n // w
+
+    sq = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(q / sq[:, None]), -127, 127).astype(jnp.int8)
+    # match the kernel's unpack order: lane j*d/4 + c holds dim 4c + j
+    q8 = q8.reshape(qn, dw, 4).transpose(0, 2, 1).reshape(qn, d)
+
+    q_pad = (-qn) % 32
+    if q_pad:
+        q8 = jnp.pad(q8, ((0, q_pad), (0, 0)))
+        sq = jnp.pad(sq, (0, q_pad), constant_values=1.0)
+    qp = q8.shape[0]
+    q_tile = min(q_tile, qp)
+    if qp % q_tile:
+        extra = q_tile - qp % q_tile
+        q8 = jnp.pad(q8, ((0, extra), (0, 0)))
+        sq = jnp.pad(sq, (0, extra), constant_values=1.0)
+        qp += extra
+    sq_col = jnp.broadcast_to(sq[:, None], (qp, LANES))
+
+    vals, idxs = pl.pallas_call(
+        _make_packed_pool_kernel(block_n, nb_w, dw),
+        grid=(qp // q_tile, nb_w, passes),
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, jm, jd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, LANES), lambda i, jm, jd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, dw), lambda i, jm, jd: (jd * nb_w + jm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, w), jnp.float32),
+            jax.ShapeDtypeStruct((qp, w), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d,
+            bytes_accessed=(n * (d + 8) + qp * d + 2 * qp * w * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q8, sq_col, packed, sel_off[None, :], sel_scale[None, :])
+    idxs = jnp.where(jnp.isfinite(vals) & (idxs < n), idxs, -1)
+    return vals[:qn], idxs[:qn]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_n", "interpret", "winners")
 )
