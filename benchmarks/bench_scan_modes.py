@@ -1,0 +1,170 @@
+"""Same-process scan-mode A/B at a given N (raw tier), or compressed-tier
+A/B with --compressed: the data auto mode needs for its crossover table.
+
+Raw tier rows: blocked exact scan (scan_exact), bf16 fused pool
+(scan_pallas), s8 fused pool (scan_pallas_int8) — all end-to-end
+(pool + exact refine) with recall vs device ground truth.
+
+Compressed tier rows: fused packed-pool kernel (scan_pallas_int8) vs the
+XLA blocked int8 scan (scan_int8), both over the same packed rows.
+
+Usage: python benchmarks/bench_scan_modes.py [N] [--compressed]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def timed(fn, *args, reps=5, best_of=3):
+    @jax.jit
+    def loop(*a):
+        def body(i, eps):
+            return fn(*a, eps) * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    _ = float(loop(*args))
+    best = float("inf")
+    for _i in range(best_of):
+        t0 = time.time()
+        _ = float(loop(*args))
+        best = min(best, (time.time() - t0) / reps)
+    return best
+
+
+def main():
+    from vector_db_tpu.index.hnsw_pq import (
+        _build_scan16_shadow, _build_scan8_shadow, _build_scan8p_shadow,
+        exact_scan_search, pallas_scan_refine, pallas_scan8_refine,
+        pallas_scan8p_refine,
+    )
+    from vector_db_tpu.ops.distance import (
+        blocked_knn, blocked_knn_int8, pack_int8_rows,
+    )
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    compressed = "--compressed" in sys.argv
+    n = int(args[0]) if args else 524_288
+    n -= n % 2048
+    dim, nq, k = 512, 1024, 10
+    gen = jax.jit(
+        lambda key, shape: jax.random.normal(key, shape, jnp.float32),
+        static_argnames="shape",
+    )
+    scale = jnp.asarray((np.arange(dim) + 1.0) ** -0.5, jnp.float32)
+    vj = gen(jax.random.PRNGKey(42), (n, dim)) * scale[None, :]
+    qj = gen(jax.random.PRNGKey(7), (nq, dim)) * scale[None, :]
+    jax.block_until_ready(qj)
+    log(f"data: {n} x {dim}  compressed={compressed}")
+
+    gt_path = f"/tmp/gt_spectral_{dim}_{n}_{nq}_{k}.npy"
+    try:
+        gt = np.load(gt_path)
+    except OSError:
+        _, gt_i = blocked_knn(qj, vj, jnp.ones(n, bool), k, block_n=65536)
+        gt = np.asarray(gt_i)
+        np.save(gt_path, gt)
+    gt_sets = [set(gt[i].tolist()) for i in range(nq)]
+    log("ground truth ready")
+
+    valid = jnp.ones(n, bool)
+    norms = jnp.sum(vj * vj, axis=1)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    w = 2048
+    pool = 64
+
+    def rec(e):
+        a = np.asarray(e)
+        return float(np.mean(
+            [len(set(a[i].tolist()) & gt_sets[i]) / k for i in range(nq)]
+        ))
+
+    if compressed:
+        packed, scales = pack_int8_rows(vj)
+        jax.block_until_ready(packed)
+        del vj  # the compressed tier has no raw matrix
+        off, sc, cvec = _build_scan8p_shadow(packed, scales, norms, valid,
+                                             "l2")
+        jax.block_until_ready(off)
+        log("packed + conditioning ready")
+
+        def fused_run(q, p, s, o, c, cv, eps):
+            d, _ = pallas_scan8p_refine(q + eps, p, s, o, c, cv, ids, k,
+                                        "l2", pool=pool, w=w)
+            return d[0, 0]
+
+        d, e = pallas_scan8p_refine(qj, packed, scales, off, sc, cvec, ids,
+                                    k, "l2", pool=pool, w=w)
+        dt = timed(fused_run, qj, packed, scales, off, sc, cvec)
+        log(f"fused packed-pool e2e: recall={rec(e):.4f}  {dt*1e3:.2f} ms  "
+            f"{nq/dt:,.0f} QPS")
+
+        def xla_run(q, p, s, v, nr, eps):
+            d, _ = blocked_knn_int8(q + eps, p, s, v, k, b_norms=nr,
+                                    block_n=131072, recall_target=0.95)
+            return d[0, 0]
+
+        d, i = blocked_knn_int8(qj, packed, scales, valid, k, b_norms=norms,
+                                block_n=131072, recall_target=0.95)
+        dt = timed(xla_run, qj, packed, scales, valid, norms)
+        log(f"xla scan_int8: recall={rec(i):.4f}  {dt*1e3:.2f} ms  "
+            f"{nq/dt:,.0f} QPS")
+        return
+
+    # ---- raw tier: exact vs bf16 pallas vs int8 pallas --------------------
+    def exact_run(q, base, v, nr, eps):
+        d, _ = exact_scan_search(q + eps, base, nr, v, ids, k, "l2",
+                                 min(262144, n), 0.99)
+        return d[0, 0]
+
+    d, e = exact_scan_search(qj, vj, norms, valid, ids, k, "l2",
+                             min(262144, n), 0.99)
+    dt = timed(exact_run, qj, vj, valid, norms)
+    log(f"scan_exact e2e: recall={rec(e):.4f}  {dt*1e3:.2f} ms  "
+        f"{nq/dt:,.0f} QPS")
+
+    b16, off16, sc16, cv16 = _build_scan16_shadow(vj, norms, valid, "l2", w)
+    jax.block_until_ready(b16)
+
+    def bf16_run(q, base, b, o, s, c, eps):
+        d, _ = pallas_scan_refine(q + eps, base, b, o, s, c, ids, k, "l2",
+                                  pool=pool, w=w)
+        return d[0, 0]
+
+    d, e = pallas_scan_refine(qj, vj, b16, off16, sc16, cv16, ids, k, "l2",
+                              pool=pool, w=w)
+    dt = timed(bf16_run, qj, vj, b16, off16, sc16, cv16)
+    log(f"scan_pallas e2e: recall={rec(e):.4f}  {dt*1e3:.2f} ms  "
+        f"{nq/dt:,.0f} QPS")
+    del b16, off16, sc16
+
+    b8, off8, sc8, cv8 = _build_scan8_shadow(vj, norms, valid, "l2", w)
+    jax.block_until_ready(b8)
+
+    def int8_run(q, base, b, o, s, c, eps):
+        d, _ = pallas_scan8_refine(q + eps, base, b, o, s, c, ids, k, "l2",
+                                   pool=pool, w=w)
+        return d[0, 0]
+
+    d, e = pallas_scan8_refine(qj, vj, b8, off8, sc8, cv8, ids, k, "l2",
+                               pool=pool, w=w)
+    dt = timed(int8_run, qj, vj, b8, off8, sc8, cv8)
+    log(f"scan_pallas_int8 e2e: recall={rec(e):.4f}  {dt*1e3:.2f} ms  "
+        f"{nq/dt:,.0f} QPS")
+
+
+if __name__ == "__main__":
+    main()

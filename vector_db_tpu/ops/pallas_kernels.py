@@ -667,7 +667,7 @@ def fused_int8_pool(
     return vals[:qn], idxs[:qn]
 
 
-def _make_packed_pool_kernel(block_n: int, nb_w: int, dw: int):
+def _make_packed_pool_kernel(block_n: int, nb_w: int):
     """Packed-int8 fused scan + strided-bucket pool kernel body.
 
     The compressed-store sibling of `_make_int8_pool_kernel`: corpus blocks
