@@ -236,8 +236,8 @@ class VectorDatabase:
 
         def with_search_mode(self, mode: str) -> "VectorDatabase.Builder":
             """HNSWPQ search-mode shortcut (auto | scan_exact | scan_bf16 | scan_pallas
-            | adc | adc_fast | pca | graph — see HnswPqConfig.search_mode)
-            without hand-building an index config."""
+            | scan_pallas_int8 | scan_int8 | adc | adc_fast | pca | graph — see
+            HnswPqConfig.search_mode) without hand-building an index config."""
             self._search_mode = mode
             return self
 

@@ -743,7 +743,12 @@ class HnswPqIndex(VectorIndex):
             # packed rows (zero shadow memory) + int8 refine with exact
             # write-time norms (see _build_scan8p_shadow)
             off, sc, cvec = self._scan8p_shadow(st)
+            # largest pool width that divides capacity (new stores round to
+            # 2048; checkpoints from before that rounding are 128-rounded,
+            # and the kernel refuses to pad-copy the packed array)
             w = min(2048, st.capacity)
+            while st.capacity % w:
+                w -= 128
             dists, ext = pallas_scan8p_refine(
                 jnp.asarray(padded), st.packed, st.scales, off, sc,
                 cvec, st.ids, k_pad, self.metric,
@@ -1333,9 +1338,12 @@ def _build_scan8p_shadow(packed, scales, norms, valid, metric):
         cvec = jnp.sum(pref8 * w[:, None], axis=0) / wsum
 
     # blocked correction pass: corr[n] = v8_n . cvec (selection-grade; the
-    # per-chunk [chunk, d] f32 decode stays ~16-270 MB, never [N, d])
-    chunk = 2048
-    for mult in (64, 16, 4):
+    # per-chunk [chunk, d] f32 decode stays ~16-270 MB, never [N, d]).
+    # chunk must DIVIDE n so no tail is dropped: capacity is always
+    # 128-rounded, so the 128 fallback (legacy pre-2048-rounding
+    # checkpoints) terminates
+    chunk = 128
+    for mult in (1024, 256, 64, 16, 4, 1):
         if n % (2048 * mult) == 0:
             chunk = 2048 * mult
             break
@@ -1358,6 +1366,22 @@ def _build_scan8p_shadow(packed, scales, norms, valid, metric):
     return off, sc, cvec
 
 
+def _pool_select_cand(queries, center_vec, metric, pool_kernel, pool_args,
+                      pool, w):
+    """Shared head of every pallas_scan*_refine: center (and for cosine
+    normalize) the queries, run the fused pool kernel, rank the [Q, w]
+    bucket winners with one tiny approx select, and return the candidate
+    slots [Q, pool] (-1 where empty)."""
+    from ..ops.distance import normalize_rows
+
+    q = normalize_rows(queries) if metric == "cosine" else queries
+    qc = q - center_vec[None, :]
+    vals, idx = pool_kernel(qc, *pool_args, w)
+    nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
+    cand = jnp.take_along_axis(idx, sel, axis=1)
+    return jnp.where(jnp.isfinite(nv), cand, -1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "pool", "w")
 )
@@ -1367,15 +1391,11 @@ def pallas_scan8p_refine(queries, packed, scales, off, sc, center_vec, ids,
     exhaustive fast path): fused_packed_pool streams the store's own int8
     rows at s8 MXU rate, a tiny approx select ranks the bucket winners, and
     blocked_rerank_int8 re-scores the pool with exact write-time norms."""
-    from ..ops.distance import blocked_rerank_int8, normalize_rows
+    from ..ops.distance import blocked_rerank_int8
     from ..ops.pallas_kernels import fused_packed_pool
 
-    q = normalize_rows(queries) if metric == "cosine" else queries
-    qc = q - center_vec[None, :]
-    vals, idx = fused_packed_pool(qc, packed, off, sc, w)
-    nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
-    cand = jnp.take_along_axis(idx, sel, axis=1)
-    cand = jnp.where(jnp.isfinite(nv), cand, -1)
+    cand = _pool_select_cand(queries, center_vec, metric, fused_packed_pool,
+                             (packed, off, sc), pool, w)
     d, slots = blocked_rerank_int8(queries, packed, scales, cand, k, metric,
                                    rb=pool)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
@@ -1391,15 +1411,11 @@ def pallas_scan8_refine(queries, base, base8, off, sc, center_vec, ids,
     (ops/pallas_kernels.fused_int8_pool) streams the quarter-width shadow
     at 2x MXU rate, a tiny approx select ranks the [Q, w] bucket winners,
     and the blocked exact refine orders the pool in f32."""
-    from ..ops.distance import blocked_rerank, normalize_rows
+    from ..ops.distance import blocked_rerank
     from ..ops.pallas_kernels import fused_int8_pool
 
-    q = normalize_rows(queries) if metric == "cosine" else queries
-    qc = q - center_vec[None, :]
-    vals, idx = fused_int8_pool(qc, base8, off, sc, w)
-    nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
-    cand = jnp.take_along_axis(idx, sel, axis=1)
-    cand = jnp.where(jnp.isfinite(nv), cand, -1)
+    cand = _pool_select_cand(queries, center_vec, metric, fused_int8_pool,
+                             (base8, off, sc), pool, w)
     d, slots = blocked_rerank(queries, base, cand, k, metric, rb=pool)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
@@ -1414,15 +1430,11 @@ def pallas_scan_refine(queries, base, base16, off, sc, center_vec, ids,
     [Q, N] score matrix in VMEM (ops/pallas_kernels.fused_raw_pool), a tiny
     approx select ranks the [Q, w] bucket winners, and the blocked exact
     refine orders the pool in f32."""
-    from ..ops.distance import blocked_rerank, normalize_rows
+    from ..ops.distance import blocked_rerank
     from ..ops.pallas_kernels import fused_raw_pool
 
-    q = normalize_rows(queries) if metric == "cosine" else queries
-    qc = q - center_vec[None, :]
-    vals, idx = fused_raw_pool(qc, base16, off, sc, w)
-    nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
-    cand = jnp.take_along_axis(idx, sel, axis=1)
-    cand = jnp.where(jnp.isfinite(nv), cand, -1)
+    cand = _pool_select_cand(queries, center_vec, metric, fused_raw_pool,
+                             (base16, off, sc), pool, w)
     d, slots = blocked_rerank(queries, base, cand, k, metric, rb=pool)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext

@@ -233,9 +233,6 @@ def _make_adc_pool_kernel(s: int, sd: int, k_tab: int, block_n: int,
 
     def kernel(q_ref, codes_ref, cbt_ref, norms_ref, val_ref, idx_ref,
                recon_ref):
-        jm = pl.program_id(1)
-        jd = pl.program_id(2)
-
         # ---- decode the code block into VMEM scratch (bf16) ----
         lo = cbt_ref[:, 0:lanes]
         if k_tab > lanes:
@@ -263,21 +260,7 @@ def _make_adc_pool_kernel(s: int, sd: int, k_tab: int, block_n: int,
         dist = norms_ref[0, :][None, :] - 2.0 * cross
 
         # ---- min-accumulate bucket winners ----
-        qt = q_ref.shape[0]
-        block_i = jd * nb_w + jm
-        slot = (
-            block_i * block_n
-            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
-        )
-
-        @pl.when(jd == 0)
-        def _():
-            val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
-            idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
-
-        better = dist < val_ref[:, :]
-        val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
-        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+        _pool_accumulate(dist, val_ref, idx_ref, block_n, nb_w)
 
     return kernel
 
@@ -376,6 +359,59 @@ def fused_adc_pool(
     return vals[:qn], idxs[:qn]
 
 
+def _pool_accumulate(dist, val_ref, idx_ref, block_n: int, nb_w: int):
+    """Shared min-accumulate epilogue of every fused pool kernel: on the
+    first jdiv pass the resident output window is initialised, then bucket
+    winners (value + global slot) min-accumulate in VMEM.  Grid layout is
+    the common (q_tiles, jmod, jdiv) with jdiv innermost — the block
+    visited at (jmod, jdiv) is jdiv*nb_w + jmod (strided buckets)."""
+    jm = pl.program_id(1)
+    jd = pl.program_id(2)
+    qt = dist.shape[0]
+    block_i = jd * nb_w + jm
+    slot = (
+        block_i * block_n
+        + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
+    )
+
+    @pl.when(jd == 0)
+    def _():
+        val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
+        idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
+
+    better = dist < val_ref[:, :]
+    val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
+    idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+
+
+def _quantize_rows_int8(q: Array) -> tuple[Array, Array]:
+    """Per-row symmetric int8 quantization (the query-side analog of
+    ops/distance.pack_int8_rows' scale math): returns (q8 int8, sq f32)."""
+    sq = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(q / sq[:, None]), -127, 127).astype(jnp.int8)
+    return q8, sq
+
+
+def _pad_int8_queries(q8: Array, sq: Array, q_tile: int):
+    """Pad int8 query rows to the 32-sublane tile and a q_tile multiple;
+    returns (q8, sq_col [qp, LANES] for the in-kernel broadcast, qp,
+    clamped q_tile)."""
+    qn = q8.shape[0]
+    q_pad = (-qn) % 32
+    if q_pad:
+        q8 = jnp.pad(q8, ((0, q_pad), (0, 0)))
+        sq = jnp.pad(sq, (0, q_pad), constant_values=1.0)
+    qp = q8.shape[0]
+    q_tile = min(q_tile, qp)
+    if qp % q_tile:
+        extra = q_tile - qp % q_tile
+        q8 = jnp.pad(q8, ((0, extra), (0, 0)))
+        sq = jnp.pad(sq, (0, extra), constant_values=1.0)
+        qp += extra
+    sq_col = jnp.broadcast_to(sq[:, None], (qp, LANES))
+    return q8, sq_col, qp, q_tile
+
+
 def _make_raw_pool_kernel(block_n: int, nb_w: int):
     """Raw-corpus fused scan + strided-bucket pool kernel body.
 
@@ -393,10 +429,6 @@ def _make_raw_pool_kernel(block_n: int, nb_w: int):
     """
 
     def kernel(q_ref, b_ref, off_ref, sc_ref, val_ref, idx_ref):
-        jm = pl.program_id(1)
-        jd = pl.program_id(2)
-        qt = q_ref.shape[0]
-
         cross = jax.lax.dot_general(
             q_ref[:, :], b_ref[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -404,21 +436,7 @@ def _make_raw_pool_kernel(block_n: int, nb_w: int):
         # sel = off + cross * sc: off carries the f32-conditioned per-slot
         # term (+inf at dead slots); sc is -2 for sq-L2, -1/|v| for cosine
         dist = off_ref[0, :][None, :] + cross * sc_ref[0, :][None, :]
-
-        block_i = jd * nb_w + jm
-        slot = (
-            block_i * block_n
-            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
-        )
-
-        @pl.when(jd == 0)
-        def _():
-            val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
-            idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
-
-        better = dist < val_ref[:, :]
-        val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
-        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+        _pool_accumulate(dist, val_ref, idx_ref, block_n, nb_w)
 
     return kernel
 
@@ -535,10 +553,6 @@ def _make_int8_pool_kernel(block_n: int, nb_w: int):
     """
 
     def kernel(q_ref, sq_ref, b_ref, off_ref, sc_ref, val_ref, idx_ref):
-        jm = pl.program_id(1)
-        jd = pl.program_id(2)
-        qt = q_ref.shape[0]
-
         cross = jax.lax.dot_general(
             q_ref[:, :], b_ref[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -547,21 +561,7 @@ def _make_int8_pool_kernel(block_n: int, nb_w: int):
             cross.astype(jnp.float32) * sc_ref[0, :][None, :]
             * sq_ref[:, 0:1]
         )
-
-        block_i = jd * nb_w + jm
-        slot = (
-            block_i * block_n
-            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
-        )
-
-        @pl.when(jd == 0)
-        def _():
-            val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
-            idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
-
-        better = dist < val_ref[:, :]
-        val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
-        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+        _pool_accumulate(dist, val_ref, idx_ref, block_n, nb_w)
 
     return kernel
 
@@ -612,23 +612,8 @@ def fused_int8_pool(
     n_total = n + n_pad
     passes = n_total // w
 
-    # per-row symmetric int8 quantization of the centered queries
-    sq = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12) / 127.0
-    q8 = jnp.clip(jnp.round(q / sq[:, None]), -127, 127).astype(jnp.int8)
-
-    # q rows pad to a multiple of 32 (the int8 min sublane tile)
-    q_pad = (-qn) % 32
-    if q_pad:
-        q8 = jnp.pad(q8, ((0, q_pad), (0, 0)))
-        sq = jnp.pad(sq, (0, q_pad), constant_values=1.0)
-    qp = q8.shape[0]
-    q_tile = min(q_tile, qp)
-    if qp % q_tile:
-        extra = q_tile - qp % q_tile
-        q8 = jnp.pad(q8, ((0, extra), (0, 0)))
-        sq = jnp.pad(sq, (0, extra), constant_values=1.0)
-        qp += extra
-    sq_col = jnp.broadcast_to(sq[:, None], (qp, LANES))
+    q8, sq = _quantize_rows_int8(q)
+    q8, sq_col, qp, q_tile = _pad_int8_queries(q8, sq, q_tile)
 
     vals, idxs = pl.pallas_call(
         _make_int8_pool_kernel(block_n, nb_w),
@@ -682,10 +667,6 @@ def _make_packed_pool_kernel(block_n: int, nb_w: int):
     """
 
     def kernel(q_ref, sq_ref, p_ref, off_ref, sc_ref, val_ref, idx_ref):
-        jm = pl.program_id(1)
-        jd = pl.program_id(2)
-        qt = q_ref.shape[0]
-
         w32 = p_ref[:, :]                                   # [BN, d/4] i32
         # little-endian quads: byte 0 = low bits = dim 4c + 0
         b0 = jax.lax.shift_right_arithmetic(
@@ -705,21 +686,7 @@ def _make_packed_pool_kernel(block_n: int, nb_w: int):
             cross.astype(jnp.float32) * sc_ref[0, :][None, :]
             * sq_ref[:, 0:1]
         )
-
-        block_i = jd * nb_w + jm
-        slot = (
-            block_i * block_n
-            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
-        )
-
-        @pl.when(jd == 0)
-        def _():
-            val_ref[:, :] = jnp.full((qt, block_n), jnp.inf, jnp.float32)
-            idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
-
-        better = dist < val_ref[:, :]
-        val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
-        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+        _pool_accumulate(dist, val_ref, idx_ref, block_n, nb_w)
 
     return kernel
 
@@ -771,26 +738,13 @@ def fused_packed_pool(
         )
     passes = n // w
 
-    sq = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12) / 127.0
-    q8 = jnp.clip(jnp.round(q / sq[:, None]), -127, 127).astype(jnp.int8)
+    q8, sq = _quantize_rows_int8(q)
     # match the kernel's unpack order: lane j*d/4 + c holds dim 4c + j
     q8 = q8.reshape(qn, dw, 4).transpose(0, 2, 1).reshape(qn, d)
-
-    q_pad = (-qn) % 32
-    if q_pad:
-        q8 = jnp.pad(q8, ((0, q_pad), (0, 0)))
-        sq = jnp.pad(sq, (0, q_pad), constant_values=1.0)
-    qp = q8.shape[0]
-    q_tile = min(q_tile, qp)
-    if qp % q_tile:
-        extra = q_tile - qp % q_tile
-        q8 = jnp.pad(q8, ((0, extra), (0, 0)))
-        sq = jnp.pad(sq, (0, extra), constant_values=1.0)
-        qp += extra
-    sq_col = jnp.broadcast_to(sq[:, None], (qp, LANES))
+    q8, sq_col, qp, q_tile = _pad_int8_queries(q8, sq, q_tile)
 
     vals, idxs = pl.pallas_call(
-        _make_packed_pool_kernel(block_n, nb_w, dw),
+        _make_packed_pool_kernel(block_n, nb_w),
         grid=(qp // q_tile, nb_w, passes),
         in_specs=[
             pl.BlockSpec((q_tile, d), lambda i, jm, jd: (i, 0),
