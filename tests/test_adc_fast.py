@@ -167,7 +167,7 @@ class TestAutoMode:
         # (83.5k vs 64.6k QPS @ 1M) — crossover threshold 700k live rows
         assert _auto_scan_mode(False, 100_000) == "scan_exact"
         assert _auto_scan_mode(False, 524_288) == "scan_exact"
-        assert _auto_scan_mode(False, 1_000_000) == "scan_pallas"
+        assert _auto_scan_mode(False, 1_000_000) == "scan_pallas_int8"
         assert _auto_scan_mode(True, 100_000) == "graph"
         assert _auto_scan_mode(True, 1_000_000) == "graph"
 

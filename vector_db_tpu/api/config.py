@@ -185,8 +185,9 @@ class HnswPqConfig:
     search_mode: str = "auto"  # auto | scan_exact | scan_bf16 |
     # scan_pallas | scan_pallas_int8 | adc | adc_fast | pca | graph |
     # scan_int8.
-    # "auto": scan_exact below 700k live rows, scan_pallas above (measured
-    #   crossover — hnsw_pq._auto_scan_mode), adc_fast when raw_store=False.
+    # "auto": scan_exact below 700k live rows, scan_pallas_int8 above
+    #   (measured crossover — hnsw_pq._auto_scan_mode), adc_fast when
+    #   raw_store=False.
     # "scan_exact": blocked MXU exact scan over the raw store with
     #   approx_max_k block reduction — measured 441k QPS / 99.74% Recall@10 at
     #   512d/100k on one v5e chip (64.6k @ ~100% at 1M), vs ~1k QPS for
@@ -203,7 +204,7 @@ class HnswPqConfig:
     #   strided-bucket pool entirely in VMEM (the [Q, block] score buffer
     #   that bounds the XLA scan past ~100k rows never touches HBM) + exact
     #   f32 refine.  83.5k QPS / 98.6% R@10 at 1M x 512 vs the exact scan's
-    #   64.6k / ~100% — the auto choice at >= 700k rows.
+    #   64.6k / ~100%.
     # "scan_pallas_int8": the s8 x s8 -> s32 fused kernel (ops/
     #   pallas_kernels.fused_int8_pool) — same pool + exact-refine pipeline
     #   over a per-row-quantized CENTERED int8 shadow: half the bf16

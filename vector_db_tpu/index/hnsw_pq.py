@@ -1155,21 +1155,25 @@ def _auto_scan_mode(use_graph: bool, n_live: int) -> str:
       * small/mid N: the BLOCKED f32 exact scan (exact_scan_search streams
         [Q, block_n] tiles, never [Q, N]) — 520k QPS @ 100k, 346k @ 256k,
         134k @ 512k, always ~100% recall
-      * large N: the fused Pallas kernel (pallas_scan_refine — bf16 shadow
-        scan whose [Q, block] score buffer lives entirely in VMEM, + exact
-        f32 refine) overtakes the XLA scan once the f32 score buffer's HBM
-        round-trip dominates: 83.5k vs 64.6k QPS @ 1M (recall 98.6% vs
-        ~100%, both above the 97.6% north star).  Crossover measured
-        between 512k (exact 134k vs pallas 119k) and 1M; threshold 700k.
-        Caveat the auto user inherits: the bf16 shadow is cached keyed on
+      * large N: the fused s8 x s8 Pallas kernel (pallas_scan8_refine —
+        per-row-quantized centered int8 shadow scanned entirely in VMEM,
+        + exact f32 refine) overtakes the XLA scan once the f32 score
+        buffer's HBM round-trip dominates.  Same-process A/Bs
+        (benchmarks/bench_scan_modes.py): at 512k exact 96.4k QPS @ 99.8%
+        vs int8-pallas 96.8k @ 98.4% (speed tie -> exact wins on recall);
+        at 1M the int8 kernel beats the bf16 fused kernel 71.2k vs 60.0k
+        QPS at equal 98.6% recall, and the bf16 kernel in turn beats the
+        exact scan (83.5k vs 64.6k in the A2 process) — threshold stays
+        700k, the kernel above it is now int8.
+        Caveat the auto user inherits: the int8 shadow is cached keyed on
         the vectors array, so the first search after a mutation batch pays
-        a ~0.7s/1M-rows rebuild (scan_exact has no such cache — pin
+        a ~1s/1M-rows rebuild (scan_exact has no such cache — pin
         search_mode="scan_exact" for churn-heavy large-N workloads).
     """
     if use_graph:
         return "graph"
     if n_live >= 700_000:
-        return "scan_pallas"
+        return "scan_pallas_int8"
     return "scan_exact"
 
 
