@@ -335,12 +335,15 @@ class TestShardedPersistence:
         assert loads.max() - loads.min() <= 1
 
     def test_bulk_ingest_partial_capacity(self, mesh):
+        # per-shard capacity is 128-rounded (lane-aligned shards), so the
+        # smallest 8-shard capacity is 1024; the bound still rejects excess
         rng = np.random.default_rng(24)
-        vecs = rng.standard_normal((200, 16)).astype(np.float32)
-        db = sh.ShardedDatabase(mesh, dim=16, capacity=128)
-        acc = db.add_batch(np.arange(200), vecs)
-        assert len(acc) == 128  # capacity-bounded, like the loop version
-        assert db.size() == 128
+        vecs = rng.standard_normal((1200, 16)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=16, capacity=1024)
+        assert db.capacity == 1024
+        acc = db.add_batch(np.arange(1200), vecs)
+        assert len(acc) == 1024  # capacity-bounded, like the loop version
+        assert db.size() == 1024
 
 
 class TestMultiprocessExample:
@@ -432,3 +435,31 @@ class TestShardedCompressedTier:
                          (64, 32)).astype(np.float32))
         with pytest.raises(ValueError, match="raw_store"):
             db.fit_pca(8)
+
+    def test_fused_scan(self, mesh):
+        """search_fused: the per-chip Pallas packed-pool kernel + int8
+        refine + ICI merge (multi-chip scan_pallas_int8)."""
+        rng = np.random.default_rng(34)
+        n, dim = 2048, 64
+        vecs = (rng.standard_normal((n, dim)) + 2.0).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False)
+        db.add_batch(np.arange(n), vecs)
+        q = (rng.standard_normal((32, dim)) + 2.0).astype(np.float32)
+        ext, d = db.search_fused(q, 10)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(32)])
+        assert rec >= 0.95, rec
+        assert (d[:, :-1] <= d[:, 1:] + 1e-5).all()
+        # mutation invalidates the conditioning cache (identity-keyed)
+        db.remove(0)
+        ext2, _ = db.search_fused(vecs[:1], 1)
+        assert ext2[0, 0] != 0
+
+    def test_fused_scan_raw_guarded(self, mesh):
+        db = sh.ShardedDatabase(mesh, dim=32, capacity=256)
+        db.add_batch(np.arange(64),
+                     np.random.default_rng(0).standard_normal(
+                         (64, 32)).astype(np.float32))
+        with pytest.raises(ValueError, match="compressed"):
+            db.search_fused(np.zeros((1, 32), np.float32), 1)

@@ -249,6 +249,76 @@ def sharded_knn_int8(mesh: Mesh, k: int, metric: str = "l2"):
     )
 
 
+def sharded_cond_int8(mesh: Mesh, metric: str = "l2"):
+    """Per-shard conditioning vectors for the fused packed scan
+    (index/hnsw_pq._build_scan8p_shadow run shard-locally): each chip
+    derives (off, sel_scale, center) from ITS shard — centering is
+    shard-local, which is sound because selection only ranks within a
+    shard and the merge compares refined (near-exact) distances.
+
+    fn: (packed [N,d/4] i32, scales [N], norms [N], valid [N])
+        -> (off [N], sel_scale [N], center [S, d] one row per shard).
+    """
+
+    def local(p_s, sc_s, norms_s, valid_s):
+        from ..index.hnsw_pq import _build_scan8p_shadow
+
+        off, ssc, cvec = _build_scan8p_shadow(p_s, sc_s, norms_s, valid_s,
+                                              metric)
+        return off, ssc, cvec[None, :]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS, None)),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
+                       metric: str = "l2"):
+    """Corpus-sharded fused s8 x s8 scan over the compressed tier: per chip
+    the Pallas packed-pool kernel (ops/pallas_kernels.fused_packed_pool)
+    streams the shard's own int8 rows entirely in VMEM, a tiny approx
+    select ranks the bucket winners, the int8 refine re-scores with exact
+    write-time norms, and the winners-only ICI merge combines shards.
+    The multi-chip analog of search_mode="scan_pallas_int8".
+
+    fn: (q [Q,d], packed [N,d/4] i32, scales [N], off [N], sel_scale [N],
+         center [S,d]) -> (dists [Q,k], global slot idx [Q,k]).
+    """
+
+    def local(q, p_s, sc_s, off_s, ssc_s, cvec_s):
+        from ..ops.distance import blocked_rerank_int8, normalize_rows
+        from ..ops.pallas_kernels import fused_packed_pool
+
+        qq = normalize_rows(q) if metric == "cosine" else q
+        qc = qq - cvec_s[0][None, :]
+        vals, idx = fused_packed_pool(qc, p_s, off_s, ssc_s, w)
+        nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
+        cand = jnp.take_along_axis(idx, sel, axis=1)
+        cand = jnp.where(jnp.isfinite(nv), cand, -1)
+        d, slots = blocked_rerank_int8(q, p_s, sc_s, cand, k, metric,
+                                       rb=pool)
+        gslots = jnp.where(
+            slots >= 0, slots + jax.lax.axis_index(AXIS) * p_s.shape[0], -1)
+        return _merge_topk(d, gslots, k)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_flagship_int8(mesh: Mesh, k: int, refine: int,
                           metric: str = "l2"):
     """Corpus-sharded flagship for the compressed tier: per-chip ADC top-R
@@ -527,6 +597,9 @@ class ShardedDatabase:
             raise ValueError("need either vectors or dim=")
         capacity = max(capacity or 1024, self.n_shards)
         self.per_shard = -(-capacity // self.n_shards)
+        # lane-rounded shards: every per-shard kernel sees 128-aligned rows
+        # (and search_fused's pool width has a 128-multiple to divide into)
+        self.per_shard += (-self.per_shard) % 128
         self.capacity = self.per_shard * self.n_shards
         self.dim = dim
         self.num_subspaces = num_subspaces
@@ -878,6 +951,47 @@ class ShardedDatabase:
                 self._knn_cache[("exact8", k)] = fn
             d, idx = fn(jnp.asarray(queries, jnp.float32), self.packed,
                         self.scales, self.valid, self.norms)
+        idx_np = np.asarray(idx)
+        ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
+        return ext, np.asarray(d)
+
+    def search_fused(self, queries: np.ndarray, k: int, pool: int = 64
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Compressed-tier fused scan: per chip the Pallas s8 x s8 packed-
+        pool kernel + int8 refine (sharded_fused_int8), the multi-chip
+        analog of search_mode="scan_pallas_int8".  Per-shard conditioning
+        vectors (sharded_cond_int8) are cached on the assembled device
+        arrays, so clean-state searches pay zero conditioning cost."""
+        if self.raw:
+            raise ValueError(
+                "search_fused targets the compressed tier (raw_store="
+                "False); on the raw tier use search()"
+            )
+        self._refresh()
+        cond = getattr(self, "_cond_cache", None)
+        if (cond is None or cond[0] is not self.packed
+                or cond[1] is not self.valid):
+            fn = self._knn_cache.get("cond8")
+            if fn is None:
+                fn = sharded_cond_int8(self.mesh, metric=self.metric)
+                self._knn_cache["cond8"] = fn
+            self._cond_cache = cond = (
+                self.packed, self.valid,
+                fn(self.packed, self.scales, self.norms, self.valid),
+            )
+        off, ssc, cvec = cond[2]
+        # largest pool width dividing the (128-rounded) per-shard rows
+        w = min(2048, self.per_shard)
+        while self.per_shard % w:
+            w -= 128
+        key = ("fused8", k, pool, w)
+        fn = self._knn_cache.get(key)
+        if fn is None:
+            fn = sharded_fused_int8(self.mesh, k, pool=min(pool, w), w=w,
+                                    metric=self.metric)
+            self._knn_cache[key] = fn
+        d, idx = fn(jnp.asarray(queries, jnp.float32), self.packed,
+                    self.scales, off, ssc, cvec)
         idx_np = np.asarray(idx)
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
