@@ -101,16 +101,17 @@ def main():
         jax.block_until_ready(off)
         log("packed + conditioning ready")
 
-        def fused_run(q, p, s, o, c, cv, eps):
-            d, _ = pallas_scan8p_refine(q + eps, p, s, o, c, cv, ids, k,
-                                        "l2", pool=pool, w=w)
-            return d[0, 0]
+        for pp in (pool, 128, 256):
+            def fused_run(q, p, s, o, c, cv, eps, _pp=pp):
+                d, _ = pallas_scan8p_refine(q + eps, p, s, o, c, cv, ids, k,
+                                            "l2", pool=_pp, w=w)
+                return d[0, 0]
 
-        d, e = pallas_scan8p_refine(qj, packed, scales, off, sc, cvec, ids,
-                                    k, "l2", pool=pool, w=w)
-        dt = timed(fused_run, qj, packed, scales, off, sc, cvec)
-        log(f"fused packed-pool e2e: recall={rec(e):.4f}  {dt*1e3:.2f} ms  "
-            f"{nq/dt:,.0f} QPS")
+            d, e = pallas_scan8p_refine(qj, packed, scales, off, sc, cvec,
+                                        ids, k, "l2", pool=pp, w=w)
+            dt = timed(fused_run, qj, packed, scales, off, sc, cvec)
+            log(f"fused packed-pool e2e pool={pp}: recall={rec(e):.4f}  "
+                f"{dt*1e3:.2f} ms  {nq/dt:,.0f} QPS")
 
         def xla_run(q, p, s, v, nr, eps):
             d, _ = blocked_knn_int8(q + eps, p, s, v, k, b_norms=nr,
