@@ -1161,10 +1161,9 @@ def _auto_scan_mode(use_graph: bool, n_live: int) -> str:
         buffer's HBM round-trip dominates.  Same-process A/Bs
         (benchmarks/bench_scan_modes.py): at 512k exact 96.4k QPS @ 99.8%
         vs int8-pallas 96.8k @ 98.4% (speed tie -> exact wins on recall);
-        at 1M the int8 kernel beats the bf16 fused kernel 71.2k vs 60.0k
-        QPS at equal 98.6% recall, and the bf16 kernel in turn beats the
-        exact scan (83.5k vs 64.6k in the A2 process) — threshold stays
-        700k, the kernel above it is now int8.
+        at 1M one process measured all three: exact 53.0k @ 99.9%, bf16
+        61.2k @ 98.6%, int8 73.4k @ 98.6% — threshold stays 700k, the
+        kernel above it is now int8 (1.39x the exact scan at 1M).
         Caveat the auto user inherits: the int8 shadow is cached keyed on
         the vectors array, so the first search after a mutation batch pays
         a ~1s/1M-rows rebuild (scan_exact has no such cache — pin
