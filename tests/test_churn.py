@@ -37,6 +37,14 @@ CONFIGS = [
     (IndexType.HNSWPQ, HnswPqConfig(raw_store=False, num_subspaces=4,
                                     num_centroids=16, training_samples=64,
                                     search_mode="scan_int8")),
+    # fused Pallas pool kernels under churn: shadow/conditioning caches are
+    # keyed on (vectors|packed, valid) identity and must track mutations
+    (IndexType.HNSWPQ, HnswPqConfig(num_subspaces=4, num_centroids=16,
+                                    training_samples=64,
+                                    search_mode="scan_pallas_int8")),
+    (IndexType.HNSWPQ, HnswPqConfig(raw_store=False, num_subspaces=4,
+                                    num_centroids=16, training_samples=64,
+                                    search_mode="scan_pallas_int8")),
     (IndexType.IVF, IvfConfig(num_clusters=8, num_probes=8)),
     (IndexType.LSH, LshConfig(num_tables=6, num_bits=8)),
     (IndexType.ANNOY, AnnoyConfig(num_trees=4, leaf_size=8)),
