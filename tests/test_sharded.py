@@ -456,10 +456,19 @@ class TestShardedCompressedTier:
         ext2, _ = db.search_fused(vecs[:1], 1)
         assert ext2[0, 0] != 0
 
-    def test_fused_scan_raw_guarded(self, mesh):
-        db = sh.ShardedDatabase(mesh, dim=32, capacity=256)
-        db.add_batch(np.arange(64),
-                     np.random.default_rng(0).standard_normal(
-                         (64, 32)).astype(np.float32))
-        with pytest.raises(ValueError, match="compressed"):
-            db.search_fused(np.zeros((1, 32), np.float32), 1)
+    def test_fused_scan_raw_tier(self, mesh):
+        """search_fused on the RAW tier: int8 shadow scan + exact f32
+        refine per shard (sharded_fused_raw8)."""
+        rng = np.random.default_rng(35)
+        n, dim = 2048, 64
+        vecs = (rng.standard_normal((n, dim)) + 2.0).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n)
+        db.add_batch(np.arange(n), vecs)
+        q = (rng.standard_normal((32, dim)) + 2.0).astype(np.float32)
+        ext, d = db.search_fused(q, 10)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(32)])
+        # exact f32 refine: raw-tier fused recall must be near-perfect
+        assert rec >= 0.97, rec
+        assert (d[:, :-1] <= d[:, 1:] + 1e-5).all()

@@ -278,6 +278,73 @@ def sharded_cond_int8(mesh: Mesh, metric: str = "l2"):
     )
 
 
+def sharded_cond_raw8(mesh: Mesh, metric: str = "l2"):
+    """Per-shard int8 scan shadow for the RAW tier's fused scan
+    (index/hnsw_pq._build_scan8_shadow run shard-locally): each chip keeps
+    a quarter-width quantized copy of its f32 shard (+ conditioning rows).
+
+    fn: (vectors [N,d], norms [N], valid [N])
+        -> (base8 [N,d] i8, off [N], sel_scale [N], center [S, d]).
+    """
+
+    def local(v_s, norms_s, valid_s):
+        from ..index.hnsw_pq import _build_scan8_shadow
+
+        base8, off, ssc, cvec = _build_scan8_shadow(
+            v_s, norms_s, valid_s, metric, 128)
+        return base8, off, ssc, cvec[None, :]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS, None)),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_fused_raw8(mesh: Mesh, k: int, pool: int, w: int,
+                       metric: str = "l2"):
+    """Raw-tier corpus-sharded fused s8 x s8 scan: per chip the int8 pool
+    kernel (ops/pallas_kernels.fused_int8_pool) streams that shard's
+    quantized shadow, the exact f32 refine re-scores against the raw
+    shard, and the winners-only ICI merge combines chips.  The multi-chip
+    analog of the raw tier's `search_mode="scan_pallas_int8"` (auto's
+    >=700k-rows-per-shard choice on one chip).
+
+    fn: (q [Q,d], base [N,d] f32, base8 [N,d] i8, off [N], sel_scale [N],
+         center [S,d]) -> (dists [Q,k], global slot idx [Q,k]).
+    """
+
+    def local(q, v_s, b8_s, off_s, ssc_s, cvec_s):
+        from ..ops.distance import blocked_rerank, normalize_rows
+        from ..ops.pallas_kernels import fused_int8_pool
+
+        qq = normalize_rows(q) if metric == "cosine" else q
+        qc = qq - cvec_s[0][None, :]
+        vals, idx = fused_int8_pool(qc, b8_s, off_s, ssc_s, w)
+        nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
+        cand = jnp.take_along_axis(idx, sel, axis=1)
+        cand = jnp.where(jnp.isfinite(nv), cand, -1)
+        d, slots = blocked_rerank(q, v_s, cand, k, metric, rb=pool)
+        gslots = jnp.where(
+            slots >= 0, slots + jax.lax.axis_index(AXIS) * v_s.shape[0], -1)
+        return _merge_topk(d, gslots, k)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                      P(AXIS, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
                        metric: str = "l2"):
     """Corpus-sharded fused s8 x s8 scan over the compressed tier: per chip
@@ -957,29 +1024,28 @@ class ShardedDatabase:
 
     def search_fused(self, queries: np.ndarray, k: int, pool: int = 64
                      ) -> tuple[np.ndarray, np.ndarray]:
-        """Compressed-tier fused scan: per chip the Pallas s8 x s8 packed-
-        pool kernel + int8 refine (sharded_fused_int8), the multi-chip
-        analog of search_mode="scan_pallas_int8".  Per-shard conditioning
-        vectors (sharded_cond_int8) are cached on the assembled device
-        arrays, so clean-state searches pay zero conditioning cost."""
-        if self.raw:
-            raise ValueError(
-                "search_fused targets the compressed tier (raw_store="
-                "False); on the raw tier use search()"
-            )
+        """Multi-chip fused s8 x s8 scan (the sharded analog of
+        search_mode="scan_pallas_int8", auto's >=700k-rows choice on one
+        chip).  Compressed tier: the Pallas packed-pool kernel streams each
+        shard's OWN int8 rows + int8 refine (sharded_fused_int8).  Raw
+        tier: each chip keeps a quantized int8 shadow of its f32 shard and
+        refines exactly in f32 (sharded_fused_raw8).  Per-shard
+        conditioning is cached on the assembled device arrays, so
+        clean-state searches pay zero conditioning cost."""
         self._refresh()
+        rows = self.vectors if self.raw else self.packed
         cond = getattr(self, "_cond_cache", None)
-        if (cond is None or cond[0] is not self.packed
-                or cond[1] is not self.valid):
+        if cond is None or cond[0] is not rows or cond[1] is not self.valid:
             fn = self._knn_cache.get("cond8")
             if fn is None:
-                fn = sharded_cond_int8(self.mesh, metric=self.metric)
+                fn = (sharded_cond_raw8(self.mesh, metric=self.metric)
+                      if self.raw else
+                      sharded_cond_int8(self.mesh, metric=self.metric))
                 self._knn_cache["cond8"] = fn
-            self._cond_cache = cond = (
-                self.packed, self.valid,
-                fn(self.packed, self.scales, self.norms, self.valid),
-            )
-        off, ssc, cvec = cond[2]
+            built = (fn(self.vectors, self.norms, self.valid) if self.raw
+                     else fn(self.packed, self.scales, self.norms,
+                             self.valid))
+            self._cond_cache = cond = (rows, self.valid, built)
         # largest pool width dividing the (128-rounded) per-shard rows
         w = min(2048, self.per_shard)
         while self.per_shard % w:
@@ -987,11 +1053,16 @@ class ShardedDatabase:
         key = ("fused8", k, pool, w)
         fn = self._knn_cache.get(key)
         if fn is None:
-            fn = sharded_fused_int8(self.mesh, k, pool=min(pool, w), w=w,
-                                    metric=self.metric)
+            fn = ((sharded_fused_raw8 if self.raw else sharded_fused_int8)
+                  (self.mesh, k, pool=min(pool, w), w=w, metric=self.metric))
             self._knn_cache[key] = fn
-        d, idx = fn(jnp.asarray(queries, jnp.float32), self.packed,
-                    self.scales, off, ssc, cvec)
+        qj = jnp.asarray(queries, jnp.float32)
+        if self.raw:
+            base8, off, ssc, cvec = cond[2]
+            d, idx = fn(qj, self.vectors, base8, off, ssc, cvec)
+        else:
+            off, ssc, cvec = cond[2]
+            d, idx = fn(qj, self.packed, self.scales, off, ssc, cvec)
         idx_np = np.asarray(idx)
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
