@@ -456,6 +456,22 @@ class TestShardedCompressedTier:
         ext2, _ = db.search_fused(vecs[:1], 1)
         assert ext2[0, 0] != 0
 
+    def test_search_auto_routes_to_fused(self, mesh):
+        """search() crosses over to the fused kernel above the per-shard
+        threshold (the sharded analog of single-chip auto)."""
+        rng = np.random.default_rng(36)
+        n, dim = 1024, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False)
+        db.add_batch(np.arange(n), vecs)
+        db.fused_threshold = 1  # force the crossover at test scale
+        calls = []
+        orig = db.search_fused
+        db.search_fused = lambda q, k, **kw: (calls.append(1), orig(q, k))[1]
+        ext, _ = db.search(vecs[:4], 1)
+        assert calls, "search() did not route to search_fused"
+        assert (ext[:, 0] == np.arange(4)).all()
+
     def test_fused_scan_raw_tier(self, mesh):
         """search_fused on the RAW tier: int8 shadow scan + exact f32
         refine per shard (sharded_fused_raw8)."""

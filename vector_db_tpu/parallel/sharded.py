@@ -998,11 +998,21 @@ class ShardedDatabase:
             self._put_field(name)
         self._dirty.clear()
 
+    # auto crossover: above this many live rows per shard the fused s8
+    # kernel beats the exact scan (same threshold + measurements as the
+    # single-chip hnsw_pq._auto_scan_mode — 73.4k vs 53.0k QPS at 1M)
+    fused_threshold = 700_000
+
     # ----------------------------------------------------------- search
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Corpus-sharded exact search -> (external ids, dists).  On the
-        compressed tier this is the near-exact int8 scan (write-time-exact
-        norms; only the cross term carries the ~0.4% quantization error)."""
+        """Corpus-sharded search -> (external ids, dists).  Below
+        ~fused_threshold live rows per shard this is the exact scan (raw
+        tier) / near-exact int8 scan (compressed tier); above it, it
+        routes to `search_fused` — the same measured crossover as the
+        single-chip auto mode (pin by calling search_fused or the exact
+        programs directly if a fixed path is required)."""
+        if len(self._slot_of) >= self.fused_threshold * self.n_shards:
+            return self.search_fused(queries, k)
         self._refresh()
         if self.raw:
             fn = self._knn_cache.get(("exact", k))
