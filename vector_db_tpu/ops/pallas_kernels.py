@@ -1,12 +1,25 @@
 """Pallas TPU kernels for the hot search ops.
 
-`fused_scan_topk` is the flagship kernel: it fuses the query x base distance
-matmul (MXU) with an in-VMEM per-bucket partial reduction (VPU), so the
-[Q, N] distance matrix never materialises in HBM.  The XLA pipeline
-(dot_general -> approx_max_k custom call) round-trips the full distance
-matrix through HBM (~800 MB per 1024-query batch at N=100k); the fused
-kernel keeps each distance tile in VMEM and emits only one winner per
-128-lane bucket ([Q, N/128]), after which a tiny exact top-k finishes.
+Five kernels, all built on the same idea: keep the [Q, N] score matrix in
+VMEM tiles (the XLA pipeline's f32 [Q, block] HBM round-trip is the exact
+scan's bound past ~100k rows) and emit only bucket winners:
+
+  * `fused_raw_pool`    — bf16 shadow scan + strided-bucket pool
+  * `fused_int8_pool`   — s8 x s8 -> s32 variant (half the shadow bytes,
+    2x the v5e MXU rate; auto's choice at >= 700k rows — 73.4k vs the
+    exact scan's 53.0k QPS at 1M x 512)
+  * `fused_packed_pool` — s8 scan DIRECTLY over the compressed store's
+    int32-packed rows (zero shadow memory; 1.73x the XLA int8 scan at 1M)
+  * `fused_adc_pool`    — PQ decode (dynamic_gather) + scan + pool, the
+    memory-bound mode's fused stage
+  * `fused_scan_topk`   — the original f32 bucket-winner scan (one winner
+    per 128-lane bucket + tiny exact top-k; superseded by the pool
+    kernels for the large-N path, kept as the no-shadow exact variant)
+
+The XLA pipeline (dot_general -> approx_max_k custom call) round-trips the
+full distance matrix through HBM (~800 MB per 1024-query batch at N=100k);
+the fused kernels keep each distance tile in VMEM and emit one winner per
+strided bucket, after which a tiny select + blocked exact refine finishes.
 
 Base blocks are streamed by Pallas's automatic grid pipelining; the output
 winner row stays resident in VMEM across the base-block grid axis (the
