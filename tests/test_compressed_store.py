@@ -368,6 +368,26 @@ class TestScanPallasInt8:
         ids, _ = idx.search_batch(q, K)
         assert _recall(ids, _gt(vecs, q, metric="cosine")) >= 0.93
 
+    def test_compressed_fused_scan_state_roundtrip(self):
+        """state_arrays -> load_state_arrays preserves fused-scan results
+        (the conditioning shadow rebuilds lazily from the loaded packed
+        store)."""
+        vecs = _corpus(2048)
+        cfg = HnswPqConfig(num_subspaces=16, training_samples=1024,
+                           raw_store=False, search_mode="scan_pallas_int8")
+        idx = HnswPqIndex(DIM, 2048, config=cfg)
+        idx.bulk_load_stream([(range(2048), vecs)])
+        q = _corpus(64, seed=3)
+        ids1, d1 = idx.search_batch(q, K)
+        idx2 = HnswPqIndex(DIM, 2048, config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024,
+            raw_store=False, search_mode="scan_pallas_int8"))
+        idx2.load_state_arrays(idx.state_arrays())
+        ids2, d2 = idx2.search_batch(q, K)
+        np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_compressed_store_fused_scan_delete(self):
         vecs = _corpus(2048)
         idx = HnswPqIndex(DIM, 2048, config=HnswPqConfig(
