@@ -247,7 +247,9 @@ class HnswPqConfig:
     # [cap, dim] f32 matrix, so capacity is bounded by codes + proxy + int8
     # rows (~0.7 GB/M at 512d vs 2 GB/M raw f32 — 10M x 512 fits one 16 GB
     # chip with room to search).  Search modes: adc_fast (default), pca,
-    # adc, scan_int8; scan_exact/scan_pallas/graph need raw rows and raise.
+    # adc, scan_int8, scan_pallas_int8 (the fused kernel streams the packed
+    # rows directly — 1.73x scan_int8 at 1M); scan_exact/scan_pallas/graph
+    # need raw rows and raise.
     # The reference's N >> memory roadmap answer is IVF sharding + mmap
     # (reference: PERFORMANCE_BENCHMARK_AND_ROADMAP.md:475-525).
     adc_select_r: int = 0  # > 0 -> narrow the (wide, cheap) pool to a ranked
