@@ -372,22 +372,20 @@ def fused_adc_pool(
     return vals[:qn], idxs[:qn]
 
 
-def _pool_accumulate(dist, val_ref, idx_ref, block_n: int, nb_w: int,
-                     pass_idx: bool = False):
+def _pool_accumulate(dist, val_ref, idx_ref, block_n: int, nb_w: int):
     """Shared min-accumulate epilogue of every fused pool kernel: on the
     first jdiv pass the resident output window is initialised, then bucket
-    winners min-accumulate in VMEM.  Grid layout is the common
-    (q_tiles, jmod, jdiv) with jdiv innermost — the block visited at
-    (jmod, jdiv) is jdiv*nb_w + jmod (strided buckets).
-
-    ``pass_idx=True`` stores the winning PASS index jd (a scalar
-    broadcast) instead of the per-element global-slot matrix — one fewer
-    [qt, bn] VPU pass per grid step (slot = iota + block_i*bn is a
-    per-step add); the caller recovers slot = jd * w + out_column
-    (`_pool_slots_from_pass`)."""
+    winners (value + global slot) min-accumulate in VMEM.  Grid layout is
+    the common (q_tiles, jmod, jdiv) with jdiv innermost — the block
+    visited at (jmod, jdiv) is jdiv*nb_w + jmod (strided buckets)."""
     jm = pl.program_id(1)
     jd = pl.program_id(2)
     qt = dist.shape[0]
+    block_i = jd * nb_w + jm
+    slot = (
+        block_i * block_n
+        + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
+    )
 
     @pl.when(jd == 0)
     def _():
@@ -396,26 +394,7 @@ def _pool_accumulate(dist, val_ref, idx_ref, block_n: int, nb_w: int,
 
     better = dist < val_ref[:, :]
     val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
-    if pass_idx:
-        idx_ref[:, :] = jnp.where(better, jd, idx_ref[:, :])
-    else:
-        block_i = jd * nb_w + jm
-        slot = (
-            block_i * block_n
-            + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
-        )
-        idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
-
-
-def _pool_slots_from_pass(vals, passes_idx, w: int, n: int):
-    """Recover global slots from `_pool_accumulate(pass_idx=True)` output:
-    the winner of out column p on pass jd sits at slot jd * w + p (strided
-    buckets).  One [Q, w] pass on the tiny pool, off the kernel's hot
-    loop."""
-    col = jax.lax.broadcasted_iota(jnp.int32, passes_idx.shape, 1)
-    slots = passes_idx * w + col
-    ok = jnp.isfinite(vals) & (passes_idx >= 0) & (slots < n)
-    return jnp.where(ok, slots, -1)
+    idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
 
 
 def _quantize_rows_int8(q: Array) -> tuple[Array, Array]:
@@ -572,7 +551,7 @@ def fused_raw_pool(
     return vals[:qn], idxs[:qn]
 
 
-def _make_int8_pool_kernel(block_n: int, nb_w: int, pass_idx: bool = False):
+def _make_int8_pool_kernel(block_n: int, nb_w: int):
     """s8 x s8 -> s32 fused scan + strided-bucket pool kernel body.
 
     The int8 sibling of `_make_raw_pool_kernel`: the corpus shadow is
@@ -595,15 +574,13 @@ def _make_int8_pool_kernel(block_n: int, nb_w: int, pass_idx: bool = False):
             cross.astype(jnp.float32) * sc_ref[0, :][None, :]
             * sq_ref[:, 0:1]
         )
-        _pool_accumulate(dist, val_ref, idx_ref, block_n, nb_w,
-                         pass_idx=pass_idx)
+        _pool_accumulate(dist, val_ref, idx_ref, block_n, nb_w)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "block_n", "q_tile", "interpret",
-                              "pass_idx")
+    jax.jit, static_argnames=("w", "block_n", "q_tile", "interpret")
 )
 def fused_int8_pool(
     q: Array,
@@ -614,7 +591,6 @@ def fused_int8_pool(
     block_n: int = 512,
     q_tile: int = 1024,
     interpret: bool | None = None,
-    pass_idx: bool = False,
 ) -> tuple[Array, Array]:
     """Fused s8 x s8 scan + strided-bucket pool over an int8 corpus shadow.
 
@@ -653,7 +629,7 @@ def fused_int8_pool(
     q8, sq_col, qp, q_tile = _pad_int8_queries(q8, sq, q_tile)
 
     vals, idxs = pl.pallas_call(
-        _make_int8_pool_kernel(block_n, nb_w, pass_idx=pass_idx),
+        _make_int8_pool_kernel(block_n, nb_w),
         grid=(qp // q_tile, nb_w, passes),
         in_specs=[
             pl.BlockSpec((q_tile, d), lambda i, jm, jd: (i, 0),
@@ -685,10 +661,7 @@ def fused_int8_pool(
         ),
         interpret=interpret,
     )(q8, sq_col, base8, sel_off[None, :], sel_scale[None, :])
-    if pass_idx:
-        idxs = _pool_slots_from_pass(vals, idxs, w, n)
-    else:
-        idxs = jnp.where(jnp.isfinite(vals) & (idxs < n), idxs, -1)
+    idxs = jnp.where(jnp.isfinite(vals) & (idxs < n), idxs, -1)
     return vals[:qn], idxs[:qn]
 
 
