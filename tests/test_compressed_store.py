@@ -344,6 +344,55 @@ class TestScanPallasInt8:
         ids, _ = idx.search_batch(q, 1)
         assert not set(ids[:, 0].tolist()) & set(range(8))
 
+    def test_incremental_shadow_update(self):
+        """Churn after the first search refreshes the int8 shadow
+        INCREMENTALLY (requantize dirty rows against the cached centering,
+        O(dirty*d)) instead of the O(N*d) full rebuild — verified by aux
+        identity — and the refreshed shadow finds new rows / drops deleted
+        ones exactly like a rebuilt one."""
+        vecs = _corpus(2048)
+        idx = HnswPqIndex(DIM, 4096, config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024,
+            search_mode="scan_pallas_int8"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        idx.search_batch(vecs[:4], 1)            # warm: full shadow build
+        assert idx._scan8_dirty == []
+        aux_obj = idx._scan8_aux
+        for i in range(16):
+            assert idx.remove(i)
+        r = np.random.default_rng(99)
+        newv = (r.standard_normal((16, DIM)) * 3.0).astype(np.float32)
+        assert len(idx.add_batch(range(5000, 5016), newv)) == 16
+        assert idx._scan8_dirty                   # mutations recorded
+        ids, _ = idx.search_batch(newv, 1)
+        assert idx._scan8_aux is aux_obj          # incremental, no rebuild
+        assert idx._scan8_dirty == []
+        assert list(ids[:, 0]) == list(range(5000, 5016))
+        ids2, _ = idx.search_batch(vecs[:16], 5)
+        assert not set(ids2.ravel().tolist()) & set(range(16))
+        # incremental shadow ranks like a freshly rebuilt one
+        q = _corpus(64, seed=11)
+        ids_inc, _ = idx.search_batch(q, K)
+        idx._scan8_cache = None                   # force full rebuild
+        idx._scan8_dirty = None
+        ids_full, _ = idx.search_batch(q, K)
+        assert idx._scan8_aux is not aux_obj      # rebuild really happened
+        assert _recall(ids_inc, ids_full) >= 0.95
+
+    def test_churn_threshold_degrades_to_rebuild(self):
+        """Over-threshold churn (> max(8192, cap/8) dirty slots) drops the
+        record: the next shadow call takes the full-rebuild path."""
+        idx = HnswPqIndex(DIM, 1024, config=HnswPqConfig(
+            search_mode="scan_pallas_int8"))
+        idx._note_row_mutation(np.arange(9000))
+        assert idx._scan8_dirty is None
+        # untracked rewrites drop it too
+        idx2 = HnswPqIndex(DIM, 1024, config=HnswPqConfig(
+            num_subspaces=16, training_samples=256,
+            search_mode="scan_pallas_int8"))
+        idx2.bulk_load_stream([(range(512), _corpus(512))])
+        assert idx2._scan8_dirty is None
+
     def test_compressed_store_fused_scan(self):
         """raw_store=False + scan_pallas_int8: the fused kernel streams the
         store's OWN packed rows (no shadow copy) at near-exact recall."""

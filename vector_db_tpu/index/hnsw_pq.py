@@ -121,6 +121,13 @@ class HnswPqIndex(VectorIndex):
         # packed-store conditioning vectors (scan_pallas_int8 on the
         # compressed tier — no corpus copy, just off/sc/center)
         self._scan8p_cache: Optional[tuple] = None
+        # dirty-slot record for INCREMENTAL int8-shadow maintenance:
+        # [] = complete record (nothing dirty); list of slot arrays =
+        # incrementally updatable; None = unknown writer touched the store
+        # (next shadow call does a full rebuild).  Keeps churn-heavy
+        # large-N workloads off the O(N*d) rebuild cliff (~1 s/1M rows).
+        self._scan8_dirty: Optional[list] = []
+        self._scan8_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
         # at train time, proxy rows [cap, p] bf16 maintained per encode
         self.pca_mean: Optional[jax.Array] = None
@@ -139,11 +146,23 @@ class HnswPqIndex(VectorIndex):
         )
 
     # ------------------------------------------------------------- mutation
+    def _note_row_mutation(self, slots: np.ndarray) -> None:
+        """Record store-row mutations for incremental int8-shadow updates
+        (see _scan8_shadow).  Over-threshold churn degrades to a full
+        rebuild (None)."""
+        if self._scan8_dirty is None:
+            return
+        self._scan8_dirty.append(np.asarray(slots, np.int64).ravel())
+        limit = max(8192, self.store.capacity // 8)
+        if sum(a.size for a in self._scan8_dirty) > limit:
+            self._scan8_dirty = None
+
     def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
         accepted, slots = self.store.add_batch(ids, vectors)
         if not accepted:
             return []
         slots_np = np.asarray(slots, np.int32)
+        self._note_row_mutation(slots_np)
         if not self.trained:
             # lazy training (reference: HnswPqIndex.java:170-175): buffer until
             # the training threshold, then train + encode + build everything
@@ -163,6 +182,7 @@ class HnswPqIndex(VectorIndex):
         """Zero-copy bulk ingest of a device-resident corpus + train.
         (See VectorStore.bulk_load.)"""
         accepted = self.store.bulk_load(ids, vectors)
+        self._scan8_dirty = None  # bulk rewrite -> full shadow rebuild
         if accepted:
             self.train()
         return accepted
@@ -192,6 +212,7 @@ class HnswPqIndex(VectorIndex):
         """
         if self.store.size() > 0:
             raise ValueError("bulk_load_stream requires an empty index")
+        self._scan8_dirty = None  # streamed rewrite -> full shadow rebuild
         if self.config.use_graph:
             raise ValueError(
                 "bulk_load_stream does not build the HNSW graph; "
@@ -328,6 +349,7 @@ class HnswPqIndex(VectorIndex):
         slot = self.store.remove(vec_id)
         if slot is None:
             return False
+        self._note_row_mutation(np.asarray([slot]))
         self.coarse_assign[slot] = -1
         self._members_dirty = True
         if self.config.use_graph and int(self.graph.entry) == slot:
@@ -578,15 +600,39 @@ class HnswPqIndex(VectorIndex):
     def _scan8_shadow(self, st):
         """Cached int8 scan shadow for search_mode="scan_pallas_int8" (see
         _build_scan8_shadow).  Keyed on vectors AND valid like
-        _scan16_shadow (the selection offset bakes tombstones in)."""
-        if (self._scan8_cache is None
-                or self._scan8_cache[0] is not st.vectors
-                or self._scan8_cache[1] is not st.valid):
-            self._scan8_cache = (
-                st.vectors, st.valid,
-                _build_scan8_shadow(st.vectors, st.norms, st.valid,
-                                    self.metric, 2048),
-            )
+        _scan16_shadow (the selection offset bakes tombstones in).
+
+        Mutations recorded in _scan8_dirty (add_batch/remove) refresh the
+        shadow INCREMENTALLY — requantize only the dirty rows against the
+        cached centering (_update_scan8_shadow) — so steady churn on a
+        large index pays O(dirty * d) per search, not the O(N * d) full
+        rebuild (~1 s at 1M x 512).  Any untracked store rewrite
+        (bulk_load / load_state_arrays / over-threshold churn) sets
+        _scan8_dirty = None, forcing the full rebuild."""
+        if (self._scan8_cache is not None
+                and self._scan8_cache[0] is st.vectors
+                and self._scan8_cache[1] is st.valid):
+            return self._scan8_cache[2]
+        if (self._scan8_cache is not None and self._scan8_dirty
+                and self._scan8_aux is not None):
+            slots = np.unique(np.concatenate(self._scan8_dirty))
+            n_pad = 1 << max(0, int(slots.size - 1).bit_length())
+            slots = np.concatenate(
+                [slots, np.full(n_pad - slots.size, slots[0], slots.dtype)]
+            ).astype(np.int32)
+            base8, off, sc, cvec = self._scan8_cache[2]
+            base8, off, sc = _update_scan8_shadow(
+                base8, off, sc, st.vectors, st.norms, st.valid,
+                jnp.asarray(slots), cvec, self._scan8_aux, self.metric)
+            self._scan8_cache = (st.vectors, st.valid,
+                                 (base8, off, sc, cvec))
+            self._scan8_dirty = []
+            return self._scan8_cache[2]
+        base8, off, sc, cvec, aux = _build_scan8_shadow(
+            st.vectors, st.norms, st.valid, self.metric, 2048)
+        self._scan8_cache = (st.vectors, st.valid, (base8, off, sc, cvec))
+        self._scan8_aux = aux
+        self._scan8_dirty = []
         return self._scan8_cache[2]
 
     def _scan8p_shadow(self, st):
@@ -1019,6 +1065,7 @@ class HnswPqIndex(VectorIndex):
         self.store = VectorStore.from_host(arrays["store"])
         self.codes = jnp.asarray(arrays["codes"])
         self._fast_cache = None
+        self._scan8_dirty = None  # untracked store rewrite -> full rebuild
         self.trained = bool(np.asarray(arrays["trained"])[0])
         self._level_counter = int(np.asarray(arrays["level_counter"])[0])
         self.codebooks = (
@@ -1286,11 +1333,13 @@ def _build_scan8_shadow(vectors, norms, valid, metric, pad_to):
         off = -(vhat @ cdir)
         sgn = -1.0
         center_vec = cdir
+        aux = c0
     else:
         ctr = vectors - mu[None, :]
         off = norms + musq - 2.0 * (vectors @ mu)  # ||v - mu||^2 exact
         sgn = -2.0
         center_vec = mu
+        aux = musq
     sv = jnp.maximum(jnp.max(jnp.abs(ctr), axis=1), 1e-12) / 127.0
     base8 = jnp.clip(jnp.round(ctr / sv[:, None]), -127, 127).astype(jnp.int8)
     sc = sgn * sv
@@ -1300,7 +1349,39 @@ def _build_scan8_shadow(vectors, norms, valid, metric, pad_to):
         base8 = jnp.pad(base8, ((0, pad), (0, 0)))
         off = jnp.pad(off, (0, pad), constant_values=jnp.inf)
         sc = jnp.pad(sc, (0, pad))
-    return base8, off, sc, center_vec
+    return base8, off, sc, center_vec, aux
+
+
+@functools.partial(jax.jit, static_argnames=("metric",),
+                   donate_argnums=(0, 1, 2))
+def _update_scan8_shadow(base8, off, sc, vectors, norms, valid, slots,
+                         cvec, aux, metric):
+    """Incremental int8-shadow refresh: requantize ONLY the mutated rows
+    against the CACHED centering (cvec/aux from the last full
+    _build_scan8_shadow) so all rows stay mutually consistent — only a
+    full rebuild refreshes the centering itself.  O(dirty * d) instead of
+    O(N * d) (~1 s at 1M x 512); the shadow arrays are donated in place.
+    ``slots`` may contain duplicates (pow2 padding repeats a slot — the
+    duplicate scatter writes identical values)."""
+    rows = vectors[slots]
+    rnorms = norms[slots]
+    rvalid = valid[slots]
+    if metric == "cosine":
+        iv = jax.lax.rsqrt(jnp.maximum(rnorms, 1e-12))
+        vhat = rows * iv[:, None]
+        ctr = vhat - aux * cvec[None, :]
+        off_s = -(vhat @ cvec)
+        sgn = -1.0
+    else:
+        ctr = rows - cvec[None, :]
+        off_s = rnorms + aux - 2.0 * (rows @ cvec)
+        sgn = -2.0
+    sv = jnp.maximum(jnp.max(jnp.abs(ctr), axis=1), 1e-12) / 127.0
+    r8 = jnp.clip(jnp.round(ctr / sv[:, None]), -127, 127).astype(jnp.int8)
+    off_s = jnp.where(rvalid, off_s, jnp.inf)
+    return (base8.at[slots].set(r8),
+            off.at[slots].set(off_s),
+            sc.at[slots].set(sgn * sv))
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

@@ -290,7 +290,7 @@ def sharded_cond_raw8(mesh: Mesh, metric: str = "l2"):
     def local(v_s, norms_s, valid_s):
         from ..index.hnsw_pq import _build_scan8_shadow
 
-        base8, off, ssc, cvec = _build_scan8_shadow(
+        base8, off, ssc, cvec, _aux = _build_scan8_shadow(
             v_s, norms_s, valid_s, metric, 128)
         return base8, off, ssc, cvec[None, :]
 
