@@ -393,6 +393,71 @@ class TestScanPallasInt8:
         idx2.bulk_load_stream([(range(512), _corpus(512))])
         assert idx2._scan8_dirty is None
 
+    def test_incremental_scan16_shadow_update(self):
+        """The bf16 scan shadow (search_mode="scan_pallas") gets the same
+        incremental churn maintenance as the int8 one: dirty rows are
+        reconditioned against the cached centering (aux identity) and the
+        refreshed shadow behaves like a rebuilt one."""
+        vecs = _corpus(2048)
+        idx = HnswPqIndex(DIM, 4096, config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024,
+            search_mode="scan_pallas"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        idx.search_batch(vecs[:4], 1)            # warm: full shadow build
+        assert idx._scan16_dirty == []
+        aux_obj = idx._scan16_aux
+        for i in range(16):
+            assert idx.remove(i)
+        r = np.random.default_rng(99)
+        newv = (r.standard_normal((16, DIM)) * 3.0).astype(np.float32)
+        assert len(idx.add_batch(range(5000, 5016), newv)) == 16
+        assert idx._scan16_dirty                  # mutations recorded
+        ids, _ = idx.search_batch(newv, 1)
+        assert idx._scan16_aux is aux_obj         # incremental, no rebuild
+        assert idx._scan16_dirty == []
+        assert list(ids[:, 0]) == list(range(5000, 5016))
+        ids2, _ = idx.search_batch(vecs[:16], 5)
+        assert not set(ids2.ravel().tolist()) & set(range(16))
+        q = _corpus(64, seed=11)
+        ids_inc, _ = idx.search_batch(q, K)
+        idx._scan16_cache = None                  # force full rebuild
+        idx._scan16_dirty = None
+        ids_full, _ = idx.search_batch(q, K)
+        assert idx._scan16_aux is not aux_obj     # rebuild really happened
+        assert _recall(ids_inc, ids_full) >= 0.95
+
+    def test_incremental_packed_refine_update(self):
+        """refine_store="int8"/"bf16" shadows: churn repacks ONLY the dirty
+        rows; per-row stateless quantization makes the incremental result
+        bit-identical to a full rebuild."""
+        from vector_db_tpu.ops.distance import pack_bf16_rows, pack_int8_rows
+
+        vecs = _corpus(1024)
+        for store_kind in ("int8", "bf16"):
+            idx = HnswPqIndex(DIM, 2048, config=HnswPqConfig(
+                num_subspaces=16, training_samples=512,
+                refine_store=store_kind))
+            idx.bulk_load_stream([(range(1024), vecs)])
+            st = idx.store.state
+            if store_kind == "int8":
+                idx._int8_refine_store(st)        # full build
+            else:
+                idx._packed_refine_store(st)
+            assert idx._pack_dirty == []
+            newv = (_corpus(8, seed=5) * 2.0).astype(np.float32)
+            assert len(idx.add_batch(range(9000, 9008), newv)) == 8
+            assert idx._pack_dirty                # mutations recorded
+            st = idx.store.state
+            if store_kind == "int8":
+                p1, s1 = idx._int8_refine_store(st)   # incremental
+                pf, sf = pack_int8_rows(st.vectors)   # reference rebuild
+                np.testing.assert_array_equal(np.asarray(s1), np.asarray(sf))
+            else:
+                p1 = idx._packed_refine_store(st)
+                pf = pack_bf16_rows(st.vectors)
+            assert idx._pack_dirty == []
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(pf))
+
     def test_compressed_store_fused_scan(self):
         """raw_store=False + scan_pallas_int8: the fused kernel streams the
         store's OWN packed rows (no shadow copy) at near-exact recall."""

@@ -108,7 +108,7 @@ class TestFusedRawPool:
 
         norms = jnp.sum(base * base, axis=1)
         return _build_scan16_shadow(base, norms, jnp.asarray(valid),
-                                    metric, 1024)
+                                    metric, 1024)[:4]  # drop aux
 
     @pytest.mark.parametrize("metric", ["l2", "cosine"])
     @pytest.mark.parametrize("offset", [0.0, 10.0])

@@ -121,13 +121,17 @@ class HnswPqIndex(VectorIndex):
         # packed-store conditioning vectors (scan_pallas_int8 on the
         # compressed tier — no corpus copy, just off/sc/center)
         self._scan8p_cache: Optional[tuple] = None
-        # dirty-slot record for INCREMENTAL int8-shadow maintenance:
-        # [] = complete record (nothing dirty); list of slot arrays =
-        # incrementally updatable; None = unknown writer touched the store
-        # (next shadow call does a full rebuild).  Keeps churn-heavy
-        # large-N workloads off the O(N*d) rebuild cliff (~1 s/1M rows).
-        self._scan8_dirty: Optional[list] = []
+        # dirty-slot records for INCREMENTAL cache maintenance (one per
+        # cache family): [] = complete record (nothing dirty); list of
+        # slot arrays = incrementally updatable; None = unknown writer
+        # touched the store (next consumer does a full rebuild).  Keeps
+        # churn-heavy large-N workloads off the O(N*d) rebuild cliffs
+        # (~1 s/1M rows per shadow).
+        self._scan8_dirty: Optional[list] = []   # int8 scan shadow
+        self._scan16_dirty: Optional[list] = []  # bf16 scan shadow
+        self._pack_dirty: Optional[list] = []    # packed refine shadows
         self._scan8_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
+        self._scan16_aux = None  # (musq, mean_norm) (l2) / (c0,) (cos)
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
         # at train time, proxy rows [cap, p] bf16 maintained per encode
         self.pca_mean: Optional[jax.Array] = None
@@ -146,16 +150,42 @@ class HnswPqIndex(VectorIndex):
         )
 
     # ------------------------------------------------------------- mutation
+    _DIRTY_RECORDS = ("_scan8_dirty", "_scan16_dirty", "_pack_dirty")
+
     def _note_row_mutation(self, slots: np.ndarray) -> None:
-        """Record store-row mutations for incremental int8-shadow updates
-        (see _scan8_shadow).  Over-threshold churn degrades to a full
-        rebuild (None)."""
-        if self._scan8_dirty is None:
-            return
-        self._scan8_dirty.append(np.asarray(slots, np.int64).ravel())
+        """Record store-row mutations for incremental cache refreshes
+        (see _scan8_shadow / _scan16_shadow / the packed refine shadows).
+        Over-threshold churn degrades that record to a full rebuild
+        (None)."""
+        arr = np.asarray(slots, np.int64).ravel()
         limit = max(8192, self.store.capacity // 8)
-        if sum(a.size for a in self._scan8_dirty) > limit:
-            self._scan8_dirty = None
+        for attr in self._DIRTY_RECORDS:
+            rec = getattr(self, attr)
+            if rec is None:
+                continue
+            rec.append(arr)
+            if sum(a.size for a in rec) > limit:
+                setattr(self, attr, None)
+
+    def _note_store_rewrite(self) -> None:
+        """An untracked bulk rewrite of the store (bulk_load / streamed
+        ingest / checkpoint load) — every incremental record is void."""
+        for attr in self._DIRTY_RECORDS:
+            setattr(self, attr, None)
+
+    def _take_dirty(self, attr: str):
+        """Consume a dirty record: unique slots padded to a pow2 length
+        (fewer jit specializations; duplicate scatters write identical
+        values), or None when the record is empty/void."""
+        rec = getattr(self, attr)
+        if not rec:
+            return None
+        slots = np.unique(np.concatenate(rec))
+        n_pad = 1 << max(0, int(slots.size - 1).bit_length())
+        slots = np.concatenate(
+            [slots, np.full(n_pad - slots.size, slots[0], slots.dtype)]
+        ).astype(np.int32)
+        return jnp.asarray(slots)
 
     def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
         accepted, slots = self.store.add_batch(ids, vectors)
@@ -182,7 +212,7 @@ class HnswPqIndex(VectorIndex):
         """Zero-copy bulk ingest of a device-resident corpus + train.
         (See VectorStore.bulk_load.)"""
         accepted = self.store.bulk_load(ids, vectors)
-        self._scan8_dirty = None  # bulk rewrite -> full shadow rebuild
+        self._note_store_rewrite()  # bulk rewrite -> full cache rebuilds
         if accepted:
             self.train()
         return accepted
@@ -212,7 +242,7 @@ class HnswPqIndex(VectorIndex):
         """
         if self.store.size() > 0:
             raise ValueError("bulk_load_stream requires an empty index")
-        self._scan8_dirty = None  # streamed rewrite -> full shadow rebuild
+        self._note_store_rewrite()  # streamed rewrite -> full cache rebuilds
         if self.config.use_graph:
             raise ValueError(
                 "bulk_load_stream does not build the HNSW graph; "
@@ -552,14 +582,29 @@ class HnswPqIndex(VectorIndex):
 
     def _packed_refine_store(self, st):
         """bf16-packed refine shadow (config.refine_store="bf16"), cached on
-        the store's immutable vectors array; None -> refine reads raw f32."""
+        the store's immutable vectors array; None -> refine reads raw f32.
+
+        The pack is per-row and stateless, so mutations recorded in
+        _pack_dirty repack ONLY the dirty rows (bit-identical to a full
+        rebuild) — steady churn pays O(dirty * d), not O(N * d)."""
         if self.config.refine_store != "bf16" or not self.store.raw:
             return None
-        if (self._packed_cache is None
-                or self._packed_cache[0] is not st.vectors):
+        if (self._packed_cache is not None
+                and self._packed_cache[0] is st.vectors):
+            return self._packed_cache[1]
+        slots = (self._take_dirty("_pack_dirty")
+                 if self._packed_cache is not None else None)
+        if slots is not None:
+            self._packed_cache = (
+                st.vectors,
+                _update_packed_bf16(self._packed_cache[1], st.vectors,
+                                    slots),
+            )
+        else:
             from ..ops.distance import pack_bf16_rows
 
             self._packed_cache = (st.vectors, pack_bf16_rows(st.vectors))
+        self._pack_dirty = []
         return self._packed_cache[1]
 
     def _int8_refine_store(self, st):
@@ -569,16 +614,29 @@ class HnswPqIndex(VectorIndex):
         shadow — those arrays are the only row representation).  With a raw
         store and refine_store="int8", a packed shadow is built and cached
         on the immutable vectors array (quarter refine traffic, ~0.4%
-        distance error)."""
+        distance error).  Incremental maintenance matches
+        _packed_refine_store (per-row stateless pack; dirty rows only)."""
         if not self.store.raw:
             return st.packed, st.scales
         if self.config.refine_store != "int8":
             return None
-        if (self._packed_cache is None
-                or self._packed_cache[0] is not st.vectors):
+        if (self._packed_cache is not None
+                and self._packed_cache[0] is st.vectors):
+            return self._packed_cache[1], self._packed_cache[2]
+        slots = (self._take_dirty("_pack_dirty")
+                 if self._packed_cache is not None else None)
+        if slots is not None:
+            self._packed_cache = (
+                st.vectors,
+                *_update_packed_int8(self._packed_cache[1],
+                                     self._packed_cache[2], st.vectors,
+                                     slots),
+            )
+        else:
             from ..ops.distance import pack_int8_rows
 
             self._packed_cache = (st.vectors, *pack_int8_rows(st.vectors))
+        self._pack_dirty = []
         return self._packed_cache[1], self._packed_cache[2]
 
     def _scan16_shadow(self, st):
@@ -586,15 +644,32 @@ class HnswPqIndex(VectorIndex):
         _build_scan16_shadow).  Keyed on BOTH the vectors array and the
         valid mask: the selection offset bakes the tombstones in, so a
         delete must invalidate (unlike the refine shadows, whose stale
-        rows are filtered by valid upstream)."""
-        if (self._scan16_cache is None
-                or self._scan16_cache[0] is not st.vectors
-                or self._scan16_cache[1] is not st.valid):
-            self._scan16_cache = (
-                st.vectors, st.valid,
-                _build_scan16_shadow(st.vectors, st.norms, st.valid,
-                                     self.metric, 2048),
-            )
+        rows are filtered by valid upstream).
+
+        Mutations recorded in _scan16_dirty refresh the shadow
+        INCREMENTALLY against the cached centering (_update_scan16_shadow),
+        exactly like _scan8_shadow — O(dirty * d) per search under steady
+        churn instead of the O(N * d) full rebuild."""
+        if (self._scan16_cache is not None
+                and self._scan16_cache[0] is st.vectors
+                and self._scan16_cache[1] is st.valid):
+            return self._scan16_cache[2]
+        slots = (self._take_dirty("_scan16_dirty")
+                 if (self._scan16_cache is not None
+                     and self._scan16_aux is not None) else None)
+        if slots is not None:
+            base16, off, sc, cvec = self._scan16_cache[2]
+            base16, off, sc = _update_scan16_shadow(
+                base16, off, sc, st.vectors, st.norms, st.valid,
+                slots, cvec, self._scan16_aux, self.metric)
+            self._scan16_cache = (st.vectors, st.valid,
+                                  (base16, off, sc, cvec))
+        else:
+            *shadow, aux = _build_scan16_shadow(
+                st.vectors, st.norms, st.valid, self.metric, 2048)
+            self._scan16_cache = (st.vectors, st.valid, tuple(shadow))
+            self._scan16_aux = aux
+        self._scan16_dirty = []
         return self._scan16_cache[2]
 
     def _scan8_shadow(self, st):
@@ -613,25 +688,22 @@ class HnswPqIndex(VectorIndex):
                 and self._scan8_cache[0] is st.vectors
                 and self._scan8_cache[1] is st.valid):
             return self._scan8_cache[2]
-        if (self._scan8_cache is not None and self._scan8_dirty
-                and self._scan8_aux is not None):
-            slots = np.unique(np.concatenate(self._scan8_dirty))
-            n_pad = 1 << max(0, int(slots.size - 1).bit_length())
-            slots = np.concatenate(
-                [slots, np.full(n_pad - slots.size, slots[0], slots.dtype)]
-            ).astype(np.int32)
+        slots = (self._take_dirty("_scan8_dirty")
+                 if (self._scan8_cache is not None
+                     and self._scan8_aux is not None) else None)
+        if slots is not None:
             base8, off, sc, cvec = self._scan8_cache[2]
             base8, off, sc = _update_scan8_shadow(
                 base8, off, sc, st.vectors, st.norms, st.valid,
-                jnp.asarray(slots), cvec, self._scan8_aux, self.metric)
+                slots, cvec, self._scan8_aux, self.metric)
             self._scan8_cache = (st.vectors, st.valid,
                                  (base8, off, sc, cvec))
-            self._scan8_dirty = []
-            return self._scan8_cache[2]
-        base8, off, sc, cvec, aux = _build_scan8_shadow(
-            st.vectors, st.norms, st.valid, self.metric, 2048)
-        self._scan8_cache = (st.vectors, st.valid, (base8, off, sc, cvec))
-        self._scan8_aux = aux
+        else:
+            base8, off, sc, cvec, aux = _build_scan8_shadow(
+                st.vectors, st.norms, st.valid, self.metric, 2048)
+            self._scan8_cache = (st.vectors, st.valid,
+                                 (base8, off, sc, cvec))
+            self._scan8_aux = aux
         self._scan8_dirty = []
         return self._scan8_cache[2]
 
@@ -1065,7 +1137,7 @@ class HnswPqIndex(VectorIndex):
         self.store = VectorStore.from_host(arrays["store"])
         self.codes = jnp.asarray(arrays["codes"])
         self._fast_cache = None
-        self._scan8_dirty = None  # untracked store rewrite -> full rebuild
+        self._note_store_rewrite()  # untracked store rewrite -> full rebuilds
         self.trained = bool(np.asarray(arrays["trained"])[0])
         self._level_counter = int(np.asarray(arrays["level_counter"])[0])
         self.codebooks = (
@@ -1254,11 +1326,13 @@ def bf16_scan_refine(queries, base, norms, valid, ids, k, metric, pool,
 def _build_scan16_shadow(vectors, norms, valid, metric, pad_to):
     """bf16 scan shadow for the fused Pallas pool kernel: (base16 padded to
     a ``pad_to`` row multiple, per-slot selection offset, per-slot scale,
-    query centering vector).  Conditioning mirrors
+    query centering vector, centering aux consts).  Conditioning mirrors
     ops/distance.bf16_pool_scan: a prefix-estimated corpus mean centers the
     queries and every large common-mode term is folded into the f32
     offset/scale rows, so the kernel's bf16 inputs only carry
-    O(noise)-scale signal."""
+    O(noise)-scale signal.  The trailing aux tuple ((musq, mean_norm) for
+    l2, (c0,) for cosine) lets _update_scan16_shadow recondition single
+    rows against this build's centering."""
     n = vectors.shape[0]
     m = min(4096, n)
     pref = vectors[:m]
@@ -1276,12 +1350,14 @@ def _build_scan16_shadow(vectors, norms, valid, metric, pad_to):
         off = c0 - cv * iv
         sc = -iv
         center_vec = cdir
+        aux = (c0,)
     else:
         mv = vectors @ mu
         mean_norm = jnp.sum(jnp.where(valid, norms, 0.0)) / live
         off = norms + musq - 2.0 * mv - (mean_norm - musq)
         sc = jnp.full((n,), -2.0, jnp.float32)
         center_vec = mu
+        aux = (musq, mean_norm)
     off = jnp.where(valid, off, jnp.inf)
     base16 = vectors.astype(jnp.bfloat16)
     pad = (-n) % pad_to
@@ -1289,7 +1365,54 @@ def _build_scan16_shadow(vectors, norms, valid, metric, pad_to):
         base16 = jnp.pad(base16, ((0, pad), (0, 0)))
         off = jnp.pad(off, (0, pad), constant_values=jnp.inf)
         sc = jnp.pad(sc, (0, pad))
-    return base16, off, sc, center_vec
+    return base16, off, sc, center_vec, aux
+
+
+@functools.partial(jax.jit, static_argnames=("metric",),
+                   donate_argnums=(0, 1, 2))
+def _update_scan16_shadow(base16, off, sc, vectors, norms, valid, slots,
+                          cvec, aux, metric):
+    """Incremental bf16-shadow refresh: recondition ONLY the mutated rows
+    against the CACHED centering (cvec/aux from the last full
+    _build_scan16_shadow) so all rows stay mutually consistent.
+    O(dirty * d) instead of O(N * d); the shadow arrays are donated in
+    place.  ``slots`` may contain duplicates (pow2 padding repeats a
+    slot — the duplicate scatter writes identical values)."""
+    rows = vectors[slots]
+    rnorms = norms[slots]
+    rvalid = valid[slots]
+    if metric == "cosine":
+        (c0,) = aux
+        iv = jax.lax.rsqrt(jnp.maximum(rnorms, 1e-12))
+        off_s = c0 - (rows @ cvec) * iv
+        sc_s = -iv
+    else:
+        musq, mean_norm = aux
+        off_s = rnorms + musq - 2.0 * (rows @ cvec) - (mean_norm - musq)
+        sc_s = jnp.full(slots.shape, -2.0, jnp.float32)
+    off_s = jnp.where(rvalid, off_s, jnp.inf)
+    return (base16.at[slots].set(rows.astype(jnp.bfloat16)),
+            off.at[slots].set(off_s),
+            sc.at[slots].set(sc_s))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_packed_bf16(packed, vectors, slots):
+    """Repack ONLY the mutated rows of the bf16 refine shadow (the pack is
+    per-row and stateless, so this is bit-identical to a full rebuild)."""
+    from ..ops.distance import pack_bf16_rows
+
+    return packed.at[slots].set(pack_bf16_rows(vectors[slots]))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _update_packed_int8(packed, scales, vectors, slots):
+    """Repack ONLY the mutated rows of the int8 refine shadow (per-row
+    symmetric quantization is stateless; bit-identical to a rebuild)."""
+    from ..ops.distance import pack_int8_rows
+
+    r_packed, r_scales = pack_int8_rows(vectors[slots])
+    return packed.at[slots].set(r_packed), scales.at[slots].set(r_scales)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "pad_to"))
