@@ -458,6 +458,39 @@ class TestScanPallasInt8:
             assert idx._pack_dirty == []
             np.testing.assert_array_equal(np.asarray(p1), np.asarray(pf))
 
+    def test_incremental_fast_tables_update(self):
+        """adc_fast's ADC tables (codes_t + recon norms) refresh
+        incrementally under churn — verified by cbt identity — and the
+        incremental tables match a full rebuild (codes_t bit-exact; norms
+        to f32 summation-order tolerance)."""
+        vecs = _corpus(2048)
+        idx = HnswPqIndex(DIM, 4096, config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024,
+            search_mode="adc_fast"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        idx.search_batch(vecs[:4], 1)            # warm: full table build
+        assert idx._fast_dirty == []
+        cbt_obj = idx._fast_cache[3]
+        for i in range(16):
+            assert idx.remove(i)
+        newv = _corpus(16, seed=7)
+        assert len(idx.add_batch(range(5000, 5016), newv)) == 16
+        assert idx._fast_dirty                    # mutations recorded
+        ids, _ = idx.search_batch(newv, 5)
+        assert idx._fast_cache[3] is cbt_obj      # incremental, no rebuild
+        assert idx._fast_dirty == []
+        hits = sum(5000 + i in set(ids[i].tolist()) for i in range(16))
+        assert hits >= 14, hits
+        ids2, _ = idx.search_batch(vecs[:16], 5)
+        assert not set(ids2.ravel().tolist()) & set(range(16))
+        ct_i, _, cn_i = idx._fast_tables()
+        idx._fast_cache = None                    # force full rebuild
+        idx._fast_dirty = None
+        ct_f, _, cn_f = idx._fast_tables()
+        np.testing.assert_array_equal(np.asarray(ct_i), np.asarray(ct_f))
+        np.testing.assert_allclose(np.asarray(cn_i), np.asarray(cn_f),
+                                   rtol=2e-6)
+
     def test_compressed_store_fused_scan(self):
         """raw_store=False + scan_pallas_int8: the fused kernel streams the
         store's OWN packed rows (no shadow copy) at near-exact recall."""

@@ -130,6 +130,7 @@ class HnswPqIndex(VectorIndex):
         self._scan8_dirty: Optional[list] = []   # int8 scan shadow
         self._scan16_dirty: Optional[list] = []  # bf16 scan shadow
         self._pack_dirty: Optional[list] = []    # packed refine shadows
+        self._fast_dirty: Optional[list] = []    # ADC tables (ct/cnorms)
         self._scan8_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
         self._scan16_aux = None  # (musq, mean_norm) (l2) / (c0,) (cos)
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
@@ -150,7 +151,8 @@ class HnswPqIndex(VectorIndex):
         )
 
     # ------------------------------------------------------------- mutation
-    _DIRTY_RECORDS = ("_scan8_dirty", "_scan16_dirty", "_pack_dirty")
+    _DIRTY_RECORDS = ("_scan8_dirty", "_scan16_dirty", "_pack_dirty",
+                      "_fast_dirty")
 
     def _note_row_mutation(self, slots: np.ndarray) -> None:
         """Record store-row mutations for incremental cache refreshes
@@ -550,7 +552,14 @@ class HnswPqIndex(VectorIndex):
         chunk = 1 << 18
         for s in range(0, slots.size, chunk):
             self._encode_slots_chunk(slots[s:s + chunk])
-        self._fast_cache = None
+        # codes changed for these slots: the ADC tables refresh
+        # incrementally (add_batch already noted them via
+        # _note_row_mutation; this covers train/rebuild encode paths)
+        if self._fast_dirty is not None:
+            self._fast_dirty.append(np.asarray(slots, np.int64).ravel())
+            if (sum(a.size for a in self._fast_dirty)
+                    > max(8192, self.store.capacity // 8)):
+                self._fast_dirty = None
 
     def _encode_slots_chunk(self, slots: np.ndarray) -> None:
         sl = jnp.asarray(slots)
@@ -724,8 +733,25 @@ class HnswPqIndex(VectorIndex):
 
     def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
         """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
-        norms [cap] for adc_fast_search (the C2 norms-cache analog)."""
-        if self._fast_cache is None:
+        norms [cap] for adc_fast_search (the C2 norms-cache analog).
+
+        Keyed on the codes/codebooks array identities; code mutations
+        recorded in _fast_dirty refresh ct/cnorms INCREMENTALLY
+        (transpose-scatter + per-subspace codebook sq-norm lookup for the
+        dirty slots only) — steady churn on a large index avoids the O(N)
+        chunked recon pass (~seconds at 10M slots)."""
+        if (self._fast_cache is not None
+                and self._fast_cache[0] is self.codes
+                and self._fast_cache[1] is self.codebooks):
+            return self._fast_cache[2:]
+        slots = (self._take_dirty("_fast_dirty")
+                 if (self._fast_cache is not None
+                     and self._fast_cache[1] is self.codebooks) else None)
+        if slots is not None:
+            _, _, ct, cbt, cnorms = self._fast_cache
+            ct, cnorms = _update_fast_tables(ct, cnorms, self.codes,
+                                             self.codebooks, slots)
+        else:
             ct = jnp.transpose(self.codes, (1, 0))
             cbt = adc.codebooks_to_cbt(self.codebooks)
             cap = ct.shape[1]
@@ -744,8 +770,9 @@ class HnswPqIndex(VectorIndex):
                         ct, s, min(chunk, cap - s), axis=1)
                     parts.append(_recon_norms(blk, cbt))
                 cnorms = jnp.concatenate(parts)
-            self._fast_cache = (ct, cbt, cnorms)
-        return self._fast_cache
+        self._fast_cache = (self.codes, self.codebooks, ct, cbt, cnorms)
+        self._fast_dirty = []
+        return self._fast_cache[2:]
 
     def _scan_chunk(self, capacity: int, q_n: int) -> int:
         """Chunk length for streamed large-N scans: FEW BIG chunks (the
@@ -1205,6 +1232,24 @@ def _recon_norms(ct_blk, cbt):
 
     r = pq_decode_recon_t(ct_blk, cbt)
     return jnp.sum(r.astype(jnp.float32) * r.astype(jnp.float32), axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _update_fast_tables(ct, cnorms, codes, codebooks, slots):
+    """Incremental ADC-table refresh: transpose-scatter the re-encoded
+    columns into codes_t and recompute reconstruction norms for the dirty
+    slots ONLY.  The norms come from a per-subspace codebook sq-norm
+    lookup over BF16-ROUNDED codebook entries — exactly the numbers the
+    full decode pass (_recon_norms via pq_decode_recon_t, which decodes in
+    bf16) produces, so incrementally-touched slots stay bit-consistent
+    with untouched ones.  ``slots`` may contain duplicates (pow2 padding);
+    the table arrays are donated in place."""
+    sub = codes[slots].astype(jnp.int32)                      # [m, S]
+    cb16 = codebooks.astype(jnp.bfloat16).astype(jnp.float32)
+    cb_sq = jnp.sum(cb16 * cb16, axis=2)                      # [S, K]
+    norms = jnp.sum(cb_sq[jnp.arange(sub.shape[1])[None, :], sub], axis=1)
+    return (ct.at[:, slots].set(jnp.transpose(sub.astype(ct.dtype), (1, 0))),
+            cnorms.at[slots].set(norms))
 
 
 @functools.partial(
