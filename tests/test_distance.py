@@ -140,6 +140,42 @@ class TestInt8Refine:
         np.testing.assert_allclose(np.asarray(d8)[:, 0],
                                    np.asarray(df)[:, 0], atol=0.2)
 
+    def test_exact_norms_tighten_distances(self):
+        """b_norms (exact write-time ||v||^2) leaves only the cross term
+        quantized: the refined distances sit strictly closer to exact f32
+        than the rederived-norm variant, and a zero query recovers exact
+        squared norms bit-for-bit (no cross term at all)."""
+        import jax.numpy as jnp
+        from vector_db_tpu.ops.distance import (
+            blocked_rerank, blocked_rerank_int8, pack_int8_rows,
+        )
+
+        rng = np.random.default_rng(3)
+        n, d, qn, r, k = 512, 64, 8, 128, 10
+        base = rng.standard_normal((n, d)).astype(np.float32)
+        norms = jnp.asarray((base * base).sum(1))
+        q = base[:qn] + 0.05 * rng.standard_normal((qn, d)).astype(np.float32)
+        cand = np.broadcast_to(np.arange(r, dtype=np.int32), (qn, r)).copy()
+        packed, scales = pack_int8_rows(jnp.asarray(base))
+        dn, sn = blocked_rerank_int8(jnp.asarray(q), packed, scales,
+                                     jnp.asarray(cand), k, b_norms=norms)
+        dq, _ = blocked_rerank_int8(jnp.asarray(q), packed, scales,
+                                    jnp.asarray(cand), k)
+        df, sf = blocked_rerank(jnp.asarray(q), jnp.asarray(base),
+                                jnp.asarray(cand), k)
+        err_n = np.abs(np.asarray(dn) - np.asarray(df)).mean()
+        err_q = np.abs(np.asarray(dq) - np.asarray(df)).mean()
+        assert err_n <= err_q + 1e-9, (err_n, err_q)
+        np.testing.assert_array_equal(np.asarray(sn)[:, 0],
+                                      np.asarray(sf)[:, 0])
+        # zero query: distance == ||v||^2 exactly (cross term vanishes)
+        z = jnp.zeros((1, d), jnp.float32)
+        c0 = jnp.arange(k, dtype=jnp.int32)[None, :]
+        d0, s0 = blocked_rerank_int8(z, packed, scales, c0, k, b_norms=norms)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d0)[0]),
+            np.sort(np.asarray(norms)[:k]), rtol=1e-6)
+
     def test_masked_candidates(self):
         import jax.numpy as jnp
         from vector_db_tpu.ops.distance import (

@@ -895,7 +895,7 @@ class HnswPqIndex(VectorIndex):
             while st.capacity % w:
                 w -= 128
             dists, ext = pallas_scan8p_refine(
-                jnp.asarray(padded), st.packed, st.scales, off, sc,
+                jnp.asarray(padded), st.packed, st.scales, st.norms, off, sc,
                 cvec, st.ids, k_pad, self.metric,
                 pool=min(max(4 * k_pad, 64), w), w=w,
             )
@@ -996,6 +996,7 @@ class HnswPqIndex(VectorIndex):
                 block_n=self._scan_chunk(st.capacity, padded.shape[0]),
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
+                int8_norms=st.norms if i8 is not None else None,
             )
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "adc_fast":
@@ -1026,6 +1027,7 @@ class HnswPqIndex(VectorIndex):
                 select_r=self.config.adc_select_r,
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
+                int8_norms=st.norms if i8 is not None else None,
             )
             return self._emit(q_n, k, k_eff, dists, ext)
         if (mode == "graph" or self.config.use_graph) and int(self.graph.entry) >= 0:
@@ -1054,6 +1056,7 @@ class HnswPqIndex(VectorIndex):
                 k_pad, refine, nprobe, max_len, self.metric, self.perm,
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
+                int8_norms=st.norms if i8 is not None else None,
             )
         else:
             # exhaustive fused scan
@@ -1064,6 +1067,7 @@ class HnswPqIndex(VectorIndex):
                 self.perm,
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
+                int8_norms=st.norms if i8 is not None else None,
             )
         return self._emit(q_n, k, k_eff, dists, ext)
 
@@ -1637,19 +1641,20 @@ def _pool_select_cand(queries, center_vec, metric, pool_kernel, pool_args,
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "pool", "w")
 )
-def pallas_scan8p_refine(queries, packed, scales, off, sc, center_vec, ids,
-                         k, metric, pool, w):
+def pallas_scan8p_refine(queries, packed, scales, norms, off, sc, center_vec,
+                         ids, k, metric, pool, w):
     """Packed-store fused-kernel scan + int8 refine (the compressed tier's
     exhaustive fast path): fused_packed_pool streams the store's own int8
     rows at s8 MXU rate, a tiny approx select ranks the bucket winners, and
-    blocked_rerank_int8 re-scores the pool with exact write-time norms."""
+    blocked_rerank_int8 re-scores the pool with exact write-time norms
+    (``norms`` — only the cross term keeps quantization error)."""
     from ..ops.distance import blocked_rerank_int8
     from ..ops.pallas_kernels import fused_packed_pool
 
     cand = _pool_select_cand(queries, center_vec, metric, fused_packed_pool,
                              (packed, off, sc), pool, w)
     d, slots = blocked_rerank_int8(queries, packed, scales, cand, k, metric,
-                                   rb=pool)
+                                   rb=pool, b_norms=norms)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
 
@@ -1724,7 +1729,7 @@ def _cosine_pq_queries(queries, metric, perm):
 )
 def flagship_search(
     queries, codebooks, codes, valid, base, ids, k, refine, impl, block_n,
-    metric, perm=None, int8_base=None, int8_scales=None,
+    metric, perm=None, int8_base=None, int8_scales=None, int8_norms=None,
 ):
     """The whole flagship search as ONE device program: distance tables ->
     exhaustive blocked ADC scan with fused top-R -> exact re-rank -> external
@@ -1737,17 +1742,18 @@ def flagship_search(
     _, cand = adc.adc_scan_topk(tables, codes, valid, refine,
                                 block_n=block_n, impl=impl)
     d, slots = _rerank_any(queries, base, cand, k, metric,
-                           int8_base, int8_scales)
+                           int8_base, int8_scales, int8_norms)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
 
 
-def _rerank_any(queries, base, cand, k, metric, int8_base, int8_scales):
+def _rerank_any(queries, base, cand, k, metric, int8_base, int8_scales,
+                int8_norms=None):
     if int8_base is not None:
         from ..ops.distance import blocked_rerank_int8
 
         return blocked_rerank_int8(queries, int8_base, int8_scales, cand,
-                                   k, metric)
+                                   k, metric, b_norms=int8_norms)
     return _blocked_rerank(queries, base, cand, k, metric)
 
 
@@ -1760,7 +1766,7 @@ from ..ops.distance import blocked_rerank as _blocked_rerank  # noqa: E402
 def flagship_search_pruned(
     queries, codebooks, codes, valid, base, ids, centroids, members, overflow,
     k, refine, nprobe, max_len, metric, perm=None, int8_base=None,
-    int8_scales=None,
+    int8_scales=None, int8_norms=None,
 ):
     """IVF-pruned flagship search, fused: coarse probe selection (one small
     matmul) -> gather probed clusters' codes -> ADC scoring -> top-R ->
@@ -1823,7 +1829,7 @@ def flagship_search_pruned(
     short = jnp.where(jnp.isfinite(negd), short, -1)
     # exact re-rank (blocked — same OOM-safety as the exhaustive path)
     d, slots = _rerank_any(queries, base, short, k, metric,
-                           int8_base, int8_scales)
+                           int8_base, int8_scales, int8_norms)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
 

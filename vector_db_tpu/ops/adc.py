@@ -217,6 +217,7 @@ def adc_fast_search(
     select_r: int = 0,
     int8_base: Optional[Array] = None,
     int8_scales: Optional[Array] = None,
+    int8_norms: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """The fast codes-only scoring pipeline, ONE device program:
 
@@ -333,7 +334,8 @@ def adc_fast_search(
         from .distance import blocked_rerank_int8
 
         out_d, slots = blocked_rerank_int8(queries, int8_base, int8_scales,
-                                           pool, k, metric, rb=rerank_block)
+                                           pool, k, metric, rb=rerank_block,
+                                           b_norms=int8_norms)
     elif packed_base is not None:
         from .distance import blocked_rerank_packed
 

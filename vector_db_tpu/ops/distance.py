@@ -568,6 +568,7 @@ def blocked_rerank_int8(
     k: int,
     metric: str = METRIC_L2,
     rb: int = 512,
+    b_norms: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """`blocked_rerank` against an int8 row store (see pack_int8_rows).
 
@@ -575,6 +576,17 @@ def blocked_rerank_int8(
     store); per-element quantization error ~0.4% relative — well under
     neighbor-gap scale for ranking a few hundred candidates.  Used when the
     raw corpus cannot be HBM-resident at all (10M x 512 = 20 GB raw).
+
+    ``b_norms`` ([N] EXACT squared norms captured at write time — the
+    compressed VectorStore keeps them) replaces the ‖v‖² term re-derived
+    from the quantized rows, so the only quantization error left is the
+    cross term (same contract as blocked_knn_int8); the extra gather is 4
+    bytes/row against the 128+ of the packed row itself.  L2 ONLY: under
+    cosine, dividing the quantized dot by the quantized row's OWN norm
+    gives the exact cosine to the quantized direction (radial quantization
+    error projects out), whereas the exact pre-quantization norm leaks it
+    into the score — so cosine always re-derives ‖v̂‖ (measured: the
+    exact-norm variant costs ~1pt recall on offset cosine corpora).
     """
     q_n, r = cand.shape
     d = packed.shape[1] * 4
@@ -597,7 +609,10 @@ def blocked_rerank_int8(
         vq = v8.astype(dt)
         dots = jnp.einsum("qd,qrd->qr", qc, vq,
                           preferred_element_type=jnp.float32) * sc
-        vn = jnp.sum(v8.astype(jnp.float32) ** 2, axis=2) * (sc * sc)
+        if b_norms is not None and metric == METRIC_L2:
+            vn = b_norms[safe]
+        else:
+            vn = jnp.sum(v8.astype(jnp.float32) ** 2, axis=2) * (sc * sc)
         if metric == METRIC_L2:
             dd = jnp.maximum(q_norms[:, None] + vn - 2.0 * dots, 0.0)
         else:
@@ -638,7 +653,10 @@ def blocked_knn_int8(
     write time (``b_norms``), so the only quantization error is in the cross
     term (scale * q . row8, ~0.4% relative): ranking is near-exact and the
     returned distance values are exact in the norm terms.  Falls back to
-    decoded norms when ``b_norms`` is None.
+    decoded norms when ``b_norms`` is None — and ALWAYS under cosine, where
+    the quantized row's own norm is the better denominator (it yields the
+    exact cosine to the quantized direction; the exact pre-quantization
+    norm would leak the radial quantization error into the score).
 
     q [Q, d] f32; packed [N, d/4] int32; scales [N] f32; valid [N] bool.
     Returns (dists [Q, k], slot idx [Q, k]) ascending; +inf / -1 padded.
@@ -678,7 +696,7 @@ def blocked_knn_int8(
             qc, v8.astype(dt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * s_blk[None, :]
-        if b_norms is not None:
+        if b_norms is not None and metric == METRIC_L2:
             vn = jax.lax.dynamic_slice_in_dim(b_norms, start, block_n)
         else:
             vn = jnp.sum(v8.astype(jnp.float32) ** 2, axis=1) * (s_blk * s_blk)

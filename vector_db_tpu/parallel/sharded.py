@@ -354,11 +354,13 @@ def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
     write-time norms, and the winners-only ICI merge combines shards.
     The multi-chip analog of search_mode="scan_pallas_int8".
 
-    fn: (q [Q,d], packed [N,d/4] i32, scales [N], off [N], sel_scale [N],
-         center [S,d]) -> (dists [Q,k], global slot idx [Q,k]).
+    fn: (q [Q,d], packed [N,d/4] i32, scales [N], norms [N], off [N],
+         sel_scale [N], center [S,d]) -> (dists [Q,k], global slot idx
+         [Q,k]).  ``norms`` are the store's EXACT write-time squared norms:
+         the refine's only quantization error is the cross term.
     """
 
-    def local(q, p_s, sc_s, off_s, ssc_s, cvec_s):
+    def local(q, p_s, sc_s, nrm_s, off_s, ssc_s, cvec_s):
         from ..ops.distance import blocked_rerank_int8, normalize_rows
         from ..ops.pallas_kernels import fused_packed_pool
 
@@ -369,7 +371,7 @@ def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
         cand = jnp.take_along_axis(idx, sel, axis=1)
         cand = jnp.where(jnp.isfinite(nv), cand, -1)
         d, slots = blocked_rerank_int8(q, p_s, sc_s, cand, k, metric,
-                                       rb=pool)
+                                       rb=pool, b_norms=nrm_s)
         gslots = jnp.where(
             slots >= 0, slots + jax.lax.axis_index(AXIS) * p_s.shape[0], -1)
         return _merge_topk(d, gslots, k)
@@ -378,7 +380,7 @@ def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS),
+            in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                       P(AXIS, None)),
             out_specs=(P(), P()),
             check_vma=False,
@@ -395,10 +397,12 @@ def sharded_flagship_int8(mesh: Mesh, k: int, refine: int,
     slice serves ~80M vectors (docs/SCALING.md §2).
 
     fn: (q, codebooks, codes [N,S] u8, valid [N], packed [N,d/4] i32,
-         scales [N], ids [N], perm [d]) -> (dists [Q,k], external ids).
+         scales [N], norms [N], ids [N], perm [d]) -> (dists [Q,k],
+         external ids).  ``norms`` = exact write-time squared norms for the
+         int8 refine (cross-term-only quantization error).
     """
 
-    def local(q, codebooks, codes_s, valid_s, p_s, sc_s, ids_s, perm):
+    def local(q, codebooks, codes_s, valid_s, p_s, sc_s, nrm_s, ids_s, perm):
         from ..ops import adc
         from ..ops.distance import blocked_rerank_int8, normalize_rows
 
@@ -408,7 +412,8 @@ def sharded_flagship_int8(mesh: Mesh, k: int, refine: int,
         q_scan = normalize_rows(q) if metric == "cosine" else q
         _, cand = adc.adc_decode_topk(q_scan, ct, cbt, valid_s, r, perm=perm)
         negd, loc = blocked_rerank_int8(q, p_s, sc_s, cand, min(k, r),
-                                        metric, rb=min(512, r))
+                                        metric, rb=min(512, r),
+                                        b_norms=nrm_s)
         ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
         return _merge_topk(negd, ext, k)
 
@@ -417,7 +422,7 @@ def sharded_flagship_int8(mesh: Mesh, k: int, refine: int,
             local,
             mesh=mesh,
             in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(AXIS, None),
-                      P(AXIS), P(AXIS), P()),
+                      P(AXIS), P(AXIS), P(AXIS), P()),
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated by the all_gather+merge
         )
@@ -1072,7 +1077,8 @@ class ShardedDatabase:
             d, idx = fn(qj, self.vectors, base8, off, ssc, cvec)
         else:
             off, ssc, cvec = cond[2]
-            d, idx = fn(qj, self.packed, self.scales, off, ssc, cvec)
+            d, idx = fn(qj, self.packed, self.scales, self.norms, off, ssc,
+                        cvec)
         idx_np = np.asarray(idx)
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
@@ -1185,7 +1191,7 @@ class ShardedDatabase:
                 self._knn_cache[("flag8", k, refine)] = fn
             d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
                         self.codes, self.valid, self.packed, self.scales,
-                        self.ids, perm_rep)
+                        self.norms, self.ids, perm_rep)
         return np.asarray(ext), np.asarray(d)
 
     # ----------------------------------------------------------- persistence
