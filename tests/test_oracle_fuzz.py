@@ -1,0 +1,126 @@
+"""Randomized CRUD-vs-oracle fuzz: interleaved add/delete/re-add/reload
+sequences where search results are checked against a numpy brute-force
+oracle over the live set after every phase.
+
+Sharper than test_churn's liveness invariants: exact modes must match the
+oracle's top-k SET exactly (catching slot-reuse, stale incremental-shadow,
+and tombstone bugs as wrong-neighbor results, not just dead ids), and the
+int8-compressed tier must stay within quantization distance of it.
+
+Reference analog: the integration suite's mutation coverage
+(src/test/java/com/vectordb/VectorDatabaseTest.java) — upgraded to an
+oracle-equality property over random op sequences.
+"""
+
+import numpy as np
+import pytest
+
+from vector_db_tpu import HnswPqConfig, IndexType, VectorDatabase
+
+DIM, CAP, K = 16, 1024, 5
+
+
+def _oracle_topk(live: dict, q: np.ndarray, k: int) -> list[set]:
+    ids = np.fromiter(live.keys(), np.int64)
+    mat = np.stack([live[i] for i in ids])
+    d = ((q[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+    out = []
+    for row in d:
+        order = np.argsort(row, kind="stable")[:k]
+        kth = row[order[-1]]
+        # tie tolerance: any id whose distance is within eps of the k-th
+        # is an acceptable member of the returned set
+        ok = set(ids[np.flatnonzero(row <= kth + 1e-5)].tolist())
+        out.append((set(ids[order].tolist()), ok))
+    return out
+
+
+def _check(db, live, rng, exact: bool, tag: str):
+    qn = 12
+    pick = rng.choice(np.fromiter(live.keys(), np.int64), qn)
+    q = np.stack([live[i] for i in pick]) + 0.01 * rng.standard_normal(
+        (qn, DIM)
+    ).astype(np.float32)
+    oracle = _oracle_topk(live, q, K)
+    hits = 0
+    for i in range(qn):
+        res = db.search(q[i], K)
+        got = {r.id for r in res}
+        assert got <= set(live.keys()) | {-1}, f"{tag}: dead ids {got}"
+        must, ok = oracle[i]
+        if exact:
+            assert got <= ok and len(got) == min(K, len(live)), (
+                f"{tag}: exact mode diverged from oracle: got {sorted(got)} "
+                f"allowed {sorted(ok)}"
+            )
+            hits += K
+        else:
+            hits += len(got & ok)
+    if not exact:
+        assert hits / (qn * K) >= 0.9, f"{tag}: recall {hits / (qn * K)}"
+
+
+MODES = [
+    ("brute", IndexType.BRUTE, None, True),
+    ("scan_exact", IndexType.HNSWPQ,
+     HnswPqConfig(num_subspaces=4, num_centroids=16, training_samples=64,
+                  search_mode="scan_exact", scan_recall_target=1.0), True),
+    # fused int8 kernel over the raw tier: int8 SELECTION shadow under
+    # churn, exact f32 refine -> still oracle-exact
+    ("scan_pallas_int8_raw", IndexType.HNSWPQ,
+     HnswPqConfig(num_subspaces=4, num_centroids=16, training_samples=64,
+                  search_mode="scan_pallas_int8"), True),
+    # compressed tier: every row representation is quantized -> recall bound
+    ("compressed_fused", IndexType.HNSWPQ,
+     HnswPqConfig(raw_store=False, num_subspaces=4, num_centroids=16,
+                  training_samples=64, search_mode="scan_pallas_int8"),
+     False),
+]
+
+
+@pytest.mark.parametrize("tag,itype,cfg,exact", MODES,
+                         ids=[m[0] for m in MODES])
+def test_crud_oracle_fuzz(tag, itype, cfg, exact, tmp_path):
+    rng = np.random.default_rng(1234)
+    b = (VectorDatabase.builder().with_dimension(DIM)
+         .with_max_elements(CAP).with_index_type(itype)
+         .with_storage_path(str(tmp_path / tag)))
+    if cfg is not None:
+        b = b.with_index_config(cfg)
+    db = b.build()
+
+    live: dict[int, np.ndarray] = {}
+    next_id = 0
+    deleted_pool: list[int] = []
+
+    # deterministic op schedule (every op type guaranteed covered),
+    # randomized operands: add -> delete -> re-add -> reload -> mixed
+    for phase, op in enumerate((0, 1, 2, 3, 0, 1)):
+        if op == 0 or len(live) < 128:  # add wave
+            n = int(rng.integers(64, 128))
+            vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            assert len(db.add_batch(ids, vecs)) == n
+            live.update(zip(ids, vecs))
+        elif op == 1:  # delete a random subset
+            victims = rng.choice(np.fromiter(live.keys(), np.int64),
+                                 min(40, len(live) // 2), replace=False)
+            for v in victims.tolist():
+                assert db.delete_vector(v)
+                del live[v]
+                deleted_pool.append(v)
+        elif op == 2 and deleted_pool:  # re-add previously deleted ids
+            n = min(16, len(deleted_pool))
+            ids = [deleted_pool.pop() for _ in range(n)]
+            vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+            assert len(db.add_batch(ids, vecs)) == n, (
+                f"{tag}: re-add of deleted ids rejected"
+            )
+            live.update(zip(ids, vecs))
+        else:  # checkpoint round-trip mid-sequence
+            db.close()
+            db = b.build()
+            assert db.size() == len(live), f"{tag}: reload lost rows"
+        _check(db, live, rng, exact, f"{tag}/phase{phase}")
+    db.close()
