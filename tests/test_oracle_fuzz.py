@@ -20,10 +20,16 @@ from vector_db_tpu import HnswPqConfig, IndexType, VectorDatabase
 DIM, CAP, K = 16, 1024, 5
 
 
-def _oracle_topk(live: dict, q: np.ndarray, k: int) -> list[set]:
+def _oracle_topk(live: dict, q: np.ndarray, k: int,
+                 metric: str = "l2") -> list[set]:
     ids = np.fromiter(live.keys(), np.int64)
     mat = np.stack([live[i] for i in ids])
-    d = ((q[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+    if metric == "cosine":
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        d = 1.0 - qn @ mn.T
+    else:
+        d = ((q[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
     out = []
     for row in d:
         order = np.argsort(row, kind="stable")[:k]
@@ -35,13 +41,13 @@ def _oracle_topk(live: dict, q: np.ndarray, k: int) -> list[set]:
     return out
 
 
-def _check(db, live, rng, exact: bool, tag: str):
+def _check(db, live, rng, exact: bool, tag: str, metric: str = "l2"):
     qn = 12
     pick = rng.choice(np.fromiter(live.keys(), np.int64), qn)
     q = np.stack([live[i] for i in pick]) + 0.01 * rng.standard_normal(
         (qn, DIM)
     ).astype(np.float32)
-    oracle = _oracle_topk(live, q, K)
+    oracle = _oracle_topk(live, q, K, metric)
     hits = 0
     for i in range(qn):
         res = db.search(q[i], K)
@@ -61,29 +67,41 @@ def _check(db, live, rng, exact: bool, tag: str):
 
 
 MODES = [
-    ("brute", IndexType.BRUTE, None, True),
+    ("brute", IndexType.BRUTE, None, True, "l2"),
     ("scan_exact", IndexType.HNSWPQ,
      HnswPqConfig(num_subspaces=4, num_centroids=16, training_samples=64,
-                  search_mode="scan_exact", scan_recall_target=1.0), True),
+                  search_mode="scan_exact", scan_recall_target=1.0), True,
+     "l2"),
     # fused int8 kernel over the raw tier: int8 SELECTION shadow under
     # churn, exact f32 refine -> still oracle-exact
     ("scan_pallas_int8_raw", IndexType.HNSWPQ,
      HnswPqConfig(num_subspaces=4, num_centroids=16, training_samples=64,
-                  search_mode="scan_pallas_int8"), True),
+                  search_mode="scan_pallas_int8"), True, "l2"),
     # compressed tier: every row representation is quantized -> recall bound
     ("compressed_fused", IndexType.HNSWPQ,
      HnswPqConfig(raw_store=False, num_subspaces=4, num_centroids=16,
                   training_samples=64, search_mode="scan_pallas_int8"),
-     False),
+     False, "l2"),
+    # cosine: the normalized-space contracts (shadow conditioning, refine
+    # denominators) under the same churn schedule
+    ("cosine_exact", IndexType.HNSWPQ,
+     HnswPqConfig(num_subspaces=4, num_centroids=16, training_samples=64,
+                  search_mode="scan_exact", scan_recall_target=1.0), True,
+     "cosine"),
+    ("cosine_compressed", IndexType.HNSWPQ,
+     HnswPqConfig(raw_store=False, num_subspaces=4, num_centroids=16,
+                  training_samples=64, search_mode="scan_pallas_int8"),
+     False, "cosine"),
 ]
 
 
-@pytest.mark.parametrize("tag,itype,cfg,exact", MODES,
+@pytest.mark.parametrize("tag,itype,cfg,exact,metric", MODES,
                          ids=[m[0] for m in MODES])
-def test_crud_oracle_fuzz(tag, itype, cfg, exact, tmp_path):
+def test_crud_oracle_fuzz(tag, itype, cfg, exact, metric, tmp_path):
     rng = np.random.default_rng(1234)
     b = (VectorDatabase.builder().with_dimension(DIM)
          .with_max_elements(CAP).with_index_type(itype)
+         .with_metric(metric)
          .with_storage_path(str(tmp_path / tag)))
     if cfg is not None:
         b = b.with_index_config(cfg)
@@ -122,5 +140,5 @@ def test_crud_oracle_fuzz(tag, itype, cfg, exact, tmp_path):
             db.close()
             db = b.build()
             assert db.size() == len(live), f"{tag}: reload lost rows"
-        _check(db, live, rng, exact, f"{tag}/phase{phase}")
+        _check(db, live, rng, exact, f"{tag}/phase{phase}", metric)
     db.close()
