@@ -121,14 +121,14 @@ def main():
 
     w = 2048
     for pool in (64, 128):
-        def run(q, p, s, o, c, cv, eps, _pool=pool):
-            d, _ = pallas_scan8p_refine(q + eps, p, s, o, c, cv, ids, K,
+        def run(q, p, s, nm, o, c, cv, eps, _pool=pool):
+            d, _ = pallas_scan8p_refine(q + eps, p, s, nm, o, c, cv, ids, K,
                                         "l2", pool=_pool, w=w)
             return d[0, 0]
 
-        d, e = pallas_scan8p_refine(qj, int8s, scales, off, sc, cvec, ids,
-                                    K, "l2", pool=pool, w=w)
-        dt = timed(run, qj, int8s, scales, off, sc, cvec)
+        d, e = pallas_scan8p_refine(qj, int8s, scales, norms, off, sc, cvec,
+                                    ids, K, "l2", pool=pool, w=w)
+        dt = timed(run, qj, int8s, scales, norms, off, sc, cvec)
         log(f"fused packed 10M pool={pool}: recall={rec(e):.4f}  "
             f"{dt*1e3:.1f} ms  {NQ/dt:,.0f} QPS")
 

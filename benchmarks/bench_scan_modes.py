@@ -102,14 +102,14 @@ def main():
         log("packed + conditioning ready")
 
         for pp in (pool, 128, 256):
-            def fused_run(q, p, s, o, c, cv, eps, _pp=pp):
-                d, _ = pallas_scan8p_refine(q + eps, p, s, o, c, cv, ids, k,
-                                            "l2", pool=_pp, w=w)
+            def fused_run(q, p, s, nm, o, c, cv, eps, _pp=pp):
+                d, _ = pallas_scan8p_refine(q + eps, p, s, nm, o, c, cv,
+                                            ids, k, "l2", pool=_pp, w=w)
                 return d[0, 0]
 
-            d, e = pallas_scan8p_refine(qj, packed, scales, off, sc, cvec,
-                                        ids, k, "l2", pool=pp, w=w)
-            dt = timed(fused_run, qj, packed, scales, off, sc, cvec)
+            d, e = pallas_scan8p_refine(qj, packed, scales, norms, off, sc,
+                                        cvec, ids, k, "l2", pool=pp, w=w)
+            dt = timed(fused_run, qj, packed, scales, norms, off, sc, cvec)
             log(f"fused packed-pool e2e pool={pp}: recall={rec(e):.4f}  "
                 f"{dt*1e3:.2f} ms  {nq/dt:,.0f} QPS")
 
