@@ -137,7 +137,8 @@ def main():
     log(f"scan_exact e2e: recall={rec(e):.4f}  {dt*1e3:.2f} ms  "
         f"{nq/dt:,.0f} QPS")
 
-    b16, off16, sc16, cv16 = _build_scan16_shadow(vj, norms, valid, "l2", w)
+    b16, off16, sc16, cv16, _aux16 = _build_scan16_shadow(vj, norms, valid,
+                                                          "l2", w)
     jax.block_until_ready(b16)
 
     def bf16_run(q, base, b, o, s, c, eps):
@@ -152,7 +153,8 @@ def main():
         f"{nq/dt:,.0f} QPS")
     del b16, off16, sc16
 
-    b8, off8, sc8, cv8 = _build_scan8_shadow(vj, norms, valid, "l2", w)
+    b8, off8, sc8, cv8, _aux8 = _build_scan8_shadow(vj, norms, valid,
+                                                    "l2", w)
     jax.block_until_ready(b8)
 
     def int8_run(q, base, b, o, s, c, eps):

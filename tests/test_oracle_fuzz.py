@@ -21,23 +21,32 @@ DIM, CAP, K = 16, 1024, 5
 
 
 def _oracle_topk(live: dict, q: np.ndarray, k: int,
-                 metric: str = "l2") -> list[set]:
+                 metric: str = "l2") -> list[tuple[set, set, set]]:
+    """Per query: (topk, must, ok) id sets from a float64 oracle.
+
+    ``must`` (strictly inside the top-k by more than eps) has to appear in
+    any correct exact result; ``ok`` (within eps of the k-th) is the set a
+    correct exact result may draw from.  eps is scale-aware: the device
+    computes sq-L2 via the f32 norm identity (q²+v²−2q·v), whose
+    cancellation error at distance scale D is ~1e-6·D — an absolute 1e-5
+    would be platform-fragile at DIM=16 where D ≈ 30."""
     ids = np.fromiter(live.keys(), np.int64)
-    mat = np.stack([live[i] for i in ids])
+    mat = np.stack([live[i] for i in ids]).astype(np.float64)
+    q64 = q.astype(np.float64)
     if metric == "cosine":
-        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        qn = q64 / np.linalg.norm(q64, axis=1, keepdims=True)
         mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         d = 1.0 - qn @ mn.T
     else:
-        d = ((q[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+        d = ((q64[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
     out = []
     for row in d:
         order = np.argsort(row, kind="stable")[:k]
         kth = row[order[-1]]
-        # tie tolerance: any id whose distance is within eps of the k-th
-        # is an acceptable member of the returned set
-        ok = set(ids[np.flatnonzero(row <= kth + 1e-5)].tolist())
-        out.append((set(ids[order].tolist()), ok))
+        eps = 1e-4 * (1.0 + abs(kth))
+        must = set(ids[np.flatnonzero(row < kth - eps)].tolist())
+        ok = set(ids[np.flatnonzero(row <= kth + eps)].tolist())
+        out.append((set(ids[order].tolist()), must, ok))
     return out
 
 
@@ -53,15 +62,19 @@ def _check(db, live, rng, exact: bool, tag: str, metric: str = "l2"):
         res = db.search(q[i], K)
         got = {r.id for r in res}
         assert got <= set(live.keys()) | {-1}, f"{tag}: dead ids {got}"
-        must, ok = oracle[i]
+        topk, must, ok = oracle[i]
         if exact:
             assert got <= ok and len(got) == min(K, len(live)), (
                 f"{tag}: exact mode diverged from oracle: got {sorted(got)} "
                 f"allowed {sorted(ok)}"
             )
+            assert must <= got, (
+                f"{tag}: exact mode dropped clear top-k members "
+                f"{sorted(must - got)}"
+            )
             hits += K
         else:
-            hits += len(got & ok)
+            hits += len(got & topk)
     if not exact:
         assert hits / (qn * K) >= 0.9, f"{tag}: recall {hits / (qn * K)}"
 
@@ -110,18 +123,24 @@ def test_crud_oracle_fuzz(tag, itype, cfg, exact, metric, tmp_path):
     live: dict[int, np.ndarray] = {}
     next_id = 0
     deleted_pool: list[int] = []
+    ran: set[int] = set()
 
     # deterministic op schedule (every op type guaranteed covered),
-    # randomized operands: add -> delete -> re-add -> reload -> mixed
+    # randomized operands: add -> delete -> re-add -> reload -> mixed.
+    # The first wave exceeds the 128-row floor so the delete/re-add
+    # phases actually run as themselves (a smaller wave would divert
+    # them to add waves and silently skip the re-add coverage).
     for phase, op in enumerate((0, 1, 2, 3, 0, 1)):
         if op == 0 or len(live) < 128:  # add wave
-            n = int(rng.integers(64, 128))
+            ran.add(0)
+            n = int(rng.integers(160, 224))
             vecs = rng.standard_normal((n, DIM)).astype(np.float32)
             ids = list(range(next_id, next_id + n))
             next_id += n
             assert len(db.add_batch(ids, vecs)) == n
             live.update(zip(ids, vecs))
         elif op == 1:  # delete a random subset
+            ran.add(1)
             victims = rng.choice(np.fromiter(live.keys(), np.int64),
                                  min(40, len(live) // 2), replace=False)
             for v in victims.tolist():
@@ -129,6 +148,7 @@ def test_crud_oracle_fuzz(tag, itype, cfg, exact, metric, tmp_path):
                 del live[v]
                 deleted_pool.append(v)
         elif op == 2 and deleted_pool:  # re-add previously deleted ids
+            ran.add(2)
             n = min(16, len(deleted_pool))
             ids = [deleted_pool.pop() for _ in range(n)]
             vecs = rng.standard_normal((n, DIM)).astype(np.float32)
@@ -137,8 +157,12 @@ def test_crud_oracle_fuzz(tag, itype, cfg, exact, metric, tmp_path):
             )
             live.update(zip(ids, vecs))
         else:  # checkpoint round-trip mid-sequence
+            ran.add(3)
             db.close()
             db = b.build()
             assert db.size() == len(live), f"{tag}: reload lost rows"
         _check(db, live, rng, exact, f"{tag}/phase{phase}", metric)
+    assert ran == {0, 1, 2, 3}, (
+        f"{tag}: op schedule silently skipped ops {sorted({0,1,2,3} - ran)}"
+    )
     db.close()

@@ -151,8 +151,13 @@ class HnswPqIndex(VectorIndex):
         )
 
     # ------------------------------------------------------------- mutation
-    _DIRTY_RECORDS = ("_scan8_dirty", "_scan16_dirty", "_pack_dirty",
-                      "_fast_dirty")
+    # row-mutation records (store rows changed -> shadow rows requantize);
+    # _fast_dirty is NOT here: the ADC tables derive from CODES, which only
+    # change in _encode_slots (recording row mutations there too would burn
+    # its degrade-to-None churn budget twice as fast, and removals — which
+    # never touch codes — would void it for nothing)
+    _DIRTY_RECORDS = ("_scan8_dirty", "_scan16_dirty", "_pack_dirty")
+    _ALL_DIRTY = _DIRTY_RECORDS + ("_fast_dirty",)
 
     def _note_row_mutation(self, slots: np.ndarray) -> None:
         """Record store-row mutations for incremental cache refreshes
@@ -172,7 +177,7 @@ class HnswPqIndex(VectorIndex):
     def _note_store_rewrite(self) -> None:
         """An untracked bulk rewrite of the store (bulk_load / streamed
         ingest / checkpoint load) — every incremental record is void."""
-        for attr in self._DIRTY_RECORDS:
+        for attr in self._ALL_DIRTY:
             setattr(self, attr, None)
 
     def _take_dirty(self, attr: str):
@@ -553,8 +558,9 @@ class HnswPqIndex(VectorIndex):
         for s in range(0, slots.size, chunk):
             self._encode_slots_chunk(slots[s:s + chunk])
         # codes changed for these slots: the ADC tables refresh
-        # incrementally (add_batch already noted them via
-        # _note_row_mutation; this covers train/rebuild encode paths)
+        # incrementally.  This is the ONLY writer of _fast_dirty — codes
+        # change nowhere else (removals flip `valid` only; bulk loads void
+        # the record via _note_store_rewrite).
         if self._fast_dirty is not None:
             self._fast_dirty.append(np.asarray(slots, np.int64).ravel())
             if (sum(a.size for a in self._fast_dirty)
@@ -1243,11 +1249,14 @@ def _update_fast_tables(ct, cnorms, codes, codebooks, slots):
     """Incremental ADC-table refresh: transpose-scatter the re-encoded
     columns into codes_t and recompute reconstruction norms for the dirty
     slots ONLY.  The norms come from a per-subspace codebook sq-norm
-    lookup over BF16-ROUNDED codebook entries — exactly the numbers the
-    full decode pass (_recon_norms via pq_decode_recon_t, which decodes in
-    bf16) produces, so incrementally-touched slots stay bit-consistent
-    with untouched ones.  ``slots`` may contain duplicates (pow2 padding);
-    the table arrays are donated in place."""
+    lookup over BF16-ROUNDED codebook entries — the same per-element
+    values the full decode pass produces (_recon_norms via
+    pq_decode_recon_t, which decodes in bf16), summed in a different f32
+    order (per-subspace partials vs full-d reduction): codes_t is
+    bit-exact vs a rebuild, cnorms agree to ~1e-6 relative (see
+    tests/test_compressed_store.py::test_incremental_fast_tables_update).
+    ``slots`` may contain duplicates (pow2 padding); the table arrays are
+    donated in place."""
     sub = codes[slots].astype(jnp.int32)                      # [m, S]
     cb16 = codebooks.astype(jnp.bfloat16).astype(jnp.float32)
     cb_sq = jnp.sum(cb16 * cb16, axis=2)                      # [S, K]
