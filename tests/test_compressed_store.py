@@ -545,3 +545,90 @@ class TestScanPallasInt8:
             idx.remove(i)
         ids, _ = idx.search_batch(vecs[:8], 1)
         assert not set(ids[:, 0].tolist()) & set(range(8))
+
+
+class TestRefineResidual:
+    """Second-level int8 residual refine (HnswPqConfig.refine_residual):
+    ~16-bit effective row precision at half the bytes of f32 — removes the
+    refine-ordering recall ceiling of the single-level int8 store
+    (ops/distance.pack_int8_residual)."""
+
+    def _build(self, mode, vecs, residual=True, metric="l2"):
+        idx = HnswPqIndex(DIM, 4096, metric=metric, config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024, raw_store=False,
+            refine_residual=residual, search_mode=mode,
+            proxy_dims=16 if mode == "pca" else 0))
+        idx.bulk_load_stream([(range(len(vecs)), vecs)])
+        return idx
+
+    def test_raw_store_rejects_residual(self):
+        with pytest.raises(ValueError, match="refine_residual"):
+            HnswPqIndex(DIM, 512, config=HnswPqConfig(refine_residual=True))
+
+    def test_get_roundtrip_16bit(self):
+        vecs = _corpus(512)
+        st = VectorStore(512, DIM, raw=False, residual=True)
+        st.add_batch(range(512), vecs)
+        got = np.stack([st.get(i) for i in range(16)])
+        # two-level int8: per-element error ~2e-5 of max|v| (vs ~4e-3
+        # single-level)
+        err = np.abs(got - vecs[:16]).max()
+        assert err <= 1e-4 * np.abs(vecs[:16]).max(), err
+
+    @pytest.mark.parametrize("mode", ["scan_pallas_int8", "adc_fast", "pca"])
+    def test_residual_refine_beats_single_level(self, mode):
+        """Every int8-refining mode matches the exact-refine ordering on a
+        pool the single-level refine mis-ranks (the A6 ceiling, CPU
+        scale)."""
+        vecs = _corpus(4096)
+        q = vecs[:64] + 0.02 * _corpus(64, seed=9)
+        gt = _gt(vecs, q)
+        r1 = _recall(self._build(mode, vecs, False).search_batch(q, K)[0], gt)
+        r2 = _recall(self._build(mode, vecs, True).search_batch(q, K)[0], gt)
+        assert r2 >= r1 - 1e-9, (mode, r1, r2)
+        # adc_fast's residual-mode remainder is POOL containment (codes-only
+        # selection at 16 subspaces), not the refine this feature fixes
+        assert r2 >= (0.94 if mode == "adc_fast" else 0.97), (mode, r2)
+
+    def test_residual_checkpoint_roundtrip(self):
+        vecs = _corpus(2048)
+        idx = self._build("scan_pallas_int8", vecs)
+        q = _corpus(64, seed=3)
+        ids1, d1 = idx.search_batch(q, K)
+        idx2 = HnswPqIndex(DIM, 4096, config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024, raw_store=False,
+            refine_residual=True, search_mode="scan_pallas_int8"))
+        idx2.load_state_arrays(idx.state_arrays())
+        assert idx2.store.state.resid is not None
+        ids2, d2 = idx2.search_batch(q, K)
+        np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_residual_churn(self):
+        vecs = _corpus(2048)
+        idx = self._build("scan_pallas_int8", vecs)
+        for i in range(16):
+            assert idx.remove(i)
+        newv = _corpus(16, seed=7)
+        assert len(idx.add_batch(range(9000, 9016), newv)) == 16
+        ids, _ = idx.search_batch(newv, 5)
+        hits = sum(9000 + i in set(ids[i].tolist()) for i in range(16))
+        assert hits >= 15, hits
+        ids2, _ = idx.search_batch(vecs[:16], 5)
+        assert not set(ids2.ravel().tolist()) & set(range(16))
+        # residual rows of the re-added slots are consistent with a fresh
+        # two-level pack (get() round-trips at 16-bit precision)
+        got = np.asarray(idx.get(9003))
+        assert np.abs(got - newv[3]).max() <= 1e-4 * np.abs(newv[3]).max()
+
+    def test_residual_cosine(self):
+        r = np.random.default_rng(11)
+        vecs = (r.standard_normal((2048, DIM)) + 5.0).astype(np.float32)
+        idx = HnswPqIndex(DIM, 2048, metric="cosine", config=HnswPqConfig(
+            num_subspaces=16, training_samples=1024, raw_store=False,
+            refine_residual=True, search_mode="scan_pallas_int8"))
+        idx.bulk_load_stream([(range(2048), vecs)])
+        q = (r.standard_normal((64, DIM)) + 5.0).astype(np.float32)
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q, metric="cosine")) >= 0.95

@@ -252,6 +252,16 @@ class HnswPqConfig:
     # need raw rows and raise.
     # The reference's N >> memory roadmap answer is IVF sharding + mmap
     # (reference: PERFORMANCE_BENCHMARK_AND_ROADMAP.md:475-525).
+    refine_residual: bool = False  # compressed tier only (raw_store=False):
+    # store a SECOND int8 level holding each row's quantization residual
+    # (ops/distance.pack_int8_residual) and add it in every int8 refine —
+    # ~16-bit effective row precision at half the bytes of f32, which
+    # removes the refine-ordering recall ceiling (a perfectly-contained
+    # pool ranks 99.3% -> 100% Recall@10 at 512d; the 10M A6 rows' ~95.5%
+    # cap is exactly this error).  Cost: +1.3 GB/M rows at 512d resident
+    # (10M x 512 ~ 10.4 GB total) and 2x refine gather bytes.  The fused
+    # scan kernels keep reading the FIRST level only (selection is
+    # containment-grade); scan_int8's exhaustive scorer likewise.
     adc_select_r: int = 0  # > 0 -> narrow the (wide, cheap) pool to a ranked
     # top-R with one tiny approx_max_k over pool VALUES before the refine
     # gathers — the hybrid that beats both pure bucket pools (selection loss)

@@ -66,6 +66,12 @@ class Int8StoreState:
     ids: Array      # [cap] int32 external ids, -1 for empty slots
     norms: Array    # [cap] float32 EXACT squared norms (from f32 at write)
     valid: Array    # [cap] bool live-slot mask
+    # optional second-level int8 residual (HnswPqConfig.refine_residual):
+    # row ~ scales*unpack(packed) + rscales*unpack(resid), ~16-bit
+    # effective precision at half the bytes of f32 — removes the
+    # refine-ordering recall ceiling (ops/distance.pack_int8_residual)
+    resid: Optional[Array] = None    # [cap, dim/4] int32
+    rscales: Optional[Array] = None  # [cap] float32
 
     @property
     def capacity(self) -> int:
@@ -82,14 +88,19 @@ class Int8StoreState:
         Hot paths must use packed/scales directly."""
         from ..ops.distance import unpack_int8_rows
 
-        return unpack_int8_rows(self.packed, self.scales)
+        out = unpack_int8_rows(self.packed, self.scales)
+        if self.resid is not None:
+            out = out + unpack_int8_rows(self.resid, self.rscales)
+        return out
 
 
-def init_store(capacity: int, dim: int, raw: bool = True):
+def init_store(capacity: int, dim: int, raw: bool = True,
+               residual: bool = False):
     """Pre-allocated max-capacity arrays (reference pre-allocates the same way,
     native/core/VectorStore.cpp:32-34). Capacity is rounded up to a multiple of
     128 so every downstream kernel sees lane-aligned shapes.  ``raw=False``
-    allocates the int8-compressed store (no [cap, dim] f32 matrix exists)."""
+    allocates the int8-compressed store (no [cap, dim] f32 matrix exists);
+    ``residual=True`` adds the second-level int8 residual arrays."""
     cap = _round_up(max(capacity, 128), 128)
     if not raw:
         if dim % 4 != 0:
@@ -104,7 +115,12 @@ def init_store(capacity: int, dim: int, raw: bool = True):
             ids=jnp.full((cap,), -1, jnp.int32),
             norms=jnp.zeros((cap,), jnp.float32),
             valid=jnp.zeros((cap,), bool),
+            resid=jnp.zeros((cap, dim // 4), jnp.int32) if residual else None,
+            rscales=jnp.zeros((cap,), jnp.float32) if residual else None,
         )
+    if residual:
+        raise ValueError("residual refine rows require raw=False "
+                         "(the raw store's f32 rows are already exact)")
     return StoreState(
         vectors=jnp.zeros((cap, dim), jnp.float32),
         ids=jnp.full((cap,), -1, jnp.int32),
@@ -131,16 +147,22 @@ def _write_slots_int8(
     """Scatter-write into the compressed store.  The state is DONATED: at
     large capacities the packed array is gigabytes, and an undonated
     .at[].set would transiently double it."""
-    from ..ops.distance import pack_int8_rows
+    from ..ops.distance import pack_int8_residual, pack_int8_rows
 
     norms = jnp.sum(vecs * vecs, axis=-1)
     packed, scale = pack_int8_rows(vecs)
+    extra = {}
+    if state.resid is not None:
+        rp, rs = pack_int8_residual(vecs, packed, scale)
+        extra = dict(resid=state.resid.at[slots].set(rp),
+                     rscales=state.rscales.at[slots].set(rs))
     return state.replace(
         packed=state.packed.at[slots].set(packed),
         scales=state.scales.at[slots].set(scale),
         ids=state.ids.at[slots].set(ids),
         norms=state.norms.at[slots].set(norms),
         valid=state.valid.at[slots].set(ids >= 0),
+        **extra,
     )
 
 
@@ -159,11 +181,12 @@ class VectorStore:
     bounded (static shapes; SURVEY.md §7.3.3).
     """
 
-    def __init__(self, capacity: int, dim: int, raw: bool = True):
+    def __init__(self, capacity: int, dim: int, raw: bool = True,
+                 residual: bool = False):
         if dim <= 0:
             raise ValueError(f"dim must be positive, got {dim}")
         self.raw = raw
-        self.state = init_store(capacity, dim, raw=raw)
+        self.state = init_store(capacity, dim, raw=raw, residual=residual)
         self.dim = dim
         self._id_to_slot: dict[int, int] = {}
         self._free: list[int] = list(range(self.state.capacity - 1, -1, -1))
@@ -262,10 +285,18 @@ class VectorStore:
                 valid=id_arr >= 0,
             )
         else:
-            from ..ops.distance import pack_int8_rows
+            from ..ops.distance import pack_int8_residual, pack_int8_rows
 
             vectors = jnp.asarray(vectors, jnp.float32)
             packed, scale = pack_int8_rows(vectors)
+            extra = {}
+            if self.state.resid is not None:
+                rp, rs = pack_int8_residual(vectors, packed, scale)
+                extra = dict(
+                    resid=jnp.zeros((cap, self.dim // 4), jnp.int32)
+                    .at[:n].set(rp),
+                    rscales=jnp.zeros((cap,), jnp.float32).at[:n].set(rs),
+                )
             self.state = Int8StoreState(
                 packed=jnp.zeros((cap, self.dim // 4), jnp.int32).at[:n].set(packed),
                 scales=jnp.zeros((cap,), jnp.float32).at[:n].set(scale),
@@ -273,6 +304,7 @@ class VectorStore:
                 norms=jnp.zeros((cap,), jnp.float32)
                 .at[:n].set(jnp.sum(vectors * vectors, axis=1)),
                 valid=id_arr >= 0,
+                **extra,
             )
         self._id_to_slot = {int(v): i for i, v in enumerate(ids_np)}
         self._free = list(range(cap - 1, n - 1, -1))
@@ -289,7 +321,11 @@ class VectorStore:
             return self.state.vectors[sl]
         from ..ops.distance import unpack_int8_rows
 
-        return unpack_int8_rows(self.state.packed[sl], self.state.scales[sl])
+        out = unpack_int8_rows(self.state.packed[sl], self.state.scales[sl])
+        if self.state.resid is not None:
+            out = out + unpack_int8_rows(self.state.resid[sl],
+                                         self.state.rscales[sl])
+        return out
 
     def remove(self, vec_id: int) -> Optional[int]:
         """Tombstone delete. Returns the freed slot, or None if absent."""
@@ -324,6 +360,9 @@ class VectorStore:
         else:
             out["packed8"] = np.asarray(self.state.packed)
             out["scales8"] = np.asarray(self.state.scales)
+            if self.state.resid is not None:
+                out["resid8"] = np.asarray(self.state.resid)
+                out["rscales8"] = np.asarray(self.state.rscales)
         return out
 
     @classmethod
@@ -349,6 +388,10 @@ class VectorStore:
                 ids=jnp.asarray(arrays["ids"], jnp.int32),
                 norms=jnp.asarray(arrays["norms"], jnp.float32),
                 valid=jnp.asarray(arrays["valid"], bool),
+                resid=(jnp.asarray(arrays["resid8"], jnp.int32)
+                       if "resid8" in arrays else None),
+                rscales=(jnp.asarray(arrays["rscales8"], jnp.float32)
+                         if "rscales8" in arrays else None),
             )
         ids = np.asarray(arrays["ids"])
         valid = np.asarray(arrays["valid"])

@@ -81,8 +81,15 @@ class HnswPqIndex(VectorIndex):
                     "scan_int8 | scan_pallas_int8 | auto"
                 )
             config.refine_store = "int8"
+        elif config.refine_residual:
+            raise ValueError(
+                "refine_residual=True needs the compressed store "
+                "(raw_store=False); the raw tier's f32 rows are already "
+                "exact refine sources"
+            )
         self.config = config
-        self.store = VectorStore(capacity, dim, raw=config.raw_store)
+        self.store = VectorStore(capacity, dim, raw=config.raw_store,
+                                 residual=config.refine_residual)
         self.codes = jnp.zeros((self.store.capacity, sub), jnp.uint8)
         self.codebooks: Optional[jax.Array] = None
         self.trained = False
@@ -654,6 +661,15 @@ class HnswPqIndex(VectorIndex):
         self._pack_dirty = []
         return self._packed_cache[1], self._packed_cache[2]
 
+    def _int8_resid_store(self, st):
+        """(resid [cap, d/4] i32, rscales [cap]) — the second-level int8
+        residual refine rows (config.refine_residual), or None.  Lives in
+        the store itself (written at add/bulk/stream time), so there is no
+        cache to maintain."""
+        if self.store.raw or getattr(st, "resid", None) is None:
+            return None
+        return st.resid, st.rscales
+
     def _scan16_shadow(self, st):
         """Cached bf16 scan shadow for search_mode="scan_pallas" (see
         _build_scan16_shadow).  Keyed on BOTH the vectors array and the
@@ -900,10 +916,13 @@ class HnswPqIndex(VectorIndex):
             w = min(2048, st.capacity)
             while st.capacity % w:
                 w -= 128
+            i8r = self._int8_resid_store(st)
             dists, ext = pallas_scan8p_refine(
                 jnp.asarray(padded), st.packed, st.scales, st.norms, off, sc,
                 cvec, st.ids, k_pad, self.metric,
                 pool=min(max(4 * k_pad, 64), w), w=w,
+                resid=i8r[0] if i8r is not None else None,
+                rscales=i8r[1] if i8r is not None else None,
             )
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "scan_int8":
@@ -993,6 +1012,7 @@ class HnswPqIndex(VectorIndex):
                 self._proxy_norms = _rows_sq_norms(self.proxy)
             packed = self._packed_refine_store(st)
             i8 = self._int8_refine_store(st)
+            i8r = self._int8_resid_store(st)
             dists, ext = _pca_search_jit(
                 jnp.asarray(padded), self.pca_mean, self.pca_basis,
                 self.proxy, self._proxy_norms, st.valid,
@@ -1003,6 +1023,8 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
                 int8_norms=st.norms if i8 is not None else None,
+                int8_resid=i8r[0] if i8r is not None else None,
+                int8_rscales=i8r[1] if i8r is not None else None,
             )
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "adc_fast":
@@ -1023,6 +1045,7 @@ class HnswPqIndex(VectorIndex):
                      if need_chunk else 0)
             packed = self._packed_refine_store(st)
             i8 = self._int8_refine_store(st)
+            i8r = self._int8_resid_store(st)
             dists, ext = _adc_fast_jit(
                 jnp.asarray(padded), ct, cbt, st.valid,
                 st.vectors if self.store.raw else st.packed, st.ids,
@@ -1034,6 +1057,8 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
                 int8_norms=st.norms if i8 is not None else None,
+                int8_resid=i8r[0] if i8r is not None else None,
+                int8_rscales=i8r[1] if i8r is not None else None,
             )
             return self._emit(q_n, k, k_eff, dists, ext)
         if (mode == "graph" or self.config.use_graph) and int(self.graph.entry) >= 0:
@@ -1051,6 +1076,7 @@ class HnswPqIndex(VectorIndex):
             )
             return self._to_external(q_n, k, k_eff, slots, dists)
         i8 = None if self.store.raw else self._int8_refine_store(st)
+        i8r = self._int8_resid_store(st)
         base = st.vectors if self.store.raw else st.packed
         if self.coarse_centroids is not None:
             # IVF-pruned fused scan (ScaNN-style partition + score + re-rank)
@@ -1063,6 +1089,8 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
                 int8_norms=st.norms if i8 is not None else None,
+                int8_resid=i8r[0] if i8r is not None else None,
+                int8_rscales=i8r[1] if i8r is not None else None,
             )
         else:
             # exhaustive fused scan
@@ -1074,6 +1102,8 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
                 int8_norms=st.norms if i8 is not None else None,
+                int8_resid=i8r[0] if i8r is not None else None,
+                int8_rscales=i8r[1] if i8r is not None else None,
             )
         return self._emit(q_n, k, k_eff, dists, ext)
 
@@ -1278,12 +1308,23 @@ def _stream_ingest_step(
     are gigabytes, and undonated functional updates would transiently double
     them.  ``start`` is a traced scalar so every chunk of a given length
     shares one compilation."""
-    from ..ops.distance import normalize_rows, pack_int8_rows
+    from ..ops.distance import (
+        normalize_rows, pack_int8_residual, pack_int8_rows,
+    )
 
     norms = jnp.sum(vecs * vecs, axis=1)
     valid_c = jnp.ones((vecs.shape[0],), bool)
     if hasattr(state, "packed"):          # Int8StoreState (compressed)
         packed, scale = pack_int8_rows(vecs)
+        extra = {}
+        if state.resid is not None:
+            rp, rs = pack_int8_residual(vecs, packed, scale)
+            extra = dict(
+                resid=jax.lax.dynamic_update_slice(state.resid, rp,
+                                                   (start, 0)),
+                rscales=jax.lax.dynamic_update_slice(state.rscales, rs,
+                                                     (start,)),
+            )
         state = state.replace(
             packed=jax.lax.dynamic_update_slice(state.packed, packed,
                                                 (start, 0)),
@@ -1293,6 +1334,7 @@ def _stream_ingest_step(
             norms=jax.lax.dynamic_update_slice(state.norms, norms, (start,)),
             valid=jax.lax.dynamic_update_slice(state.valid, valid_c,
                                                (start,)),
+            **extra,
         )
     else:                                  # raw StoreState
         state = state.replace(
@@ -1651,19 +1693,23 @@ def _pool_select_cand(queries, center_vec, metric, pool_kernel, pool_args,
     jax.jit, static_argnames=("k", "metric", "pool", "w")
 )
 def pallas_scan8p_refine(queries, packed, scales, norms, off, sc, center_vec,
-                         ids, k, metric, pool, w):
+                         ids, k, metric, pool, w, resid=None, rscales=None):
     """Packed-store fused-kernel scan + int8 refine (the compressed tier's
     exhaustive fast path): fused_packed_pool streams the store's own int8
     rows at s8 MXU rate, a tiny approx select ranks the bucket winners, and
     blocked_rerank_int8 re-scores the pool with exact write-time norms
-    (``norms`` — only the cross term keeps quantization error)."""
+    (``norms`` — only the cross term keeps quantization error).  With the
+    second-level residual rows (config.refine_residual) the refine's cross
+    term reaches ~16-bit precision too — the scan stage stays first-level
+    s8 (selection only needs containment)."""
     from ..ops.distance import blocked_rerank_int8
     from ..ops.pallas_kernels import fused_packed_pool
 
     cand = _pool_select_cand(queries, center_vec, metric, fused_packed_pool,
                              (packed, off, sc), pool, w)
     d, slots = blocked_rerank_int8(queries, packed, scales, cand, k, metric,
-                                   rb=pool, b_norms=norms)
+                                   rb=pool, b_norms=norms, resid=resid,
+                                   rscales=rscales)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
 
@@ -1739,6 +1785,7 @@ def _cosine_pq_queries(queries, metric, perm):
 def flagship_search(
     queries, codebooks, codes, valid, base, ids, k, refine, impl, block_n,
     metric, perm=None, int8_base=None, int8_scales=None, int8_norms=None,
+    int8_resid=None, int8_rscales=None,
 ):
     """The whole flagship search as ONE device program: distance tables ->
     exhaustive blocked ADC scan with fused top-R -> exact re-rank -> external
@@ -1751,18 +1798,20 @@ def flagship_search(
     _, cand = adc.adc_scan_topk(tables, codes, valid, refine,
                                 block_n=block_n, impl=impl)
     d, slots = _rerank_any(queries, base, cand, k, metric,
-                           int8_base, int8_scales, int8_norms)
+                           int8_base, int8_scales, int8_norms,
+                           int8_resid, int8_rscales)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
 
 
 def _rerank_any(queries, base, cand, k, metric, int8_base, int8_scales,
-                int8_norms=None):
+                int8_norms=None, int8_resid=None, int8_rscales=None):
     if int8_base is not None:
         from ..ops.distance import blocked_rerank_int8
 
         return blocked_rerank_int8(queries, int8_base, int8_scales, cand,
-                                   k, metric, b_norms=int8_norms)
+                                   k, metric, b_norms=int8_norms,
+                                   resid=int8_resid, rscales=int8_rscales)
     return _blocked_rerank(queries, base, cand, k, metric)
 
 
@@ -1775,7 +1824,7 @@ from ..ops.distance import blocked_rerank as _blocked_rerank  # noqa: E402
 def flagship_search_pruned(
     queries, codebooks, codes, valid, base, ids, centroids, members, overflow,
     k, refine, nprobe, max_len, metric, perm=None, int8_base=None,
-    int8_scales=None, int8_norms=None,
+    int8_scales=None, int8_norms=None, int8_resid=None, int8_rscales=None,
 ):
     """IVF-pruned flagship search, fused: coarse probe selection (one small
     matmul) -> gather probed clusters' codes -> ADC scoring -> top-R ->
@@ -1838,7 +1887,8 @@ def flagship_search_pruned(
     short = jnp.where(jnp.isfinite(negd), short, -1)
     # exact re-rank (blocked — same OOM-safety as the exhaustive path)
     d, slots = _rerank_any(queries, base, short, k, metric,
-                           int8_base, int8_scales, int8_norms)
+                           int8_base, int8_scales, int8_norms,
+                           int8_resid, int8_rscales)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
 

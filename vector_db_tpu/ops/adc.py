@@ -218,6 +218,8 @@ def adc_fast_search(
     int8_base: Optional[Array] = None,
     int8_scales: Optional[Array] = None,
     int8_norms: Optional[Array] = None,
+    int8_resid: Optional[Array] = None,
+    int8_rscales: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """The fast codes-only scoring pipeline, ONE device program:
 
@@ -335,7 +337,9 @@ def adc_fast_search(
 
         out_d, slots = blocked_rerank_int8(queries, int8_base, int8_scales,
                                            pool, k, metric, rb=rerank_block,
-                                           b_norms=int8_norms)
+                                           b_norms=int8_norms,
+                                           resid=int8_resid,
+                                           rscales=int8_rscales)
     elif packed_base is not None:
         from .distance import blocked_rerank_packed
 

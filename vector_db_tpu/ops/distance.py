@@ -560,6 +560,26 @@ def pack_int8_rows(base: Array) -> tuple[Array, Array]:
     return packed, scale
 
 
+def pack_int8_residual(base: Array, packed: Array,
+                       scales: Array) -> tuple[Array, Array]:
+    """Second-level int8 quantization of the rows' quantization RESIDUAL
+    (base - dequant(packed)): returns (resid_packed [N, d/4] i32,
+    rscales [N]).
+
+    Two-level int8 reaches ~16-bit effective precision (the residual's
+    range is ~scale/2, so its own scale is ~1/254 of the primary's:
+    combined per-element error ~2e-5 of max|v|) at HALF the bytes of f32
+    — and, unlike a single bf16 row store at the SAME total bytes, the
+    first level stays s8 for the fused MXU scan kernels.  Measured: with
+    a perfectly-contained candidate pool the int8 refine scores 99.3%
+    Recall@10 where int8+residual is EXACT (tests/benchmarks at 50k-200k
+    x 512); this is the compressed tier's answer to the refine-precision
+    recall ceiling (BENCH_REPORT A6: 95.5% at 10M).
+    """
+    resid = base - unpack_int8_rows(packed, scales)
+    return pack_int8_rows(resid)
+
+
 def blocked_rerank_int8(
     q: Array,
     packed: Array,
@@ -569,6 +589,8 @@ def blocked_rerank_int8(
     metric: str = METRIC_L2,
     rb: int = 512,
     b_norms: Optional[Array] = None,
+    resid: Optional[Array] = None,
+    rscales: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """`blocked_rerank` against an int8 row store (see pack_int8_rows).
 
@@ -587,6 +609,14 @@ def blocked_rerank_int8(
     error projects out), whereas the exact pre-quantization norm leaks it
     into the score — so cosine always re-derives ‖v̂‖ (measured: the
     exact-norm variant costs ~1pt recall on offset cosine corpora).
+
+    ``resid``/``rscales`` (pack_int8_residual) add the second-level int8
+    residual to the cross term: ~16-bit effective row precision, which
+    removes the refine-ordering recall ceiling entirely (ranking a
+    perfectly-contained pool goes 99.3% -> 100% Recall@10 at 512d).  The
+    residual path computes its dots in f32 — a bf16 query would round at
+    ~1e-4 relative, swamping the ~4e-5 residual error it buys.  Gathers
+    double (still half the bytes of an f32 row store).
     """
     q_n, r = cand.shape
     d = packed.shape[1] * 4
@@ -597,6 +627,8 @@ def blocked_rerank_int8(
     n_blocks = (r + r_pad) // rb
     q_norms = jnp.sum(q * q, axis=1)
     dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    if resid is not None:
+        dt = jnp.float32
     qc = q.astype(dt)
 
     def body(carry, blk):
@@ -609,8 +641,21 @@ def blocked_rerank_int8(
         vq = v8.astype(dt)
         dots = jnp.einsum("qd,qrd->qr", qc, vq,
                           preferred_element_type=jnp.float32) * sc
+        if resid is not None:
+            r8 = jax.lax.bitcast_convert_type(
+                resid[safe], jnp.int8).reshape(q_n, rb, d)
+            rsc = rscales[safe]                            # [Q, rb]
+            dots = dots + jnp.einsum(
+                "qd,qrd->qr", qc, r8.astype(dt),
+                preferred_element_type=jnp.float32) * rsc
         if b_norms is not None and metric == METRIC_L2:
             vn = b_norms[safe]
+        elif resid is not None:
+            deq = (v8.astype(jnp.float32) * sc[:, :, None]
+                   + jax.lax.bitcast_convert_type(
+                       resid[safe], jnp.int8).reshape(q_n, rb, d)
+                   .astype(jnp.float32) * rscales[safe][:, :, None])
+            vn = jnp.sum(deq * deq, axis=2)
         else:
             vn = jnp.sum(v8.astype(jnp.float32) ** 2, axis=2) * (sc * sc)
         if metric == METRIC_L2:

@@ -76,6 +76,8 @@ def pca_proxy_search(
     int8_base: Optional[Array] = None,
     int8_scales: Optional[Array] = None,
     int8_norms: Optional[Array] = None,
+    int8_resid: Optional[Array] = None,
+    int8_rscales: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """Proxy scan + ranked top-R + blocked exact refine, ONE device program.
 
@@ -181,7 +183,9 @@ def pca_proxy_search(
         # cannot be HBM-resident at all (10M x 512 = 20 GB raw; int8 = 5 GB)
         out_d, slots = blocked_rerank_int8(queries, int8_base, int8_scales,
                                            pool, k, metric, rb=rerank_block,
-                                           b_norms=int8_norms)
+                                           b_norms=int8_norms,
+                                           resid=int8_resid,
+                                           rscales=int8_rscales)
     elif packed_base is not None:
         out_d, slots = blocked_rerank_packed(queries, packed_base, pool, k,
                                              metric, rb=rerank_block)
