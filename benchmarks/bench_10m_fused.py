@@ -8,7 +8,12 @@ write-time norms.  Complements bench_10m.py's multi-stage rows (pca /
 adc_fast): this is the near-exhaustive path — no codes, no proxy, no
 training.
 
-Usage: python benchmarks/bench_10m_fused.py
+With --residual, a second int8 level (each row's quantization residual,
+ops/distance.pack_int8_residual; +5.1 GB -> 10.4 GB resident) is built
+and the refine adds it: ~16-bit effective refine precision, which removes
+the refine-ordering recall ceiling (HnswPqConfig.refine_residual).
+
+Usage: python benchmarks/bench_10m_fused.py [--residual]
 """
 
 import functools
@@ -56,8 +61,11 @@ def main():
     from vector_db_tpu.index.hnsw_pq import (
         _build_scan8p_shadow, pallas_scan8p_refine,
     )
-    from vector_db_tpu.ops.distance import pack_int8_rows, pairwise_sq_l2
+    from vector_db_tpu.ops.distance import (
+        pack_int8_residual, pack_int8_rows, pairwise_sq_l2,
+    )
 
+    residual = "--residual" in sys.argv
     n = CHUNK * N_CHUNKS
     assert n % 2048 == 0
     scale = jnp.asarray((np.arange(DIM) + 1.0) ** -0.5, jnp.float32)
@@ -75,11 +83,13 @@ def main():
     int8s = jnp.zeros((n, DIM // 4), jnp.int32)
     scales = jnp.zeros((n,), jnp.float32)
     norms = jnp.zeros((n,), jnp.float32)
+    resid = jnp.zeros((n, DIM // 4), jnp.int32) if residual else None
+    rscales = jnp.zeros((n,), jnp.float32) if residual else None
     gt_d = jnp.full((NQ, K), jnp.inf, jnp.float32)
     gt_i = jnp.full((NQ, K), -1, jnp.int32)
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
-    def build_step(c, int8s, scales, norms, gt_d, gt_i):
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+    def build_step(c, int8s, scales, norms, gt_d, gt_i, resid, rscales):
         raw = gen_chunk(c)                                   # transient 268MB
         start = c * CHUNK
         p8, sc = pack_int8_rows(raw)
@@ -87,21 +97,26 @@ def main():
         scales = jax.lax.dynamic_update_slice(scales, sc, (start,))
         norms = jax.lax.dynamic_update_slice(
             norms, jnp.sum(raw * raw, axis=1), (start,))
+        if resid is not None:
+            rp, rs = pack_int8_residual(raw, p8, sc)
+            resid = jax.lax.dynamic_update_slice(resid, rp, (start, 0))
+            rscales = jax.lax.dynamic_update_slice(rscales, rs, (start,))
         d_blk = pairwise_sq_l2(qj, raw, q_norms)
         i_blk = start + jax.lax.broadcasted_iota(jnp.int32, (NQ, CHUNK), 1)
         cat_d = jnp.concatenate([gt_d, d_blk], axis=1)
         cat_i = jnp.concatenate([gt_i, i_blk], axis=1)
         neg, arg = jax.lax.top_k(-cat_d, K)
-        return int8s, scales, norms, -neg, jnp.take_along_axis(
-            cat_i, arg, axis=1)
+        return (int8s, scales, norms, -neg,
+                jnp.take_along_axis(cat_i, arg, axis=1), resid, rscales)
 
-    state = (int8s, scales, norms, gt_d, gt_i)
+    state = (int8s, scales, norms, gt_d, gt_i, resid, rscales)
     t0 = time.time()
     for c in range(N_CHUNKS):
         state = build_step(jnp.int32(c), *state)
-    int8s, scales, norms, gt_d, gt_i = jax.block_until_ready(state)
+    int8s, scales, norms, gt_d, gt_i, resid, rscales = (
+        jax.block_until_ready(state))
     log(f"streamed build of {n:,} rows: {time.time()-t0:.1f}s "
-        f"(int8 5.1 GB resident)")
+        f"(int8 {'10.4' if residual else '5.1'} GB resident)")
     gt = np.asarray(gt_i)
     gt_sets = [set(gt[i].tolist()) for i in range(NQ)]
 
@@ -120,16 +135,30 @@ def main():
         ))
 
     w = 2048
+    tag = "residual " if residual else ""
     for pool in (64, 128):
-        def run(q, p, s, nm, o, c, cv, eps, _pool=pool):
-            d, _ = pallas_scan8p_refine(q + eps, p, s, nm, o, c, cv, ids, K,
-                                        "l2", pool=_pool, w=w)
-            return d[0, 0]
+        if residual:
+            def run(q, p, s, nm, o, c, cv, rp, rs, eps, _pool=pool):
+                d, _ = pallas_scan8p_refine(q + eps, p, s, nm, o, c, cv,
+                                            ids, K, "l2", pool=_pool, w=w,
+                                            resid=rp, rscales=rs)
+                return d[0, 0]
 
-        d, e = pallas_scan8p_refine(qj, int8s, scales, norms, off, sc, cvec,
-                                    ids, K, "l2", pool=pool, w=w)
-        dt = timed(run, qj, int8s, scales, norms, off, sc, cvec)
-        log(f"fused packed 10M pool={pool}: recall={rec(e):.4f}  "
+            d, e = pallas_scan8p_refine(qj, int8s, scales, norms, off, sc,
+                                        cvec, ids, K, "l2", pool=pool, w=w,
+                                        resid=resid, rscales=rscales)
+            dt = timed(run, qj, int8s, scales, norms, off, sc, cvec,
+                       resid, rscales)
+        else:
+            def run(q, p, s, nm, o, c, cv, eps, _pool=pool):
+                d, _ = pallas_scan8p_refine(q + eps, p, s, nm, o, c, cv,
+                                            ids, K, "l2", pool=_pool, w=w)
+                return d[0, 0]
+
+            d, e = pallas_scan8p_refine(qj, int8s, scales, norms, off, sc,
+                                        cvec, ids, K, "l2", pool=pool, w=w)
+            dt = timed(run, qj, int8s, scales, norms, off, sc, cvec)
+        log(f"fused packed {tag}10M pool={pool}: recall={rec(e):.4f}  "
             f"{dt*1e3:.1f} ms  {NQ/dt:,.0f} QPS")
 
 

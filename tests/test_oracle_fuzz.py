@@ -95,6 +95,13 @@ MODES = [
      HnswPqConfig(raw_store=False, num_subspaces=4, num_centroids=16,
                   training_samples=64, search_mode="scan_pallas_int8"),
      False, "l2"),
+    # two-level int8 residual refine: ~16-bit effective row precision puts
+    # refine error far below the oracle's tie epsilon -> the compressed
+    # tier passes the EXACT check
+    ("compressed_residual", IndexType.HNSWPQ,
+     HnswPqConfig(raw_store=False, refine_residual=True, num_subspaces=4,
+                  num_centroids=16, training_samples=64,
+                  search_mode="scan_pallas_int8"), True, "l2"),
     # cosine: the normalized-space contracts (shadow conditioning, refine
     # denominators) under the same churn schedule
     ("cosine_exact", IndexType.HNSWPQ,
