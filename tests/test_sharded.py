@@ -504,3 +504,79 @@ class TestShardedCompressedTier:
         # exact f32 refine: raw-tier fused recall must be near-perfect
         assert rec >= 0.97, rec
         assert (d[:, :-1] <= d[:, 1:] + 1e-5).all()
+
+
+class TestShardedResidualRefine:
+    """refine_residual=True on the multi-chip compressed tier: second-level
+    int8 residual shards make every int8 refine effectively exact (~16-bit
+    precision; the multi-chip HnswPqConfig.refine_residual analog)."""
+
+    def _gt(self, vecs, q, k=10):
+        d = ((q**2).sum(1)[:, None] + (vecs**2).sum(1)[None, :]
+             - 2.0 * q @ vecs.T)
+        return np.argsort(d, 1)[:, :k]
+
+    def _rec(self, ext, gt):
+        return np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist()))
+                        / gt.shape[1] for i in range(len(gt))])
+
+    def test_raw_tier_rejects_residual(self, mesh):
+        with pytest.raises(ValueError, match="refine_residual"):
+            sh.ShardedDatabase(mesh, dim=32, capacity=256,
+                               refine_residual=True)
+
+    def test_fused_residual_beats_single_level(self, mesh):
+        rng = np.random.default_rng(41)
+        n, dim = 2048, 64
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        q = vecs[:48] + 0.02 * rng.standard_normal((48, dim)).astype(
+            np.float32)
+        gt = self._gt(vecs, q)
+        recs = {}
+        for res in (False, True):
+            db = sh.ShardedDatabase(mesh, dim=dim, capacity=n,
+                                    raw_store=False, refine_residual=res)
+            db.add_batch(np.arange(n), vecs)
+            ext, d = db.search_fused(q, 10)
+            recs[res] = self._rec(ext, gt)
+            assert (d[:, :-1] <= d[:, 1:] + 1e-5).all()
+        assert recs[True] >= recs[False] - 1e-9, recs
+        assert recs[True] >= 0.99, recs
+
+    def test_flagship_residual(self, mesh):
+        rng = np.random.default_rng(42)
+        n, dim = 2048, 64
+        scale = ((np.arange(dim) + 1.0) ** -0.5).astype(np.float32)
+        vecs = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n + 64,
+                                num_subspaces=16, raw_store=False,
+                                refine_residual=True)
+        db.add_batch(np.arange(n), vecs)
+        db.train_pq(num_centroids=64, iters=8)
+        q = (rng.standard_normal((48, dim)) * scale).astype(np.float32)
+        ext, _ = db.search_flagship(q, 10, refine=256)
+        assert self._rec(ext, self._gt(vecs, q)) >= 0.9
+
+    def test_residual_save_load_bit_exact(self, mesh, tmp_path):
+        rng = np.random.default_rng(43)
+        n, dim = 1024, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n,
+                                raw_store=False, refine_residual=True)
+        db.add_batch(np.arange(n), vecs)
+        q = rng.standard_normal((16, dim)).astype(np.float32)
+        e1, d1 = db.search_fused(q, 10)
+        path = str(tmp_path / "resid_ck")
+        db.save(path)
+        db2 = sh.ShardedDatabase.load(mesh, path)
+        assert db2.residual
+        # both packed levels restore verbatim -> identical results
+        e2, d2 = db2.search_fused(q, 10)
+        np.testing.assert_array_equal(e1, e2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
+        # churn after reload keeps the residual mirror consistent
+        assert db2.remove(0)
+        newv = rng.standard_normal((1, dim)).astype(np.float32)
+        assert db2.add_batch(np.asarray([5000]), newv) == [5000]
+        ext, _ = db2.search_fused(newv, 1)
+        assert ext[0, 0] == 5000

@@ -346,7 +346,7 @@ def sharded_fused_raw8(mesh: Mesh, k: int, pool: int, w: int,
 
 
 def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
-                       metric: str = "l2"):
+                       metric: str = "l2", residual: bool = False):
     """Corpus-sharded fused s8 x s8 scan over the compressed tier: per chip
     the Pallas packed-pool kernel (ops/pallas_kernels.fused_packed_pool)
     streams the shard's own int8 rows entirely in VMEM, a tiny approx
@@ -355,12 +355,16 @@ def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
     The multi-chip analog of search_mode="scan_pallas_int8".
 
     fn: (q [Q,d], packed [N,d/4] i32, scales [N], norms [N], off [N],
-         sel_scale [N], center [S,d]) -> (dists [Q,k], global slot idx
-         [Q,k]).  ``norms`` are the store's EXACT write-time squared norms:
-         the refine's only quantization error is the cross term.
+         sel_scale [N], center [S,d][, resid [N,d/4] i32, rscales [N]]) ->
+         (dists [Q,k], global slot idx [Q,k]).  ``norms`` are the store's
+         EXACT write-time squared norms: the refine's only quantization
+         error is the cross term.  With ``residual=True`` the trailing
+         second-level rows make the refine effectively exact (~16-bit; the
+         multi-chip HnswPqConfig.refine_residual analog).
     """
 
-    def local(q, p_s, sc_s, nrm_s, off_s, ssc_s, cvec_s):
+    def local(q, p_s, sc_s, nrm_s, off_s, ssc_s, cvec_s,
+              rp_s=None, rsc_s=None):
         from ..ops.distance import blocked_rerank_int8, normalize_rows
         from ..ops.pallas_kernels import fused_packed_pool
 
@@ -371,17 +375,21 @@ def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
         cand = jnp.take_along_axis(idx, sel, axis=1)
         cand = jnp.where(jnp.isfinite(nv), cand, -1)
         d, slots = blocked_rerank_int8(q, p_s, sc_s, cand, k, metric,
-                                       rb=pool, b_norms=nrm_s)
+                                       rb=pool, b_norms=nrm_s,
+                                       resid=rp_s, rscales=rsc_s)
         gslots = jnp.where(
             slots >= 0, slots + jax.lax.axis_index(AXIS) * p_s.shape[0], -1)
         return _merge_topk(d, gslots, k)
 
+    specs = (P(), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+             P(AXIS, None))
+    if residual:
+        specs = specs + (P(AXIS, None), P(AXIS))
     return jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                      P(AXIS, None)),
+            in_specs=specs,
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -389,7 +397,7 @@ def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
 
 
 def sharded_flagship_int8(mesh: Mesh, k: int, refine: int,
-                          metric: str = "l2"):
+                          metric: str = "l2", residual: bool = False):
     """Corpus-sharded flagship for the compressed tier: per-chip ADC top-R
     over the code shard (decode kernel + MXU), then a blocked INT8 refine
     against the packed row shard — no raw f32 rows exist anywhere — and the
@@ -402,7 +410,8 @@ def sharded_flagship_int8(mesh: Mesh, k: int, refine: int,
          int8 refine (cross-term-only quantization error).
     """
 
-    def local(q, codebooks, codes_s, valid_s, p_s, sc_s, nrm_s, ids_s, perm):
+    def local(q, codebooks, codes_s, valid_s, p_s, sc_s, nrm_s, ids_s, perm,
+              rp_s=None, rsc_s=None):
         from ..ops import adc
         from ..ops.distance import blocked_rerank_int8, normalize_rows
 
@@ -413,16 +422,20 @@ def sharded_flagship_int8(mesh: Mesh, k: int, refine: int,
         _, cand = adc.adc_decode_topk(q_scan, ct, cbt, valid_s, r, perm=perm)
         negd, loc = blocked_rerank_int8(q, p_s, sc_s, cand, min(k, r),
                                         metric, rb=min(512, r),
-                                        b_norms=nrm_s)
+                                        b_norms=nrm_s,
+                                        resid=rp_s, rscales=rsc_s)
         ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
         return _merge_topk(negd, ext, k)
 
+    specs = (P(), P(), P(AXIS, None), P(AXIS), P(AXIS, None),
+             P(AXIS), P(AXIS), P(AXIS), P())
+    if residual:
+        specs = specs + (P(AXIS, None), P(AXIS))
     return jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(AXIS, None),
-                      P(AXIS), P(AXIS), P(AXIS), P()),
+            in_specs=specs,
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated by the all_gather+merge
         )
@@ -628,6 +641,15 @@ def _pack_rows_np(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return packed, scale
 
 
+def _pack_resid_np(v: np.ndarray, packed: np.ndarray,
+                   scale: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side second-level int8 pack of the quantization residual (the
+    numpy analog of ops/distance.pack_int8_residual)."""
+    deq = (packed.view(np.int8).reshape(len(v), -1).astype(np.float32)
+           * scale[:, None])
+    return _pack_rows_np(v - deq)
+
+
 class ShardedDatabase:
     """Multi-chip corpus-sharded database: CRUD + sharded build + search.
 
@@ -649,7 +671,8 @@ class ShardedDatabase:
                  dim: int | None = None, capacity: int | None = None,
                  num_subspaces: int = 8, metric: str = "l2",
                  perm: np.ndarray | None = None,
-                 raw_store: bool = True):
+                 raw_store: bool = True,
+                 refine_residual: bool = False):
         """`perm`: the variance-balancing dimension permutation the imported
         `codes`/`codebooks` were trained under.  Codebooks exported from a
         default-config single-chip index (HnswPqConfig/PqConfig default
@@ -682,6 +705,12 @@ class ShardedDatabase:
         self.raw = raw_store
         if not raw_store and dim % 4 != 0:
             raise ValueError("raw_store=False requires dim % 4 == 0")
+        if refine_residual and raw_store:
+            raise ValueError("refine_residual=True needs the compressed "
+                             "tier (raw_store=False)")
+        # second-level int8 residual refine rows (the multi-chip analog of
+        # HnswPqConfig.refine_residual): ~16-bit effective refine precision
+        self.residual = bool(refine_residual)
         # host mirrors (single-writer)
         if raw_store:
             self._h_vec = np.zeros((self.capacity, dim), np.float32)
@@ -689,6 +718,9 @@ class ShardedDatabase:
             self._h_packed = np.zeros((self.capacity, dim // 4), np.int32)
             self._h_scales = np.zeros(self.capacity, np.float32)
             self._h_norms = np.zeros(self.capacity, np.float32)
+            if refine_residual:
+                self._h_resid = np.zeros((self.capacity, dim // 4), np.int32)
+                self._h_rscales = np.zeros(self.capacity, np.float32)
         self._h_ids = np.full(self.capacity, -1, np.int32)
         self._h_valid = np.zeros(self.capacity, bool)
         self._h_codes = np.zeros((self.capacity, num_subspaces), np.uint8)
@@ -805,6 +837,10 @@ class ShardedDatabase:
             packed, scales = _pack_rows_np(vectors[rows])
             self._h_packed[slots] = packed
             self._h_scales[slots] = scales
+            if self.residual:
+                rp, rs = _pack_resid_np(vectors[rows], packed, scales)
+                self._h_resid[slots] = rp
+                self._h_rscales[slots] = rs
             # norms captured EXACTLY from the incoming f32 rows
             self._h_norms[slots] = (vectors[rows] ** 2).sum(
                 1, dtype=np.float32)
@@ -825,7 +861,12 @@ class ShardedDatabase:
         if self.raw:
             return self._h_vec[slots]
         v8 = self._h_packed[slots].view(np.int8).reshape(len(slots), self.dim)
-        return v8.astype(np.float32) * self._h_scales[slots][:, None]
+        out = v8.astype(np.float32) * self._h_scales[slots][:, None]
+        if self.residual:
+            r8 = self._h_resid[slots].view(np.int8).reshape(
+                len(slots), self.dim)
+            out = out + r8.astype(np.float32) * self._h_rscales[slots][:, None]
+        return out
 
     def remove(self, ext_id: int) -> bool:
         slot = self._slot_of.pop(int(ext_id), None)
@@ -965,6 +1006,8 @@ class ShardedDatabase:
             "codes": lambda lo, hi: self._h_codes[lo:hi],
             "packed": lambda lo, hi: self._h_packed[lo:hi],
             "scales": lambda lo, hi: self._h_scales[lo:hi],
+            "resid": lambda lo, hi: self._h_resid[lo:hi],
+            "rscales": lambda lo, hi: self._h_rscales[lo:hi],
         }[name]
         shapes = {
             "vectors": (self.capacity, self.dim),
@@ -974,6 +1017,8 @@ class ShardedDatabase:
             "codes": (self.capacity, self._h_codes.shape[1]),
             "packed": (self.capacity, self.dim // 4),
             "scales": (self.capacity,),
+            "resid": (self.capacity, self.dim // 4),
+            "rscales": (self.capacity,),
         }
         shape = shapes[name]
         spec = P(AXIS, *([None] * (len(shape) - 1)))
@@ -999,6 +1044,8 @@ class ShardedDatabase:
         if not self._dirty and self._dev_pieces:
             return
         fields = (("vectors",) if self.raw else ("packed", "scales"))
+        if not self.raw and self.residual:
+            fields = fields + ("resid", "rscales")
         for name in fields + ("ids", "valid", "norms", "codes"):
             self._put_field(name)
         self._dirty.clear()
@@ -1065,11 +1112,15 @@ class ShardedDatabase:
         w = min(2048, self.per_shard)
         while self.per_shard % w:
             w -= 128
-        key = ("fused8", k, pool, w)
+        key = ("fused8", k, pool, w, self.residual)
         fn = self._knn_cache.get(key)
         if fn is None:
-            fn = ((sharded_fused_raw8 if self.raw else sharded_fused_int8)
-                  (self.mesh, k, pool=min(pool, w), w=w, metric=self.metric))
+            fn = (sharded_fused_raw8(self.mesh, k, pool=min(pool, w), w=w,
+                                     metric=self.metric)
+                  if self.raw else
+                  sharded_fused_int8(self.mesh, k, pool=min(pool, w), w=w,
+                                     metric=self.metric,
+                                     residual=self.residual))
             self._knn_cache[key] = fn
         qj = jnp.asarray(queries, jnp.float32)
         if self.raw:
@@ -1077,8 +1128,9 @@ class ShardedDatabase:
             d, idx = fn(qj, self.vectors, base8, off, ssc, cvec)
         else:
             off, ssc, cvec = cond[2]
+            extra = (self.resid, self.rscales) if self.residual else ()
             d, idx = fn(qj, self.packed, self.scales, self.norms, off, ssc,
-                        cvec)
+                        cvec, *extra)
         idx_np = np.asarray(idx)
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
@@ -1184,14 +1236,17 @@ class ShardedDatabase:
                         self.codes, self.valid, self.vectors, self.ids,
                         perm_rep)
         else:
-            fn = self._knn_cache.get(("flag8", k, refine))
+            key = ("flag8", k, refine, self.residual)
+            fn = self._knn_cache.get(key)
             if fn is None:
                 fn = sharded_flagship_int8(self.mesh, k, refine,
-                                           metric=self.metric)
-                self._knn_cache[("flag8", k, refine)] = fn
+                                           metric=self.metric,
+                                           residual=self.residual)
+                self._knn_cache[key] = fn
+            extra = (self.resid, self.rscales) if self.residual else ()
             d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
                         self.codes, self.valid, self.packed, self.scales,
-                        self.norms, self.ids, perm_rep)
+                        self.norms, self.ids, perm_rep, *extra)
         return np.asarray(ext), np.asarray(d)
 
     # ----------------------------------------------------------- persistence
@@ -1211,6 +1266,7 @@ class ShardedDatabase:
             "num_subspaces": self.num_subspaces,
             "metric": self.metric,
             "raw_store": self.raw,
+            "refine_residual": self.residual,
             "size": self.size(),
         }
         arrays = {
@@ -1223,6 +1279,9 @@ class ShardedDatabase:
             arrays["packed8"] = self._h_packed
             arrays["scales8"] = self._h_scales
             arrays["norms"] = self._h_norms
+            if self.residual:
+                arrays["resid8"] = self._h_resid
+                arrays["rscales8"] = self._h_rscales
         if self.codebooks is not None:
             arrays["codes"] = self._h_codes
             arrays["codebooks"] = jax.device_get(self.codebooks)
@@ -1252,6 +1311,7 @@ class ShardedDatabase:
         ids = np.asarray(arrays["ids"], np.int64)
         raw = bool(meta.get("raw_store", True))
         live = np.flatnonzero(valid)
+        residual = bool(meta.get("refine_residual", False))
         db = cls(
             mesh,
             dim=int(meta["dim"]),
@@ -1259,13 +1319,15 @@ class ShardedDatabase:
             num_subspaces=int(meta["num_subspaces"]),
             metric=meta.get("metric", "l2"),
             raw_store=raw,
+            refine_residual=residual,
         )
         if raw:
             vec = np.asarray(arrays["vectors"], np.float32)[live]
         else:
             # dequantize for the re-shard add (requantizing a dequantized
             # row reproduces identical codes — same per-row max); exact
-            # norms restore below
+            # norms (and, with residual, the verbatim packed levels)
+            # restore below
             p8 = np.asarray(arrays["packed8"])[live]
             vec = (p8.view(np.int8).reshape(live.size, int(meta["dim"]))
                    .astype(np.float32)
@@ -1290,6 +1352,13 @@ class ShardedDatabase:
             # restore the EXACT write-time norms (the re-shard add computed
             # them from dequantized rows — ~0.4% off)
             db._h_norms[slots] = np.asarray(arrays["norms"])[live]
+            if residual:
+                # both packed levels restore VERBATIM (re-packing a
+                # two-level dequant would perturb the level split)
+                db._h_packed[slots] = np.asarray(arrays["packed8"])[live]
+                db._h_scales[slots] = np.asarray(arrays["scales8"])[live]
+                db._h_resid[slots] = np.asarray(arrays["resid8"])[live]
+                db._h_rscales[slots] = np.asarray(arrays["rscales8"])[live]
             for sh_ in range(db.n_shards):
                 db._dirty.add(sh_)
         if "codes" in arrays:
