@@ -95,6 +95,9 @@ def main():
         pca_r=512,
         adc_pool="approx",
         adc_select_r=512,
+        # --residual: second-level int8 refine rows (+5.1 GB -> ~13 GB
+        # resident with proxy+codes; ~16-bit effective refine precision)
+        refine_residual="--residual" in sys.argv,
     )
     db = (VectorDatabase.builder()
           .with_dimension(DIM).with_max_elements(n + 1024)

@@ -1156,8 +1156,12 @@ class HnswPqIndex(VectorIndex):
         )
         store_bytes = (
             self.store.capacity * self.dim * 4 if self.store.raw
-            # packed int8 rows + scales + exact norms
+            # packed int8 rows + scales + exact norms (+ the second int8
+            # level when refine_residual)
             else self.store.capacity * (self.dim + 8)
+            + (self.store.capacity * (self.dim + 4)
+               if getattr(self.store.state, "resid", None) is not None
+               else 0)
         )
         s.update(
             trained=self.trained,
