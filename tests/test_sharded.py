@@ -428,13 +428,16 @@ class TestShardedCompressedTier:
         flag_after = db2.search_flagship(q, 5, refine=64)
         np.testing.assert_array_equal(flag_before[0], flag_after[0])
 
-    def test_pca_guarded(self, mesh):
+    def test_pca_unfitted_guarded(self, mesh):
+        """search_pca without a basis raises cleanly (fit_pca itself now
+        WORKS on the compressed tier — TestShardedCompressedPca — fitting
+        on dequantized rows)."""
         db = sh.ShardedDatabase(mesh, dim=32, capacity=256, raw_store=False)
         db.add_batch(np.arange(64),
                      np.random.default_rng(0).standard_normal(
                          (64, 32)).astype(np.float32))
-        with pytest.raises(ValueError, match="raw_store"):
-            db.fit_pca(8)
+        with pytest.raises(ValueError, match="fit_pca"):
+            db.search_pca(np.zeros((1, 32), np.float32), 1)
 
     def test_fused_scan(self, mesh):
         """search_fused: the per-chip Pallas packed-pool kernel + int8
@@ -580,3 +583,46 @@ class TestShardedResidualRefine:
         assert db2.add_batch(np.asarray([5000]), newv) == [5000]
         ext, _ = db2.search_fused(newv, 1)
         assert ext[0, 0] == 5000
+
+
+class TestShardedCompressedPca:
+    """search_pca on the compressed tier: proxy derived from dequantized
+    int8 shards, refine against packed rows with exact norms — the
+    multi-chip analog of the single-chip compressed `pca` mode."""
+
+    def _gt(self, vecs, q, k=10):
+        d = ((q**2).sum(1)[:, None] + (vecs**2).sum(1)[None, :]
+             - 2.0 * q @ vecs.T)
+        return np.argsort(d, 1)[:, :k]
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_compressed_pca_recall(self, mesh, residual):
+        rng = np.random.default_rng(51)
+        n, dim = 2048, 64
+        scale = ((np.arange(dim) + 1.0) ** -0.5).astype(np.float32)
+        vecs = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False,
+                                refine_residual=residual)
+        db.add_batch(np.arange(n), vecs)
+        db.fit_pca(p=16)
+        q = (rng.standard_normal((48, dim)) * scale).astype(np.float32)
+        ext, d = db.search_pca(q, 10, select_r=256)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(48)])
+        assert rec >= 0.9, rec
+        assert (d[:, :-1] <= d[:, 1:] + 1e-5).all()
+
+    def test_proxy_tracks_mutations(self, mesh):
+        rng = np.random.default_rng(52)
+        n, dim = 1024, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n + 128,
+                                raw_store=False)
+        db.add_batch(np.arange(n), vecs)
+        db.fit_pca(p=16)
+        db.search_pca(vecs[:4], 1)  # derive + cache the proxy
+        newv = rng.standard_normal((4, dim)).astype(np.float32) + 3.0
+        db.add_batch(np.arange(9000, 9004), newv)
+        ext, _ = db.search_pca(newv, 1, select_r=128)
+        assert ext[:, 0].tolist() == [9000, 9001, 9002, 9003]

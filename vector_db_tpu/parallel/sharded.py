@@ -501,6 +501,57 @@ def sharded_pca_search(mesh: Mesh, k: int, select_r: int,
     )
 
 
+def sharded_pca_search_int8(mesh: Mesh, k: int, select_r: int,
+                            metric: str = "l2", residual: bool = False):
+    """`sharded_pca_search` for the COMPRESSED tier: the local refine reads
+    the shard's int8-packed rows with exact write-time norms (and, with
+    ``residual=True``, the second int8 level — effectively exact ordering).
+    The proxy itself is derived from dequantized rows by the caller's
+    shard-local projection program.
+
+    fn: (q, mean [d], basis [d,p], proxy [N,p] bf16, pnorms [N], valid [N],
+    packed [N,d/4] i32, scales [N], norms [N], ids [N][, resid, rscales])
+    -> (dists [Q,k], external ids [Q,k]).
+    """
+
+    def local(q, mean, basis, proxy_s, pnorms_s, valid_s, p_s, sc_s, nrm_s,
+              ids_s, rp_s=None, rsc_s=None):
+        from ..ops.distance import blocked_rerank_int8, normalize_rows
+
+        q_scan = normalize_rows(q) if metric == "cosine" else q
+        qp = ((q_scan - mean[None, :]) @ basis).astype(proxy_s.dtype)
+        cross = jax.lax.dot_general(
+            qp, proxy_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        masked = jnp.where(valid_s, pnorms_s, jnp.inf)
+        dist = (masked[None, :] - 2.0 * cross).astype(jnp.bfloat16)
+        r = min(select_r, proxy_s.shape[0])
+        neg, sel = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
+        cand = jnp.where(jnp.isfinite(-neg.astype(jnp.float32)),
+                         sel.astype(jnp.int32), -1)
+        negd, loc = blocked_rerank_int8(q, p_s, sc_s, cand, min(k, r),
+                                        metric, rb=min(512, r),
+                                        b_norms=nrm_s,
+                                        resid=rp_s, rscales=rsc_s)
+        ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
+        return _merge_topk(negd, ext, k)
+
+    specs = (P(), P(), P(), P(AXIS, None), P(AXIS), P(AXIS),
+             P(AXIS, None), P(AXIS), P(AXIS), P(AXIS))
+    if residual:
+        specs = specs + (P(AXIS, None), P(AXIS))
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=specs,
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs are replicated by the all_gather+merge
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # sharded k-means training step (the distributed "training step")
 # --------------------------------------------------------------------------
@@ -1144,17 +1195,14 @@ class ShardedDatabase:
         contract as HnswPqIndex.train's sampling)."""
         from ..ops import pca as pca_ops
 
-        if not self.raw:
-            raise ValueError(
-                "the PCA-proxy tier derives its proxy from raw rows; with "
-                "raw_store=False use search() (int8 scan) or "
-                "search_flagship() (codes + int8 refine)"
-            )
         live = np.flatnonzero(self._h_valid)
         if live.size > 20000:
             rng = np.random.default_rng(seed)
             live = np.sort(rng.choice(live, 20000, replace=False))
-        sample = self._h_vec[live]
+        # raw mirror slices, or int8 dequantization on the compressed tier
+        # (quantization noise is far below the retained-variance scale the
+        # basis fits)
+        sample = self._rows_host(live)
         if len(sample) < 2:
             raise ValueError("need >= 2 live vectors to fit PCA")
         if self.metric == "cosine":  # cosine sphere contract
@@ -1169,50 +1217,86 @@ class ShardedDatabase:
                    ) -> tuple[np.ndarray, np.ndarray]:
         """Corpus-sharded PCA-proxy search -> (external ids, dists).
 
-        The sharded proxy is derived from the sharded raw store by one
-        shard-local projection matmul (cheap: [N, d] x [d, p]) and cached
-        until the next mutation refresh.
+        The sharded proxy is derived from the sharded row store (raw f32,
+        or dequantized int8 on the compressed tier) by one shard-local
+        projection matmul (cheap: [N, d] x [d, p]) and cached until the
+        next mutation refresh.  On the compressed tier the refine reads
+        the packed rows with exact norms (+ the residual level when
+        enabled) — the multi-chip analog of the single-chip compressed
+        `pca` mode.
         """
         if getattr(self, "pca_basis", None) is None:
             raise ValueError("no PCA basis: call fit_pca() first")
         from ..ops import pca as pca_ops
 
         self._refresh()
+        rows_gen = self.vectors if self.raw else self.packed
         proj = self._knn_cache.get("pca_project")
         if proj is None:
             cos = self.metric == "cosine"
+            raw = self.raw
+            residual = self.residual
 
-            def _proj(v_s, mu, b):
+            def _proj(v_s, mu, b, sc_s=None, rp_s=None, rsc_s=None):
+                if not raw:
+                    from ..ops.distance import unpack_int8_rows as _ui8
+
+                    v_s = _ui8(v_s, sc_s)
+                    if rp_s is not None:
+                        v_s = v_s + _ui8(rp_s, rsc_s)
                 if cos:  # cosine sphere contract
                     from ..ops.distance import normalize_rows as _nr
 
                     v_s = _nr(v_s)
                 return pca_ops.project_rows(v_s, mu, b)
 
+            specs = [P(AXIS, None), P(), P()]
+            if not raw:
+                specs.append(P(AXIS))
+                if residual:
+                    specs += [P(AXIS, None), P(AXIS)]
             proj = jax.jit(jax.shard_map(
                 _proj,
                 mesh=self.mesh,
-                in_specs=(P(AXIS, None), P(), P()),
+                in_specs=tuple(specs),
                 out_specs=P(AXIS, None),
             ))
             self._knn_cache["pca_project"] = proj
-        if getattr(self, "_proxy_gen", None) is not self.vectors:
-            self._proxy = proj(self.vectors, self.pca_mean, self.pca_basis)
+        if getattr(self, "_proxy_gen", None) is not rows_gen:
+            pargs = () if self.raw else (
+                (self.scales, self.resid, self.rscales) if self.residual
+                else (self.scales,))
+            self._proxy = proj(rows_gen, self.pca_mean, self.pca_basis,
+                               *pargs)
             pn = jax.jit(jax.shard_map(
                 lambda p_s: jnp.sum(p_s.astype(jnp.float32) ** 2, axis=1),
                 mesh=self.mesh, in_specs=(P(AXIS, None),),
                 out_specs=P(AXIS),
             ))(self._proxy)
             self._pnorms = pn
-            self._proxy_gen = self.vectors
-        fn = self._knn_cache.get(("pca", k, select_r))
-        if fn is None:
-            fn = sharded_pca_search(self.mesh, k, select_r,
-                                    metric=self.metric)
-            self._knn_cache[("pca", k, select_r)] = fn
-        d, ext = fn(jnp.asarray(queries, jnp.float32), self.pca_mean,
-                    self.pca_basis, self._proxy, self._pnorms, self.valid,
-                    self.vectors, self.ids)
+            self._proxy_gen = rows_gen
+        if self.raw:
+            fn = self._knn_cache.get(("pca", k, select_r))
+            if fn is None:
+                fn = sharded_pca_search(self.mesh, k, select_r,
+                                        metric=self.metric)
+                self._knn_cache[("pca", k, select_r)] = fn
+            d, ext = fn(jnp.asarray(queries, jnp.float32), self.pca_mean,
+                        self.pca_basis, self._proxy, self._pnorms,
+                        self.valid, self.vectors, self.ids)
+        else:
+            key = ("pca8", k, select_r, self.residual)
+            fn = self._knn_cache.get(key)
+            if fn is None:
+                fn = sharded_pca_search_int8(self.mesh, k, select_r,
+                                             metric=self.metric,
+                                             residual=self.residual)
+                self._knn_cache[key] = fn
+            extra = (self.resid, self.rscales) if self.residual else ()
+            d, ext = fn(jnp.asarray(queries, jnp.float32), self.pca_mean,
+                        self.pca_basis, self._proxy, self._pnorms,
+                        self.valid, self.packed, self.scales, self.norms,
+                        self.ids, *extra)
         return np.asarray(ext), np.asarray(d)
 
     def search_flagship(self, queries: np.ndarray, k: int, refine: int = 1024
