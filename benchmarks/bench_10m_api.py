@@ -67,6 +67,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-chunks", type=int, default=76)
     ap.add_argument("--save", type=str, default="")
+    ap.add_argument("--residual", action="store_true",
+                    help="second-level int8 refine rows (+5.1 GB)")
     args = ap.parse_args()
 
     from vector_db_tpu import IndexType, VectorDatabase
@@ -97,7 +99,7 @@ def main():
         adc_select_r=512,
         # --residual: second-level int8 refine rows (+5.1 GB -> ~13 GB
         # resident with proxy+codes; ~16-bit effective refine precision)
-        refine_residual="--residual" in sys.argv,
+        refine_residual=args.residual,
     )
     db = (VectorDatabase.builder()
           .with_dimension(DIM).with_max_elements(n + 1024)

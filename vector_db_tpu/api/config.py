@@ -258,7 +258,7 @@ class HnswPqConfig:
     # ~16-bit effective row precision at half the bytes of f32, which
     # removes the refine-ordering recall ceiling (a perfectly-contained
     # pool ranks 99.3% -> 100% Recall@10 at 512d; the 10M A6 rows' ~95.5%
-    # cap is exactly this error).  Cost: +1.3 GB/M rows at 512d resident
+    # cap is exactly this error).  Cost: +0.52 GB/M rows at 512d resident
     # (10M x 512 ~ 10.4 GB total) and 2x refine gather bytes.  The fused
     # scan kernels keep reading the FIRST level only (selection is
     # containment-grade); scan_int8's exhaustive scorer likewise.

@@ -888,7 +888,11 @@ class ShardedDatabase:
             packed, scales = _pack_rows_np(vectors[rows])
             self._h_packed[slots] = packed
             self._h_scales[slots] = scales
-            if self.residual:
+            # load() defers: it restores BOTH packed levels verbatim right
+            # after the re-shard add, so packing the residual of a one-
+            # level dequant here would be a wasted full-corpus pass
+            if self.residual and not getattr(self, "_defer_resid_pack",
+                                             False):
                 rp, rs = _pack_resid_np(vectors[rows], packed, scales)
                 self._h_resid[slots] = rp
                 self._h_rscales[slots] = rs
@@ -1237,18 +1241,45 @@ class ShardedDatabase:
             raw = self.raw
             residual = self.residual
 
-            def _proj(v_s, mu, b, sc_s=None, rp_s=None, rsc_s=None):
-                if not raw:
-                    from ..ops.distance import unpack_int8_rows as _ui8
-
-                    v_s = _ui8(v_s, sc_s)
-                    if rp_s is not None:
-                        v_s = v_s + _ui8(rp_s, rsc_s)
+            def _maybe_norm(v):
                 if cos:  # cosine sphere contract
                     from ..ops.distance import normalize_rows as _nr
 
-                    v_s = _nr(v_s)
-                return pca_ops.project_rows(v_s, mu, b)
+                    v = _nr(v)
+                return v
+
+            def _proj(v_s, mu, b, sc_s=None, rp_s=None, rsc_s=None):
+                if raw:
+                    return pca_ops.project_rows(_maybe_norm(v_s), mu, b)
+                # compressed tier: BLOCK the dequant+project over row
+                # chunks — a full-shard f32 dequant is [N_shard, d] (20 GB
+                # at the 10M x 512 per-chip design point) and is exactly
+                # the matrix this tier exists to avoid.  Ragged tail:
+                # clamped re-slice (duplicate rows project identically)
+                from ..ops.distance import unpack_int8_rows as _ui8
+
+                n_s = v_s.shape[0]
+                bn = min(131072, n_s)
+                num = -(-n_s // bn)
+                # carry must match the body output's varying-axes type
+                # (the body derives from the sharded v_s)
+                out = jax.lax.pcast(
+                    jnp.zeros((n_s, b.shape[1]), jnp.bfloat16), (AXIS,),
+                    to="varying")
+
+                def body(i, out):
+                    start = jnp.minimum(i * bn, n_s - bn)
+                    blk = jax.lax.dynamic_slice_in_dim(v_s, start, bn)
+                    v = _ui8(blk, jax.lax.dynamic_slice_in_dim(
+                        sc_s, start, bn))
+                    if rp_s is not None:
+                        v = v + _ui8(
+                            jax.lax.dynamic_slice_in_dim(rp_s, start, bn),
+                            jax.lax.dynamic_slice_in_dim(rsc_s, start, bn))
+                    pr = pca_ops.project_rows(_maybe_norm(v), mu, b)
+                    return jax.lax.dynamic_update_slice(out, pr, (start, 0))
+
+                return jax.lax.fori_loop(0, num, body, out)
 
             specs = [P(AXIS, None), P(), P()]
             if not raw:
@@ -1416,7 +1447,11 @@ class ShardedDatabase:
             vec = (p8.view(np.int8).reshape(live.size, int(meta["dim"]))
                    .astype(np.float32)
                    * np.asarray(arrays["scales8"])[live][:, None])
-        accepted = db.add_batch(ids[live], vec)
+        db._defer_resid_pack = True  # verbatim levels restore below
+        try:
+            accepted = db.add_batch(ids[live], vec)
+        finally:
+            db._defer_resid_pack = False
         if len(accepted) != live.size:
             raise ValueError(
                 f"mesh capacity lost rows on load: {len(accepted)} of "
