@@ -590,6 +590,16 @@ class TestRefineResidual:
         # selection at 16 subspaces), not the refine this feature fixes
         assert r2 >= (0.94 if mode == "adc_fast" else 0.97), (mode, r2)
 
+    def test_scan_int8_residual_exact(self):
+        """scan_int8 + residual reads BOTH levels: exhaustive scoring at
+        ~16-bit precision matches the f32 oracle's top-k exactly."""
+        vecs = _corpus(2048)
+        idx = self._build("scan_int8", vecs)
+        q = vecs[:64] + 0.02 * _corpus(64, seed=9)
+        idx.config.scan_recall_target = 1.0
+        ids, _ = idx.search_batch(q, K)
+        assert _recall(ids, _gt(vecs, q)) == 1.0
+
     def test_residual_checkpoint_roundtrip(self):
         vecs = _corpus(2048)
         idx = self._build("scan_pallas_int8", vecs)

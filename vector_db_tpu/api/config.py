@@ -261,7 +261,8 @@ class HnswPqConfig:
     # cap is exactly this error).  Cost: +0.52 GB/M rows at 512d resident
     # (10M x 512 ~ 10.4 GB total) and 2x refine gather bytes.  The fused
     # scan kernels keep reading the FIRST level only (selection is
-    # containment-grade); scan_int8's exhaustive scorer likewise.
+    # containment-grade); scan_int8's exhaustive scorer DOES read both
+    # levels (2x scan bytes for an effectively exact exhaustive mode).
     adc_select_r: int = 0  # > 0 -> narrow the (wide, cheap) pool to a ranked
     # top-R with one tiny approx_max_k over pool VALUES before the refine
     # gathers — the hybrid that beats both pure bucket pools (selection loss)

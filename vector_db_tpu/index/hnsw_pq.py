@@ -887,10 +887,13 @@ class HnswPqIndex(VectorIndex):
                 # recall_target=1.0: this fallback is the guaranteed-
                 # exhaustive path (n_live <= k must return every live row),
                 # matching the raw store's exact blocked_knn
+                i8r = self._int8_resid_store(st)
                 dists, slots = blocked_knn_int8(
                     jnp.asarray(padded), st.packed, st.scales, st.valid,
                     k_pad, metric=self.metric, b_norms=st.norms,
                     block_n=min(262144, st.capacity), recall_target=1.0,
+                    resid=i8r[0] if i8r is not None else None,
+                    rscales=i8r[1] if i8r is not None else None,
                 )
             return self._to_external(q_n, k, k_eff, slots, dists)
 
@@ -936,11 +939,16 @@ class HnswPqIndex(VectorIndex):
                 )
             from ..ops.distance import blocked_knn_int8
 
+            # with residual rows the exhaustive scan scores at ~16-bit
+            # precision — the compressed tier's effectively-exact mode
+            i8r = self._int8_resid_store(st)
             dists, slots = blocked_knn_int8(
                 jnp.asarray(padded), i8[0], i8[1], st.valid, k_pad,
                 metric=self.metric, b_norms=st.norms,
                 block_n=min(262144, st.capacity),
                 recall_target=self.config.scan_recall_target,
+                resid=i8r[0] if i8r is not None else None,
+                rscales=i8r[1] if i8r is not None else None,
             )
             return self._to_external(q_n, k, k_eff, slots, dists)
         if mode == "scan_bf16":

@@ -688,6 +688,8 @@ def blocked_knn_int8(
     b_norms: Optional[Array] = None,
     block_n: int = 262144,
     recall_target: float = 0.95,
+    resid: Optional[Array] = None,
+    rscales: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """`blocked_knn_fast` against an int8 row store (see pack_int8_rows) —
     the exhaustive-scan path for corpora whose raw f32 rows cannot be
@@ -710,6 +712,11 @@ def blocked_knn_int8(
     d = packed.shape[1] * 4
     q_norms = sq_norms(q)
     dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    if resid is not None:
+        # the residual's ~4e-5 precision needs f32 dots (bf16 query
+        # rounding is 1e-4 — see blocked_rerank_int8); this mode trades
+        # scan rate for an effectively exact exhaustive scorer
+        dt = jnp.float32
     qc = q.astype(dt)
 
     # clamped ragged last chunk, not padding: jnp.pad would transiently copy
@@ -741,8 +748,24 @@ def blocked_knn_int8(
             qc, v8.astype(dt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * s_blk[None, :]
+        if resid is not None:
+            rp_blk = jax.lax.dynamic_slice_in_dim(resid, start, block_n,
+                                                  axis=0)
+            rs_blk = jax.lax.dynamic_slice_in_dim(rscales, start, block_n)
+            r8 = jax.lax.bitcast_convert_type(rp_blk, jnp.int8).reshape(
+                block_n, d)
+            dots = dots + jax.lax.dot_general(
+                qc, r8.astype(dt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * rs_blk[None, :]
         if b_norms is not None and metric == METRIC_L2:
             vn = jax.lax.dynamic_slice_in_dim(b_norms, start, block_n)
+        elif resid is not None:
+            # cosine + residual: the denominator is the TWO-level row's
+            # own norm (quantized-direction contract at 16-bit precision)
+            deq = (v8.astype(jnp.float32) * s_blk[:, None]
+                   + r8.astype(jnp.float32) * rs_blk[:, None])
+            vn = jnp.sum(deq * deq, axis=1)
         else:
             vn = jnp.sum(v8.astype(jnp.float32) ** 2, axis=1) * (s_blk * s_blk)
         if metric == METRIC_L2:
