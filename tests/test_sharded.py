@@ -626,3 +626,20 @@ class TestShardedCompressedPca:
         db.add_batch(np.arange(9000, 9004), newv)
         ext, _ = db.search_pca(newv, 1, select_r=128)
         assert ext[:, 0].tolist() == [9000, 9001, 9002, 9003]
+
+    def test_exact_scan_residual_oracle_exact(self, mesh):
+        """search() on the residual compressed tier scans BOTH int8 levels
+        — exhaustive and effectively exact (matches the f32 oracle)."""
+        rng = np.random.default_rng(53)
+        n, dim = 1024, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False,
+                                refine_residual=True)
+        db.add_batch(np.arange(n), vecs)
+        q = vecs[:32] + 0.02 * rng.standard_normal((32, dim)).astype(
+            np.float32)
+        ext, _ = db.search(q, 10)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(32)])
+        assert rec == 1.0, rec

@@ -213,17 +213,20 @@ def _merge_topk(local_d, local_e, k):
 # corpus-sharded int8 programs (the compressed >HBM-per-chip tier)
 # --------------------------------------------------------------------------
 
-def sharded_knn_int8(mesh: Mesh, k: int, metric: str = "l2"):
+def sharded_knn_int8(mesh: Mesh, k: int, metric: str = "l2",
+                     residual: bool = False):
     """Corpus-sharded near-exact scan over int8-packed rows (the multi-chip
     analog of ops/distance.blocked_knn_int8): per chip one dequantizing
     matmul against its shard with write-time-exact norms, then the standard
     winners-only ICI merge.  Returns GLOBAL slot ids.
 
-    fn: (q [Q,d], packed [N,d/4] i32, scales [N], valid [N], norms [N])
-        -> (dists [Q,k], global idx [Q,k]).
+    fn: (q [Q,d], packed [N,d/4] i32, scales [N], valid [N], norms [N]
+         [, resid [N,d/4] i32, rscales [N]]) -> (dists [Q,k], global idx
+         [Q,k]).  ``residual=True`` scans both int8 levels — the
+    effectively-exact exhaustive mode (2x scan bytes).
     """
 
-    def local(q, p_s, sc_s, valid_s, norms_s):
+    def local(q, p_s, sc_s, valid_s, norms_s, rp_s=None, rsc_s=None):
         from ..ops.distance import blocked_knn_int8
 
         n_s = p_s.shape[0]
@@ -234,15 +237,19 @@ def sharded_knn_int8(mesh: Mesh, k: int, metric: str = "l2"):
         d, idx = blocked_knn_int8(
             q, p_s, sc_s, valid_s, k, metric=metric, b_norms=norms_s,
             block_n=min(262144, n_s), recall_target=1.0,
+            resid=rp_s, rscales=rsc_s,
         )
         idx = jnp.where(idx >= 0, idx + jax.lax.axis_index(AXIS) * n_s, -1)
         return _merge_topk(d, idx, k)
 
+    specs = (P(), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS))
+    if residual:
+        specs = specs + (P(AXIS, None), P(AXIS))
     return jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS)),
+            in_specs=specs,
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated by the all_gather+merge
         )
@@ -1129,12 +1136,15 @@ class ShardedDatabase:
             d, idx = fn(jnp.asarray(queries, jnp.float32), self.vectors,
                         self.valid, self.norms)
         else:
-            fn = self._knn_cache.get(("exact8", k))
+            key = ("exact8", k, self.residual)
+            fn = self._knn_cache.get(key)
             if fn is None:
-                fn = sharded_knn_int8(self.mesh, k, metric=self.metric)
-                self._knn_cache[("exact8", k)] = fn
+                fn = sharded_knn_int8(self.mesh, k, metric=self.metric,
+                                      residual=self.residual)
+                self._knn_cache[key] = fn
+            extra = (self.resid, self.rscales) if self.residual else ()
             d, idx = fn(jnp.asarray(queries, jnp.float32), self.packed,
-                        self.scales, self.valid, self.norms)
+                        self.scales, self.valid, self.norms, *extra)
         idx_np = np.asarray(idx)
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
