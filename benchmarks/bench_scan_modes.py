@@ -6,9 +6,12 @@ Raw tier rows: blocked exact scan (scan_exact), bf16 fused pool
 (pool + exact refine) with recall vs device ground truth.
 
 Compressed tier rows: fused packed-pool kernel (scan_pallas_int8) vs the
-XLA blocked int8 scan (scan_int8), both over the same packed rows.
+XLA blocked int8 scan (scan_int8), both over the same packed rows; with
+--residual the second int8 level is built and a residual-refine row is
+measured per pool (the refine-precision ceiling removed — expect recall
+near the raw exact scan's at the same kernel QPS class).
 
-Usage: python benchmarks/bench_scan_modes.py [N] [--compressed]
+Usage: python benchmarks/bench_scan_modes.py [N] [--compressed] [--residual]
 """
 
 import sys
@@ -52,11 +55,12 @@ def main():
         pallas_scan8p_refine,
     )
     from vector_db_tpu.ops.distance import (
-        blocked_knn, blocked_knn_int8, pack_int8_rows,
+        blocked_knn, blocked_knn_int8, pack_int8_residual, pack_int8_rows,
     )
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     compressed = "--compressed" in sys.argv
+    residual = "--residual" in sys.argv
     n = int(args[0]) if args else 524_288
     n -= n % 2048
     dim, nq, k = 512, 1024, 10
@@ -95,6 +99,11 @@ def main():
     if compressed:
         packed, scales = pack_int8_rows(vj)
         jax.block_until_ready(packed)
+        rp = rs = None
+        if residual:
+            rp, rs = pack_int8_residual(vj, packed, scales)
+            jax.block_until_ready(rp)
+            log("residual level ready")
         del vj  # the compressed tier has no raw matrix
         off, sc, cvec = _build_scan8p_shadow(packed, scales, norms, valid,
                                              "l2")
@@ -112,6 +121,21 @@ def main():
             dt = timed(fused_run, qj, packed, scales, norms, off, sc, cvec)
             log(f"fused packed-pool e2e pool={pp}: recall={rec(e):.4f}  "
                 f"{dt*1e3:.2f} ms  {nq/dt:,.0f} QPS")
+            if residual:
+                def fused_res(q, p, s, nm, o, c, cv, rpp, rss, eps, _pp=pp):
+                    d, _ = pallas_scan8p_refine(
+                        q + eps, p, s, nm, o, c, cv, ids, k, "l2",
+                        pool=_pp, w=w, resid=rpp, rscales=rss)
+                    return d[0, 0]
+
+                d, e = pallas_scan8p_refine(
+                    qj, packed, scales, norms, off, sc, cvec, ids, k, "l2",
+                    pool=pp, w=w, resid=rp, rscales=rs)
+                dt = timed(fused_res, qj, packed, scales, norms, off, sc,
+                           cvec, rp, rs)
+                log(f"fused packed-pool +residual pool={pp}: "
+                    f"recall={rec(e):.4f}  {dt*1e3:.2f} ms  "
+                    f"{nq/dt:,.0f} QPS")
 
         def xla_run(q, p, s, v, nr, eps):
             d, _ = blocked_knn_int8(q + eps, p, s, v, k, b_norms=nr,

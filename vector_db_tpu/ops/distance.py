@@ -560,6 +560,7 @@ def pack_int8_rows(base: Array) -> tuple[Array, Array]:
     return packed, scale
 
 
+@jax.jit
 def pack_int8_residual(base: Array, packed: Array,
                        scales: Array) -> tuple[Array, Array]:
     """Second-level int8 quantization of the rows' quantization RESIDUAL
