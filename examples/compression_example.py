@@ -35,8 +35,13 @@ def main():
     dim, n, k = args.dim, args.n, 10
 
     rng = np.random.default_rng(42)
-    vecs = rng.standard_normal((n, dim)).astype(np.float32)
-    queries = rng.standard_normal((args.queries, dim)).astype(np.float32)
+    # power-law eigenspectrum — what real embedding models emit (isotropic
+    # noise is PQ/PCA's information-theoretic worst case and represents no
+    # real workload; see BENCH_REPORT A4)
+    scale = ((np.arange(dim) + 1.0) ** -0.5).astype(np.float32)
+    vecs = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+    queries = (rng.standard_normal((args.queries, dim))
+               * scale).astype(np.float32)
 
     gt = build_db(dim, n, index_type=IndexType.BRUTE)
     gt.add_batch(range(n), vecs)
@@ -54,22 +59,32 @@ def main():
         # PCA-proxy multi-stage: a [dim/8]-dim truncated-PCA first stage
         # (64 B/vec at 512d) + exact refine — ops/pca
         ("pca proxy (dim/8 dims + refine)", CompressionConfig.recommended_config(dim), "pca"),
+        # the >HBM compressed store: NO raw f32 matrix exists (4x smaller
+        # total); the fused Pallas kernel streams the store's own int8 rows
+        ("compressed store (no raw f32, 4x)", None, "compressed"),
+        # + second int8 level: ~16-bit refine precision at half f32 bytes —
+        # the refine-ordering recall ceiling disappears (docs/COMPRESSED_TIER.md)
+        ("compressed + residual (2.5x)", None, "residual"),
     ]
 
     print(f"\n{'preset':32s} {'ratio':>6s} {'build s':>8s} {'ms/q':>7s} "
           f"{'Recall@10':>10s} {'index MB':>9s} {'saved':>6s}")
     print("-" * 84)
     for name, comp, itype in presets:
-        if itype in ("adc_fast", "pca"):
+        if itype in ("adc_fast", "pca", "compressed", "residual"):
             from vector_db_tpu.api.config import HnswPqConfig
 
             sub = max(1, dim // 8)
             if itype == "adc_fast":
                 cfg = HnswPqConfig(num_subspaces=sub, search_mode="adc_fast",
                                    adc_bucket=16, adc_winners=2)
-            else:
+            elif itype == "pca":
                 cfg = HnswPqConfig(num_subspaces=sub, search_mode="pca",
                                    proxy_dims=max(8, dim // 8), pca_r=256)
+            else:
+                cfg = HnswPqConfig(num_subspaces=sub, raw_store=False,
+                                   refine_residual=itype == "residual",
+                                   search_mode="scan_pallas_int8")
             b = (VectorDatabase.builder().with_dimension(dim)
                  .with_max_elements(n).with_index_type(IndexType.HNSWPQ)
                  .with_compression(comp).with_index_config(cfg))
