@@ -22,6 +22,7 @@ from vector_db_tpu import (
     IndexType,
     IvfConfig,
     LshConfig,
+    PqConfig,
     VectorDatabase,
 )
 
@@ -35,8 +36,14 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(42)
-    vecs = rng.standard_normal((args.n, args.dim)).astype(np.float32)
-    queries = rng.standard_normal((args.queries, args.dim)).astype(np.float32)
+    # power-law eigenspectrum — realistic embedding structure (isotropic
+    # noise is the quantizers' information-theoretic worst case and no
+    # real workload; see BENCH_REPORT A4)
+    scale = ((np.arange(args.dim) + 1.0) ** -0.5).astype(np.float32)
+    vecs = (rng.standard_normal((args.n, args.dim)) * scale
+            ).astype(np.float32)
+    queries = (rng.standard_normal((args.queries, args.dim)) * scale
+               ).astype(np.float32)
 
     # ground truth
     gt = (VectorDatabase.builder().with_dimension(args.dim)
@@ -50,7 +57,10 @@ def main():
         (IndexType.HNSW, HnswConfig(m=16, ef_construction=64, ef_search=64)),
         (IndexType.HNSWPQ, HnswPqConfig(num_subspaces=max(4, args.dim // 8))),
         (IndexType.IVF, IvfConfig()),
-        (IndexType.PQ, None),
+        # PQ at the reference's published comparison point (16x: dim/4
+        # subspaces — README.md:225-232 reports 82% there; the 8-subspace
+        # default would be 64x at 128d, a 4x coarser quantizer)
+        (IndexType.PQ, PqConfig(num_subspaces=max(8, args.dim // 4))),
         (IndexType.LSH, LshConfig()),
         (IndexType.ANNOY, AnnoyConfig()),
     ]
