@@ -663,11 +663,12 @@ class HnswPqIndex(VectorIndex):
 
     def _int8_resid_store(self, st):
         """(resid [cap, d/4] i32, rscales [cap]) — the second-level int8
-        residual refine rows (config.refine_residual), or None.  Lives in
-        the store itself (written at add/bulk/stream time), so there is no
-        cache to maintain."""
+        residual refine rows (config.refine_residual), or (None, None).
+        Lives in the store itself (written at add/bulk/stream time), so
+        there is no cache to maintain; always a pair, so call sites pass
+        the elements straight through as resid=/rscales= kwargs."""
         if self.store.raw or getattr(st, "resid", None) is None:
-            return None
+            return None, None
         return st.resid, st.rscales
 
     def _scan16_shadow(self, st):
@@ -892,8 +893,7 @@ class HnswPqIndex(VectorIndex):
                     jnp.asarray(padded), st.packed, st.scales, st.valid,
                     k_pad, metric=self.metric, b_norms=st.norms,
                     block_n=min(262144, st.capacity), recall_target=1.0,
-                    resid=i8r[0] if i8r is not None else None,
-                    rscales=i8r[1] if i8r is not None else None,
+                    resid=i8r[0], rscales=i8r[1],
                 )
             return self._to_external(q_n, k, k_eff, slots, dists)
 
@@ -924,8 +924,7 @@ class HnswPqIndex(VectorIndex):
                 jnp.asarray(padded), st.packed, st.scales, st.norms, off, sc,
                 cvec, st.ids, k_pad, self.metric,
                 pool=min(max(4 * k_pad, 64), w), w=w,
-                resid=i8r[0] if i8r is not None else None,
-                rscales=i8r[1] if i8r is not None else None,
+                resid=i8r[0], rscales=i8r[1],
             )
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "scan_int8":
@@ -947,8 +946,7 @@ class HnswPqIndex(VectorIndex):
                 metric=self.metric, b_norms=st.norms,
                 block_n=min(262144, st.capacity),
                 recall_target=self.config.scan_recall_target,
-                resid=i8r[0] if i8r is not None else None,
-                rscales=i8r[1] if i8r is not None else None,
+                resid=i8r[0], rscales=i8r[1],
             )
             return self._to_external(q_n, k, k_eff, slots, dists)
         if mode == "scan_bf16":
@@ -1031,8 +1029,7 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
                 int8_norms=st.norms if i8 is not None else None,
-                int8_resid=i8r[0] if i8r is not None else None,
-                int8_rscales=i8r[1] if i8r is not None else None,
+                int8_resid=i8r[0], int8_rscales=i8r[1],
             )
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "adc_fast":
@@ -1065,8 +1062,7 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
                 int8_norms=st.norms if i8 is not None else None,
-                int8_resid=i8r[0] if i8r is not None else None,
-                int8_rscales=i8r[1] if i8r is not None else None,
+                int8_resid=i8r[0], int8_rscales=i8r[1],
             )
             return self._emit(q_n, k, k_eff, dists, ext)
         if (mode == "graph" or self.config.use_graph) and int(self.graph.entry) >= 0:
@@ -1097,8 +1093,7 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
                 int8_norms=st.norms if i8 is not None else None,
-                int8_resid=i8r[0] if i8r is not None else None,
-                int8_rscales=i8r[1] if i8r is not None else None,
+                int8_resid=i8r[0], int8_rscales=i8r[1],
             )
         else:
             # exhaustive fused scan
@@ -1110,8 +1105,7 @@ class HnswPqIndex(VectorIndex):
                 int8_base=i8[0] if i8 is not None else None,
                 int8_scales=i8[1] if i8 is not None else None,
                 int8_norms=st.norms if i8 is not None else None,
-                int8_resid=i8r[0] if i8r is not None else None,
-                int8_rscales=i8r[1] if i8r is not None else None,
+                int8_resid=i8r[0], int8_rscales=i8r[1],
             )
         return self._emit(q_n, k, k_eff, dists, ext)
 

@@ -652,10 +652,10 @@ def blocked_rerank_int8(
         if b_norms is not None and metric == METRIC_L2:
             vn = b_norms[safe]
         elif resid is not None:
+            # cosine + residual: the two-level row's own norm (the
+            # quantized-direction contract at ~16-bit precision)
             deq = (v8.astype(jnp.float32) * sc[:, :, None]
-                   + jax.lax.bitcast_convert_type(
-                       resid[safe], jnp.int8).reshape(q_n, rb, d)
-                   .astype(jnp.float32) * rscales[safe][:, :, None])
+                   + r8.astype(jnp.float32) * rsc[:, :, None])
             vn = jnp.sum(deq * deq, axis=2)
         else:
             vn = jnp.sum(v8.astype(jnp.float32) ** 2, axis=2) * (sc * sc)

@@ -469,32 +469,12 @@ def sharded_pca_search(mesh: Mesh, k: int, select_r: int,
     def local(q, mean, basis, proxy_s, pnorms_s, valid_s, base_s, ids_s):
         from ..ops.distance import blocked_rerank
 
-        from ..ops.distance import normalize_rows
-
-        q_scan = normalize_rows(q) if metric == "cosine" else q
-        qp = ((q_scan - mean[None, :]) @ basis).astype(proxy_s.dtype)
-        cross = jax.lax.dot_general(
-            qp, proxy_s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        masked = jnp.where(valid_s, pnorms_s, jnp.inf)
-        dist = (masked[None, :] - 2.0 * cross).astype(jnp.bfloat16)
-        r = min(select_r, proxy_s.shape[0])
-        neg, sel = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
-        cand = jnp.where(jnp.isfinite(-neg.astype(jnp.float32)),
-                         sel.astype(jnp.int32), -1)
+        cand, r = _pca_pool_local(q, mean, basis, proxy_s, pnorms_s,
+                                  valid_s, select_r, metric)
         negd, loc = blocked_rerank(q, base_s, cand, min(k, r), metric,
                                    rb=min(512, r))
         ext = jnp.where(jnp.isfinite(negd), ids_s[jnp.maximum(loc, 0)], -1)
-        d_all = jax.lax.all_gather(negd, AXIS)
-        e_all = jax.lax.all_gather(ext, AXIS)
-        s, qn, kk = d_all.shape
-        d_flat = jnp.moveaxis(d_all, 0, 1).reshape(qn, s * kk)
-        e_flat = jnp.moveaxis(e_all, 0, 1).reshape(qn, s * kk)
-        neg2, arg = jax.lax.top_k(-d_flat, k)
-        out_e = jnp.take_along_axis(e_flat, arg, 1)
-        out_e = jnp.where(jnp.isfinite(-neg2), out_e, -1)
-        return -neg2, out_e
+        return _merge_topk(negd, ext, k)
 
     return jax.jit(
         jax.shard_map(
@@ -506,6 +486,29 @@ def sharded_pca_search(mesh: Mesh, k: int, select_r: int,
             check_vma=False,  # outputs are replicated by the all_gather+merge
         )
     )
+
+
+def _pca_pool_local(q, mean, basis, proxy_s, pnorms_s, valid_s, select_r,
+                    metric):
+    """Shared shard-local head of the sharded PCA programs: project the
+    query, rank the shard's proxy rows, return (candidate slots [Q, r], r).
+    Selection runs on bf16 proxy distances (ranking precision suffices —
+    the refine re-scores)."""
+    from ..ops.distance import normalize_rows
+
+    q_scan = normalize_rows(q) if metric == "cosine" else q
+    qp = ((q_scan - mean[None, :]) @ basis).astype(proxy_s.dtype)
+    cross = jax.lax.dot_general(
+        qp, proxy_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    masked = jnp.where(valid_s, pnorms_s, jnp.inf)
+    dist = (masked[None, :] - 2.0 * cross).astype(jnp.bfloat16)
+    r = min(select_r, proxy_s.shape[0])
+    neg, sel = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
+    cand = jnp.where(jnp.isfinite(-neg.astype(jnp.float32)),
+                     sel.astype(jnp.int32), -1)
+    return cand, r
 
 
 def sharded_pca_search_int8(mesh: Mesh, k: int, select_r: int,
@@ -523,20 +526,10 @@ def sharded_pca_search_int8(mesh: Mesh, k: int, select_r: int,
 
     def local(q, mean, basis, proxy_s, pnorms_s, valid_s, p_s, sc_s, nrm_s,
               ids_s, rp_s=None, rsc_s=None):
-        from ..ops.distance import blocked_rerank_int8, normalize_rows
+        from ..ops.distance import blocked_rerank_int8
 
-        q_scan = normalize_rows(q) if metric == "cosine" else q
-        qp = ((q_scan - mean[None, :]) @ basis).astype(proxy_s.dtype)
-        cross = jax.lax.dot_general(
-            qp, proxy_s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        masked = jnp.where(valid_s, pnorms_s, jnp.inf)
-        dist = (masked[None, :] - 2.0 * cross).astype(jnp.bfloat16)
-        r = min(select_r, proxy_s.shape[0])
-        neg, sel = jax.lax.approx_max_k(-dist, r, recall_target=0.95)
-        cand = jnp.where(jnp.isfinite(-neg.astype(jnp.float32)),
-                         sel.astype(jnp.int32), -1)
+        cand, r = _pca_pool_local(q, mean, basis, proxy_s, pnorms_s,
+                                  valid_s, select_r, metric)
         negd, loc = blocked_rerank_int8(q, p_s, sc_s, cand, min(k, r),
                                         metric, rb=min(512, r),
                                         b_norms=nrm_s,
@@ -915,6 +908,11 @@ class ShardedDatabase:
             self._encode_slots(slots)
         return acc_ids.tolist()
 
+    def _resid_args(self) -> tuple:
+        """Trailing (resid, rscales) device args for the residual-aware
+        sharded programs — empty on the single-level tiers."""
+        return (self.resid, self.rscales) if self.residual else ()
+
     def _rows_host(self, slots) -> np.ndarray:
         """Host f32 rows for the given slots — raw-mirror slices or int8
         dequantization (the compressed tier's only f32 view, ~0.4% error).
@@ -1142,7 +1140,7 @@ class ShardedDatabase:
                 fn = sharded_knn_int8(self.mesh, k, metric=self.metric,
                                       residual=self.residual)
                 self._knn_cache[key] = fn
-            extra = (self.resid, self.rscales) if self.residual else ()
+            extra = self._resid_args()
             d, idx = fn(jnp.asarray(queries, jnp.float32), self.packed,
                         self.scales, self.valid, self.norms, *extra)
         idx_np = np.asarray(idx)
@@ -1193,7 +1191,7 @@ class ShardedDatabase:
             d, idx = fn(qj, self.vectors, base8, off, ssc, cvec)
         else:
             off, ssc, cvec = cond[2]
-            extra = (self.resid, self.rscales) if self.residual else ()
+            extra = self._resid_args()
             d, idx = fn(qj, self.packed, self.scales, self.norms, off, ssc,
                         cvec, *extra)
         idx_np = np.asarray(idx)
@@ -1333,7 +1331,7 @@ class ShardedDatabase:
                                              metric=self.metric,
                                              residual=self.residual)
                 self._knn_cache[key] = fn
-            extra = (self.resid, self.rscales) if self.residual else ()
+            extra = self._resid_args()
             d, ext = fn(jnp.asarray(queries, jnp.float32), self.pca_mean,
                         self.pca_basis, self._proxy, self._pnorms,
                         self.valid, self.packed, self.scales, self.norms,
@@ -1368,7 +1366,7 @@ class ShardedDatabase:
                                            metric=self.metric,
                                            residual=self.residual)
                 self._knn_cache[key] = fn
-            extra = (self.resid, self.rscales) if self.residual else ()
+            extra = self._resid_args()
             d, ext = fn(jnp.asarray(queries, jnp.float32), self.codebooks,
                         self.codes, self.valid, self.packed, self.scales,
                         self.norms, self.ids, perm_rep, *extra)
