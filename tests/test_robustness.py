@@ -216,3 +216,44 @@ class TestCosineVariedNorms:
         g, _ = brute.search_batch(vecs[:32], 10)
         rec = np.mean([len(set(a[i]) & set(g[i])) / 10 for i in range(32)])
         assert rec >= 0.9, rec
+
+
+class TestConcurrentCompressedTier:
+    """Concurrency on the compressed (+residual) tier: the incremental
+    shadow/table caches are host-side state mutated lazily at search time —
+    interleaved searches and adds must stay consistent (single-writer
+    contract; readers see either the old or the new cache, never a torn
+    one)."""
+
+    def test_search_during_mutation_residual(self, rng):
+        from vector_db_tpu.api.config import HnswPqConfig
+
+        dim, n = 16, 512
+        cfg = HnswPqConfig(raw_store=False, refine_residual=True,
+                           num_subspaces=4, num_centroids=16,
+                           training_samples=64,
+                           search_mode="scan_pallas_int8")
+        db = (VectorDatabase.builder().with_dimension(dim)
+              .with_max_elements(1024).with_index_type(IndexType.HNSWPQ)
+              .with_index_config(cfg).build())
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db.add_batch(range(256), vecs[:256])
+        db.search_batch(vecs[:4], 3)  # warm caches
+
+        def searcher(_):
+            out = db.search_batch(vecs[:4], 3)
+            return all(r.id >= 0 for row in out for r in row)
+
+        def mutator(i):
+            db.add_vector(256 + i, vecs[256 + i])
+            return True
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(searcher, i) if i % 2 else ex.submit(mutator, i)
+                    for i in range(40)]
+            assert all(f.result() for f in futs)
+        # everything that was added is findable afterwards
+        added = 256 + np.arange(0, 40, 2)
+        out = db.search_batch(vecs[added], 1)
+        assert [row[0].id for row in out] == added.tolist()
+        db.close()

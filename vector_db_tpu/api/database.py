@@ -14,6 +14,7 @@ JNI/handle seam is replaced by the jit dispatch boundary inside each index.
 from __future__ import annotations
 
 import enum
+import functools
 import os
 from typing import Optional, Sequence
 
@@ -21,6 +22,7 @@ import numpy as np
 
 from ..core.types import SearchResult, Vector, make_results
 from ..index.base import VectorIndex
+from ..utils.locks import RWLock
 from ..storage import checkpoint as ckpt
 from .config import (
     AnnoyConfig,
@@ -34,6 +36,28 @@ from .config import (
 )
 
 FORMAT_VERSION = 1
+
+
+
+def _reads(fn):
+    """Concurrent-reader facade method (see utils/locks.RWLock: readers run
+    together; a writer is exclusive — the reference's shared_mutex shape)."""
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._rw.read():
+            return fn(self, *a, **k)
+    return wrapper
+
+
+def _writes(fn):
+    """Exclusive-writer facade method: mutations DONATE the previous store
+    buffers on the compressed tier (core/store._write_slots_int8), so a
+    write must never overlap another write or an in-dispatch read."""
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._rw.write():
+            return fn(self, *a, **k)
+    return wrapper
 
 
 class IndexType(enum.Enum):
@@ -151,6 +175,10 @@ class VectorDatabase:
         # (reference: storage/VectorStorage.java:81,128 flushes every 1000)
         self._mutations_since_flush = 0
         self._closed = False
+        # facade-level reader-writer lock (utils/locks.py): searches
+        # run concurrently, mutations are exclusive — required because
+        # big-store writes donate the previous state buffers
+        self._rw = RWLock()
         self.index = _create_index(
             index_type, dimension, max_elements, metric, self.compression, index_config
         )
@@ -280,6 +308,7 @@ class VectorDatabase:
             return db
 
     # ------------------------------------------------------------------ CRUD
+    @_writes
     def add_vector(self, vec_id: int, values: np.ndarray) -> bool:
         """Insert one vector; False on duplicate/overflow/dim-mismatch
         (reference: core/VectorDatabase.java:151-170)."""
@@ -294,6 +323,7 @@ class VectorDatabase:
             self._note_mutation()
         return ok
 
+    @_writes
     def add_batch(self, ids: Sequence[int], values: np.ndarray) -> list[int]:
         """Batch insert; returns accepted ids (reference batch path:
         jni/NativeIndex.java:153-179)."""
@@ -318,6 +348,7 @@ class VectorDatabase:
             self._note_mutation(len(accepted))
         return accepted
 
+    @_writes
     def bulk_load(self, ids: Sequence[int], vectors) -> list[int]:
         """Zero-copy bulk ingest of an (ideally device-resident) corpus into
         an empty database — the fast path that skips per-row WAL appends (a
@@ -330,9 +361,10 @@ class VectorDatabase:
             )
         accepted = self.index.bulk_load(ids, vectors)
         if accepted and self.storage_path:
-            self.save()
+            self._save_unlocked()
         return accepted
 
+    @_writes
     def bulk_load_stream(self, chunks) -> int:
         """Streamed bulk ingest for corpora whose raw f32 form exceeds HBM
         (chunks yields (ids, vectors) pairs — see
@@ -345,15 +377,17 @@ class VectorDatabase:
             )
         n = self.index.bulk_load_stream(chunks)
         if n and self.storage_path:
-            self.save()
+            self._save_unlocked()
         return n
 
+    @_reads
     def get_vector(self, vec_id: int) -> Optional[Vector]:
         """reference: core/VectorDatabase.java:178-185"""
         self._check_open()
         vals = self.index.get(int(vec_id))
         return Vector(int(vec_id), vals) if vals is not None else None
 
+    @_writes
     def delete_vector(self, vec_id: int) -> bool:
         """reference: core/VectorDatabase.java:192-205"""
         self._check_open()
@@ -365,6 +399,7 @@ class VectorDatabase:
         return ok
 
     # ---------------------------------------------------------------- search
+    @_reads
     def search(self, query: np.ndarray, k: int) -> list[SearchResult]:
         """k-NN search (reference: core/VectorDatabase.java:214-221)."""
         self._check_open()
@@ -374,6 +409,7 @@ class VectorDatabase:
         ids, dists = self.index.search(query, k)
         return make_results(ids.tolist(), dists.tolist(), self.metric)
 
+    @_reads
     def search_batch(self, queries: np.ndarray, k: int) -> list[list[SearchResult]]:
         """Batched k-NN — the QPS path (reference:
         jni/NativeIndex.java:187-230)."""
@@ -390,6 +426,7 @@ class VectorDatabase:
         ]
 
     # ------------------------------------------------------------------ state
+    @_reads
     def size(self) -> int:
         self._check_open()
         return self.index.size()
@@ -401,6 +438,7 @@ class VectorDatabase:
 
         return GLOBAL.snapshot()
 
+    @_writes
     def rebuild_index(self) -> None:
         """reference: core/VectorDatabase.java:284-286"""
         self._check_open()
@@ -430,6 +468,12 @@ class VectorDatabase:
     # ---------------------------------------------------------- persistence
     def save(self) -> bool:
         """Checkpoint the full database state (store + index structures)."""
+        with self._rw.write():
+            return self._save_unlocked()
+
+    def _save_unlocked(self) -> bool:
+        # callers inside a mutating facade method already hold the write
+        # lock (RWLock is not reentrant)
         self._check_open()
         if not self.storage_path:
             return False
@@ -468,6 +512,7 @@ class VectorDatabase:
         self._mutations_since_flush = 0
         return True
 
+    @_writes
     def load_from_storage(self) -> bool:
         """Restore from checkpoint — O(bytes), no index rebuild
         (contrast reference: core/VectorDatabase.java:291-313 replays inserts)."""
@@ -527,13 +572,14 @@ class VectorDatabase:
 
     def close(self) -> None:
         """Flush and close (reference: core/VectorDatabase.java:319)."""
-        if self._closed:
-            return
-        if self.storage_path:
-            self.save()
-        if self._engine is not None:
-            self._engine.close()
-        self._closed = True
+        with self._rw.write():
+            if self._closed:
+                return
+            if self.storage_path:
+                self._save_unlocked()
+            if self._engine is not None:
+                self._engine.close()
+            self._closed = True
 
     def __enter__(self) -> "VectorDatabase":
         return self
@@ -545,7 +591,7 @@ class VectorDatabase:
     def _note_mutation(self, n: int = 1) -> None:
         self._mutations_since_flush += n
         if self.storage_path and self._mutations_since_flush >= self.flush_interval:
-            self.save()
+            self._save_unlocked()
 
     def _check_open(self) -> None:
         if self._closed:

@@ -25,6 +25,8 @@ above that — see its docstring for the measured crossover).
 
 from __future__ import annotations
 
+import functools
+import threading
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -39,6 +41,18 @@ from ..ops.distance import blocked_knn
 from ..ops.topk import smallest_k
 from .base import VectorIndex, pad_queries_pow2, pow2
 from .pq import _refine_exact
+
+
+
+def _with_cache_lock(fn):
+    """Serialize a lazy cache-refresh accessor among concurrent readers
+    (the refresh kernels donate the previous cache arrays — see
+    HnswPqIndex._cache_lock)."""
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._cache_lock:
+            return fn(self, *a, **k)
+    return wrapper
 
 
 class HnswPqIndex(VectorIndex):
@@ -140,6 +154,13 @@ class HnswPqIndex(VectorIndex):
         self._fast_dirty: Optional[list] = []    # ADC tables (ct/cnorms)
         self._scan8_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
         self._scan16_aux = None  # (musq, mean_norm) (l2) / (c0,) (cos)
+        # serializes the lazy cache refreshes among CONCURRENT READERS:
+        # the incremental update kernels DONATE the previous cache arrays,
+        # so two searches racing into a refresh would hand the same donated
+        # buffer to two device calls (writer-vs-reader exclusion is the
+        # facade RWLock's job — utils/locks.py; this lock is only for
+        # reader-vs-reader refresh races, and refreshes are short)
+        self._cache_lock = threading.Lock()
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
         # at train time, proxy rows [cap, p] bf16 maintained per encode
         self.pca_mean: Optional[jax.Array] = None
@@ -518,6 +539,7 @@ class HnswPqIndex(VectorIndex):
         self.coarse_assign[slots] = np.asarray(jnp.argmin(d, axis=1))
         self._members_dirty = True
 
+    @_with_cache_lock
     def _member_table(self) -> tuple[jax.Array, int, jax.Array]:
         """Quota-capped [nlist, L] member-slot table + overflow list.
 
@@ -602,6 +624,7 @@ class HnswPqIndex(VectorIndex):
             vecs = vecs[:, self.perm]
         return vecs
 
+    @_with_cache_lock
     def _packed_refine_store(self, st):
         """bf16-packed refine shadow (config.refine_store="bf16"), cached on
         the store's immutable vectors array; None -> refine reads raw f32.
@@ -629,6 +652,7 @@ class HnswPqIndex(VectorIndex):
         self._pack_dirty = []
         return self._packed_cache[1]
 
+    @_with_cache_lock
     def _int8_refine_store(self, st):
         """(packed [cap, d/4] int32, scales [cap]) refine source, or None.
 
@@ -671,6 +695,7 @@ class HnswPqIndex(VectorIndex):
             return None, None
         return st.resid, st.rscales
 
+    @_with_cache_lock
     def _scan16_shadow(self, st):
         """Cached bf16 scan shadow for search_mode="scan_pallas" (see
         _build_scan16_shadow).  Keyed on BOTH the vectors array and the
@@ -704,6 +729,7 @@ class HnswPqIndex(VectorIndex):
         self._scan16_dirty = []
         return self._scan16_cache[2]
 
+    @_with_cache_lock
     def _scan8_shadow(self, st):
         """Cached int8 scan shadow for search_mode="scan_pallas_int8" (see
         _build_scan8_shadow).  Keyed on vectors AND valid like
@@ -739,6 +765,7 @@ class HnswPqIndex(VectorIndex):
         self._scan8_dirty = []
         return self._scan8_cache[2]
 
+    @_with_cache_lock
     def _scan8p_shadow(self, st):
         """Cached conditioning vectors for the packed-store fused scan
         (search_mode="scan_pallas_int8", raw_store=False — see
@@ -754,6 +781,7 @@ class HnswPqIndex(VectorIndex):
             )
         return self._scan8p_cache[2]
 
+    @_with_cache_lock
     def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
         """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
         norms [cap] for adc_fast_search (the C2 norms-cache analog).
@@ -1234,9 +1262,6 @@ class HnswPqIndex(VectorIndex):
             self.pca_basis = jnp.asarray(arrays["pca_basis"])
             self.proxy = jnp.asarray(arrays["proxy"], jnp.bfloat16)
             self._proxy_norms = None
-
-
-import functools
 
 
 @jax.jit
