@@ -485,8 +485,9 @@ class TestShardedCompressedTier:
         db.add_batch(np.arange(n), vecs)
         db.fused_threshold = 1  # force the crossover at test scale
         calls = []
-        orig = db.search_fused
-        db.search_fused = lambda q, k, **kw: (calls.append(1), orig(q, k))[1]
+        orig = db._search_fused_impl
+        db._search_fused_impl = (
+            lambda q, k, **kw: (calls.append(1), orig(q, k))[1])
         ext, _ = db.search(vecs[:4], 1)
         assert calls, "search() did not route to search_fused"
         assert (ext[:, 0] == np.arange(4)).all()
@@ -643,3 +644,37 @@ class TestShardedCompressedPca:
         rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
                        for i in range(32)])
         assert rec == 1.0, rec
+
+
+class TestShardedConcurrency:
+    """Facade RWLock on the multi-chip tier: concurrent searches are
+    consistent, and searches interleaved with adds neither crash nor see
+    mixed-generation shard pieces."""
+
+    def test_concurrent_search_and_add(self, mesh):
+        import concurrent.futures
+
+        rng = np.random.default_rng(61)
+        n, dim = 512, 32
+        vecs = rng.standard_normal((n + 64, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n + 128,
+                                raw_store=False, refine_residual=True)
+        db.add_batch(np.arange(n), vecs[:n])
+        db.search(vecs[:4], 3)  # warm
+
+        def searcher(_):
+            ext, d = db.search(vecs[:4], 3)
+            return (ext[:, 0] == np.arange(4)).all() and bool(
+                (d[:, :-1] <= d[:, 1:] + 1e-5).all())
+
+        def mutator(i):
+            return db.add_batch(np.asarray([n + i]),
+                                vecs[n + i:n + i + 1]) == [n + i]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(searcher, i) if i % 2 else ex.submit(mutator, i)
+                    for i in range(32)]
+            assert all(f.result() for f in futs)
+        added = n + np.arange(0, 32, 2)
+        ext, _ = db.search(vecs[added], 1)
+        assert (ext[:, 0] == added).all()

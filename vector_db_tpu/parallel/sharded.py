@@ -22,10 +22,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import threading
+
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 Array = jax.Array
+
+from ..utils.locks import RWLock
 
 AXIS = "shard"
 
@@ -701,6 +705,32 @@ def _pack_resid_np(v: np.ndarray, packed: np.ndarray,
     return _pack_rows_np(v - deq)
 
 
+
+def _reads(fn):
+    """Concurrent-reader facade method (same RWLock shape as
+    api/database.py): searches run together, mutations are exclusive.
+    Lazy device-piece refreshes inside readers additionally serialize on
+    self._refresh_lock so two readers never assemble mixed-generation
+    shard pieces."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._rw.read():
+            return fn(self, *a, **k)
+    return wrapper
+
+
+def _writes(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._rw.write():
+            return fn(self, *a, **k)
+    return wrapper
+
+
 class ShardedDatabase:
     """Multi-chip corpus-sharded database: CRUD + sharded build + search.
 
@@ -784,6 +814,11 @@ class ShardedDatabase:
         # variance-balanced PQ dim permutation (train_pq / imported)
         self.perm = None if perm is None else jnp.asarray(perm)
         self._knn_cache: dict = {}
+        # facade RWLock + refresh mutex (see _reads/_writes): host mirrors
+        # are mutated in place by writers, and readers lazily re-put dirty
+        # shards — both need the single-chip facade's exclusion shape
+        self._rw = RWLock()
+        self._refresh_lock = threading.Lock()
         if codebooks is not None:
             self.num_subspaces = int(np.asarray(codebooks).shape[0])
             self._h_codes = np.zeros(
@@ -809,6 +844,7 @@ class ShardedDatabase:
                     self._h_codes[slots_ok] = codes[rows_ok]
 
     # ----------------------------------------------------------- mutation
+    @_writes
     def add_batch(self, ids, vectors) -> list[int]:
         """Vectorized batch insert: shard assignment is ONE water-filling
         pass over the S per-shard loads (S iterations, not N), slot writes
@@ -928,6 +964,7 @@ class ShardedDatabase:
             out = out + r8.astype(np.float32) * self._h_rscales[slots][:, None]
         return out
 
+    @_writes
     def remove(self, ext_id: int) -> bool:
         slot = self._slot_of.pop(int(ext_id), None)
         if slot is None:
@@ -942,6 +979,7 @@ class ShardedDatabase:
         return int(self._h_valid.sum())
 
     # ----------------------------------------------------------- build
+    @_writes
     def train_pq(self, num_centroids: int = 16, iters: int = 10,
                  seed: int = 42) -> None:
         """Sharded end-to-end PQ build: train codebooks with the
@@ -1101,14 +1139,15 @@ class ShardedDatabase:
         setattr(self, name, arr)
 
     def _refresh(self) -> None:
-        if not self._dirty and self._dev_pieces:
-            return
-        fields = (("vectors",) if self.raw else ("packed", "scales"))
-        if not self.raw and self.residual:
-            fields = fields + ("resid", "rscales")
-        for name in fields + ("ids", "valid", "norms", "codes"):
-            self._put_field(name)
-        self._dirty.clear()
+        with self._refresh_lock:
+            if not self._dirty and self._dev_pieces:
+                return
+            fields = (("vectors",) if self.raw else ("packed", "scales"))
+            if not self.raw and self.residual:
+                fields = fields + ("resid", "rscales")
+            for name in fields + ("ids", "valid", "norms", "codes"):
+                self._put_field(name)
+            self._dirty.clear()
 
     # auto crossover: above this many live rows per shard the fused s8
     # kernel beats the exact scan (same threshold + measurements as the
@@ -1116,6 +1155,7 @@ class ShardedDatabase:
     fused_threshold = 700_000
 
     # ----------------------------------------------------------- search
+    @_reads
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Corpus-sharded search -> (external ids, dists).  Below
         ~fused_threshold live rows per shard this is the exact scan (raw
@@ -1124,7 +1164,10 @@ class ShardedDatabase:
         single-chip auto mode (pin by calling search_fused or the exact
         programs directly if a fixed path is required)."""
         if len(self._slot_of) >= self.fused_threshold * self.n_shards:
-            return self.search_fused(queries, k)
+            # the undecorated body: search() already holds the read lock,
+            # and a nested read() would deadlock against a waiting writer
+            # (writer-preferring RWLock)
+            return self._search_fused_impl(queries, k)
         self._refresh()
         if self.raw:
             fn = self._knn_cache.get(("exact", k))
@@ -1147,8 +1190,13 @@ class ShardedDatabase:
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
 
+    @_reads
     def search_fused(self, queries: np.ndarray, k: int, pool: int = 64
                      ) -> tuple[np.ndarray, np.ndarray]:
+        return self._search_fused_impl(queries, k, pool)
+
+    def _search_fused_impl(self, queries: np.ndarray, k: int, pool: int = 64
+                           ) -> tuple[np.ndarray, np.ndarray]:
         """Multi-chip fused s8 x s8 scan (the sharded analog of
         search_mode="scan_pallas_int8", auto's >=700k-rows choice on one
         chip).  Compressed tier: the Pallas packed-pool kernel streams each
@@ -1198,6 +1246,7 @@ class ShardedDatabase:
         ext = np.where(idx_np >= 0, self._h_ids[np.maximum(idx_np, 0)], -1)
         return ext, np.asarray(d)
 
+    @_writes
     def fit_pca(self, p: int = 32, seed: int = 42) -> None:
         """Fit the PCA-proxy basis on a live-row sample (ops/pca).
 
@@ -1225,6 +1274,7 @@ class ShardedDatabase:
         self.pca_basis = jnp.asarray(basis)
         self._proxy_gen = None  # invalidate the derived proxy
 
+    @_reads
     def search_pca(self, queries: np.ndarray, k: int, select_r: int = 256
                    ) -> tuple[np.ndarray, np.ndarray]:
         """Corpus-sharded PCA-proxy search -> (external ids, dists).
@@ -1338,6 +1388,7 @@ class ShardedDatabase:
                         self.ids, *extra)
         return np.asarray(ext), np.asarray(d)
 
+    @_reads
     def search_flagship(self, queries: np.ndarray, k: int, refine: int = 1024
                         ) -> tuple[np.ndarray, np.ndarray]:
         """Corpus-sharded ADC scan + blocked refine -> (ids, dists).  The
@@ -1373,6 +1424,7 @@ class ShardedDatabase:
         return np.asarray(ext), np.asarray(d)
 
     # ----------------------------------------------------------- persistence
+    @_reads
     def save(self, path: str) -> None:
         """Checkpoint the full sharded state (reference: every tier of the
         reference surface persists, storage/VectorStorage.java:176-206 —
