@@ -257,3 +257,69 @@ class TestConcurrentCompressedTier:
         out = db.search_batch(vecs[added], 1)
         assert [row[0].id for row in out] == added.tolist()
         db.close()
+
+
+class TestRWLock:
+    """utils/locks.RWLock semantics: concurrent readers, exclusive writer,
+    writer preference (no writer starvation under a stream of readers)."""
+
+    def test_concurrent_readers(self):
+        import threading
+        import time
+
+        from vector_db_tpu.utils.locks import RWLock
+
+        lock = RWLock()
+        active = []
+        peak = []
+
+        def reader():
+            with lock.read():
+                active.append(1)
+                peak.append(len(active))
+                time.sleep(0.02)
+                active.pop()
+
+        ts = [threading.Thread(target=reader) for _ in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert max(peak) > 1, "readers never overlapped"
+
+    def test_writer_excludes_and_is_preferred(self):
+        import threading
+        import time
+
+        from vector_db_tpu.utils.locks import RWLock
+
+        lock = RWLock()
+        order = []
+
+        def long_reader():
+            with lock.read():
+                order.append("r1-in")
+                time.sleep(0.05)
+            order.append("r1-out")
+
+        def writer():
+            with lock.write():
+                order.append("w")
+
+        def late_reader():
+            with lock.read():
+                order.append("r2")
+
+        t1 = threading.Thread(target=long_reader)
+        t1.start()
+        time.sleep(0.01)  # writer arrives while r1 holds the lock
+        tw = threading.Thread(target=writer)
+        tw.start()
+        time.sleep(0.01)  # a reader arriving AFTER a waiting writer queues
+        t2 = threading.Thread(target=late_reader)
+        t2.start()
+        for t in (t1, tw, t2):
+            t.join()
+        # writer preference: w runs before the late reader
+        assert order.index("w") < order.index("r2"), order
+        assert order.index("r1-out") < order.index("w"), order
