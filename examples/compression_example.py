@@ -109,7 +109,13 @@ def main():
         # build/search/memory-savings per preset): compressed index
         # structures (codes+codebooks+proxy) in MB, plus the savings pct
         idx_mb = st.get("index_bytes", st["capacity"] * dim * 4) / 1e6
-        saved = db.get_memory_savings_pct() if comp is not None else 0.0
+        if not st.get("raw_store", True):
+            # compressed store: the savings that matter are TOTAL resident
+            # bytes vs a raw f32 store (the whole point of the tier)
+            saved = 100.0 * (1.0 - (st["store_bytes"] + st["index_bytes"])
+                             / st["raw_bytes"])
+        else:
+            saved = db.get_memory_savings_pct() if comp is not None else 0.0
         print(f"{name:32s} {ratio:5.0f}x {t_build:8.1f} "
               f"{dt*1000/args.queries:7.2f} {recall:10.1%} {idx_mb:9.1f} "
               f"{saved:5.1f}%")
