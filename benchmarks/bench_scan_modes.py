@@ -104,6 +104,37 @@ def main():
             rp, rs = pack_int8_residual(vj, packed, scales)
             jax.block_until_ready(rp)
             log("residual level ready")
+        if "--adc" in sys.argv:
+            # compressed-tier adc_fast row (codes trained on the raw chunk
+            # before it dies): the auto-mode A/B vs the fused packed scan
+            from vector_db_tpu.ops import adc as adc_ops
+            from vector_db_tpu.ops.kmeans import subspace_kmeans_fit
+
+            t0 = time.time()
+            cb = subspace_kmeans_fit(jax.random.PRNGKey(42), vj[:20000],
+                                     num_subspaces=64, k=256, iters=10)
+            codes = adc_ops.pq_encode(vj, cb)
+            ct = jnp.transpose(codes, (1, 0))
+            cbt = adc_ops.codebooks_to_cbt(cb)
+            cnorms = None  # derived in-program (code_norms_from_codes)
+            jax.block_until_ready(ct)
+            log(f"PQ train+encode: {time.time()-t0:.1f}s")
+
+            def adc_run(q, ctt, cbtt, cn, p, s, nm, eps):
+                d, _ = adc_ops.adc_fast_search(
+                    q + eps, ctt, cbtt, valid, p, ids, k, bucket=128,
+                    winners=1, pool_mode="approx", code_norms=cn,
+                    select_r=512, int8_base=p, int8_scales=s,
+                    int8_norms=nm)
+                return d[0, 0]
+
+            d, e = adc_ops.adc_fast_search(
+                qj, ct, cbt, valid, packed, ids, k, bucket=128, winners=1,
+                pool_mode="approx", code_norms=cnorms, select_r=512,
+                int8_base=packed, int8_scales=scales, int8_norms=norms)
+            dt = timed(adc_run, qj, ct, cbt, cnorms, packed, scales, norms)
+            log(f"compressed adc_fast R=512 + int8 refine: "
+                f"recall={rec(e):.4f}  {dt*1e3:.2f} ms  {nq/dt:,.0f} QPS")
         del vj  # the compressed tier has no raw matrix
         off, sc, cvec = _build_scan8p_shadow(packed, scales, norms, valid,
                                              "l2")
