@@ -188,4 +188,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        # Wedge-proof outer harness (VERDICT r3 #1): the axon tunnel can
+        # hang INSIDE PJRT init, so the driver-invoked process must never
+        # touch the backend itself.  Probe in a subprocess, run the real
+        # bench as `bench.py --inner`, retry once across a fresh probe,
+        # and degrade to a stale-marked last-good capture instead of rc=1.
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.tpu_guard import run_guarded
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.exit(run_guarded(
+            [sys.executable, "-u", os.path.abspath(__file__), "--inner"],
+            cache_path=os.path.join(here, "BENCH_LAST_GOOD.json"),
+            cwd=here,
+        ))

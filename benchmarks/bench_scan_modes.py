@@ -225,4 +225,9 @@ def main():
 
 
 if __name__ == "__main__":
+    from tpu_guard import wait_for_backend
+
+    # probe-first (CLAUDE.md wedge protocol): never hang in PJRT init
+    if not wait_for_backend():
+        sys.exit(1)
     main()
