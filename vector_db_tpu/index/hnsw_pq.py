@@ -213,7 +213,7 @@ class HnswPqIndex(VectorIndex):
         (fewer jit specializations; duplicate scatters write identical
         values), or None when the record is empty/void."""
         rec = getattr(self, attr)
-        if not rec:
+        if not rec or sum(a.size for a in rec) == 0:
             return None
         slots = np.unique(np.concatenate(rec))
         n_pad = 1 << max(0, int(slots.size - 1).bit_length())
@@ -941,12 +941,13 @@ class HnswPqIndex(VectorIndex):
             # packed rows (zero shadow memory) + int8 refine with exact
             # write-time norms (see _build_scan8p_shadow)
             off, sc, cvec = self._scan8p_shadow(st)
-            # largest pool width that divides capacity (new stores round to
-            # 2048; checkpoints from before that rounding are 128-rounded,
-            # and the kernel refuses to pad-copy the packed array)
-            w = min(2048, st.capacity)
-            while st.capacity % w:
-                w -= 128
+            from ..ops.pallas_kernels import preserved_pool_width
+
+            # largest pool width that divides capacity AND survives the
+            # kernel's block rounding (new stores round to 2048; legacy
+            # 128-rounded checkpoints get a narrower width — the kernel
+            # refuses to pad-copy the packed array)
+            w = preserved_pool_width(st.capacity)
             i8r = self._int8_resid_store(st)
             dists, ext = pallas_scan8p_refine(
                 jnp.asarray(padded), st.packed, st.scales, st.norms, off, sc,

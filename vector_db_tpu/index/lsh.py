@@ -195,10 +195,10 @@ class LshIndex(VectorIndex):
     def _auto_radius(self) -> int:
         """Data-calibrated Hamming radius (the sign-mode analog of
         _auto_width): measure the min-table Hamming distance between ~256
-        sample points and their TRUE nearest neighbors, take the ~65th
+        sample points and their TRUE nearest neighbors, take the 75th
         percentile (so a typical neighbor collides in at least one table),
         and cap it where the expected random-pair collision fraction
-        (binomial tail, union over tables) exceeds ~30% — beyond that the
+        (binomial tail, union over tables) exceeds ~35% — beyond that the
         gate stops being LSH and becomes a near-full scan."""
         import math
 

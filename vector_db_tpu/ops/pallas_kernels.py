@@ -704,6 +704,25 @@ def _make_packed_pool_kernel(block_n: int, nb_w: int):
     return kernel
 
 
+def preserved_pool_width(n: int, max_w: int = 2048, block_n: int = 512) -> int:
+    """Largest pool width ``w <= max_w`` that divides ``n`` AND survives
+    the pool kernels' lane/block rounding unchanged (``w <= block_n``, or
+    ``w % block_n == 0``).
+
+    ``fused_packed_pool`` refuses to pad-copy the multi-GB packed store,
+    so its callers must pick widths from this set: the kernel rounds w up
+    to a multiple of ``block_n`` when ``w > block_n``, so e.g. n=1920
+    with w=1920 becomes w=2048 and the n%w check raises (advisor r3).
+    ``n`` must be a multiple of LANES (every store capacity is).
+    """
+    if n % LANES:
+        raise ValueError(f"store rows ({n}) must be a multiple of {LANES}")
+    for w in range(min(max_w, n), 0, -LANES):
+        if n % w == 0 and (w <= block_n or w % block_n == 0):
+            return w
+    return LANES
+
+
 @functools.partial(
     jax.jit, static_argnames=("w", "block_n", "q_tile", "interpret")
 )

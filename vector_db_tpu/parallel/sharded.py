@@ -1220,9 +1220,11 @@ class ShardedDatabase:
                              self.valid))
             self._cond_cache = cond = (rows, self.valid, built)
         # largest pool width dividing the (128-rounded) per-shard rows
-        w = min(2048, self.per_shard)
-        while self.per_shard % w:
-            w -= 128
+        # that also survives the fused kernel's block rounding (the packed
+        # kernel rejects widths it would round past per_shard — advisor r3)
+        from ..ops.pallas_kernels import preserved_pool_width
+
+        w = preserved_pool_width(self.per_shard)
         key = ("fused8", k, pool, w, self.residual)
         fn = self._knn_cache.get(key)
         if fn is None:
