@@ -91,6 +91,7 @@ class TestHnswMutation:
         idx = HnswIndex(8, 128, "l2", small_cfg())
         vecs = rng.standard_normal((30, 8)).astype(np.float32)
         idx.add_batch(range(30), vecs)
+        idx.flush_pending()  # graph internals under test: connect the adds
         entry_slot = int(idx.graph.entry)
         entry_id = int(np.asarray(idx.store.state.ids)[entry_slot])
         assert idx.remove(entry_id)
@@ -121,10 +122,12 @@ class TestHnswMutation:
 class TestHnswState:
     def test_stats(self, built):
         idx, _, _ = built
+        idx.flush_pending()  # histogram counts connected nodes only
         s = idx.stats()
         assert s["size"] == 300 and s["m"] == 8
         assert sum(s["level_histogram"].values()) == 300
         assert s["avg_degree_l0"] > 1.0
+        assert s["pending_inserts"] == 0
 
     def test_persistence_roundtrip(self, built):
         idx, _, vecs = built

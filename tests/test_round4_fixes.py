@@ -100,6 +100,135 @@ class TestTakeDirtyGuard:
         assert idx._take_dirty(attr) is None
 
 
+class TestDeferInsertPolicy:
+    """VERDICT r3 #3: incremental graph adds ride a pending buffer + exact
+    overlay, flushed in bulk by exact-kNN delta insertion — not per-round
+    beam descents."""
+
+    def _cfg(self, **kw):
+        from vector_db_tpu.api.config import HnswConfig
+
+        return HnswConfig(m=8, ef_construction=64, **kw)
+
+    def test_pending_visible_before_flush(self):
+        from vector_db_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(3)
+        idx = HnswIndex(16, 2048, "l2", self._cfg(flush_min=4096))
+        vecs = rng.standard_normal((600, 16)).astype(np.float32)
+        # seed a connected graph, then defer the rest
+        idx.add_batch(range(300), vecs[:300])
+        idx.flush_pending()
+        idx.add_batch(range(300, 600), vecs[300:])
+        assert idx.stats()["pending_inserts"] == 300
+        # pending rows must be searchable through the overlay
+        ids, _ = idx.search_batch(vecs[450:460], 1)
+        assert (ids[:, 0] == np.arange(450, 460)).all()
+
+    def test_flush_threshold_triggers(self):
+        from vector_db_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(4)
+        idx = HnswIndex(16, 1024, "l2", self._cfg(flush_min=64))
+        vecs = rng.standard_normal((512, 16)).astype(np.float32)
+        for s in range(0, 512, 32):
+            idx.add_batch(range(s, s + 32), vecs[s:s + 32])
+        # threshold starts at 64 and grows with the graph -> several
+        # flushes happened; everything is either connected or pending
+        pending = idx.stats()["pending_inserts"]
+        connected = int((np.asarray(idx.graph.levels) >= 0).sum())
+        assert connected + pending == 512
+        assert connected >= 384 and pending < 128
+
+    def test_incremental_recall_matches_rebuild(self):
+        from vector_db_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(5)
+        n, dim = 2048, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        q = vecs[:64] + 0.05 * rng.standard_normal((64, dim)).astype(
+            np.float32)
+        gt = np.argsort(((q[:, None, :] - vecs[None, :, :]) ** 2).sum(-1),
+                        1)[:, :10]
+
+        inc = HnswIndex(dim, n, "l2", self._cfg(flush_min=256))
+        for s in range(0, n, 128):
+            inc.add_batch(range(s, s + 128), vecs[s:s + 128])
+        reb = HnswIndex(dim, n, "l2", self._cfg())
+        reb.add_batch(range(n), vecs)
+        reb.build()
+
+        def recall(idx):
+            ids, _ = idx.search_batch(q, 10)
+            return np.mean([len(set(ids[i].tolist()) & set(gt[i].tolist()))
+                            / 10 for i in range(64)])
+
+        r_inc, r_reb = recall(inc), recall(reb)
+        assert r_inc >= r_reb - 0.01, (r_inc, r_reb)
+
+    def test_remove_pending(self):
+        from vector_db_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(6)
+        idx = HnswIndex(16, 512, "l2", self._cfg(flush_min=4096))
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        idx.add_batch(range(200), vecs[:200])
+        idx.flush_pending()
+        idx.add_batch(range(200, 300), vecs[200:])
+        assert idx.remove(250)
+        assert idx.stats()["pending_inserts"] == 99
+        ids, _ = idx.search(vecs[250], 1)
+        assert ids[0] != 250
+
+    def test_checkpoint_flushes(self):
+        from vector_db_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(8)
+        idx = HnswIndex(16, 512, "l2", self._cfg(flush_min=4096))
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        idx.add_batch(range(300), vecs)
+        arrays = idx.state_arrays()
+        assert idx.stats()["pending_inserts"] == 0
+        idx2 = HnswIndex(16, 512, "l2", self._cfg())
+        idx2.load_state_arrays(arrays)
+        ids, _ = idx2.search_batch(vecs[:16], 1)
+        assert (ids[:, 0] == np.arange(16)).mean() >= 0.9
+
+    def test_stream_policy_unchanged(self):
+        from vector_db_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(9)
+        idx = HnswIndex(16, 512, "l2",
+                        self._cfg(insert_policy="stream"))
+        vecs = rng.standard_normal((200, 16)).astype(np.float32)
+        idx.add_batch(range(200), vecs)
+        assert idx.stats()["pending_inserts"] == 0
+        assert (np.asarray(idx.graph.levels) >= 0).sum() == 200
+
+    def test_hnswpq_graph_defer(self):
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        rng = np.random.default_rng(10)
+        n, dim = 1024, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=512,
+                           use_graph=True, search_mode="graph",
+                           flush_min=4096, m=8)
+        idx = HnswPqIndex(dim, n, "l2", cfg)
+        idx.add_batch(range(512), vecs[:512])   # triggers train + build
+        assert idx.trained
+        idx.add_batch(range(512, n), vecs[512:])
+        assert idx.stats()["pending_inserts"] == 512
+        # pending rows reachable through the refine-pool overlay
+        ids, _ = idx.search_batch(vecs[700:710], 1)
+        assert (ids[:, 0] == np.arange(700, 710)).mean() >= 0.9
+        idx.flush_pending()
+        assert idx.stats()["pending_inserts"] == 0
+        ids, _ = idx.search_batch(vecs[700:710], 1)
+        assert (ids[:, 0] == np.arange(700, 710)).mean() >= 0.9
+
+
 class TestLshPercentileDoc:
     def test_docstring_matches_code(self):
         """The docstring and the implementation must agree on the

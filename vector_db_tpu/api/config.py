@@ -114,6 +114,20 @@ class HnswConfig:
     bulk_build: bool = True  # from-scratch builds use exact-kNN graph
     # construction (a few matmuls) instead of sequential insertion beams;
     # incremental adds still use beam insertion
+    insert_policy: str = "defer"  # incremental-add policy:
+    # "defer" (default): adds are buffered in a pending set (searches see
+    #   them through an exact overlay scan, so results never lag) and
+    #   connected in bulk by exact-kNN delta insertion
+    #   (ops/hnsw_graph.bulk_insert_delta) when the buffer crosses the
+    #   flush threshold — the TPU answer to the reference native's
+    #   sequential 0.484 ms/vec insert loop (docs/OPTIMIZATION_SUMMARY.
+    #   md:59): per-node beam descents are gather+dispatch-bound (~4 ms/vec
+    #   through the tunnel), one new x live matmul is not.
+    # "stream": legacy per-round beam insertion (insert the moment
+    #   add_batch returns) — graph arrays are current after every add.
+    flush_min: int = 1024   # defer: flush when pending >= max(flush_min,
+    flush_frac: float = 0.25  # min(flush_frac * graph_live, flush_max))
+    flush_max: int = 32768  # bound on the overlay scan width per search
 
     def derived_max_level(self, capacity: int) -> int:
         if self.max_level > 0:
@@ -178,6 +192,14 @@ class HnswPqConfig:
     # is exhaustive, and a ~1k refine pool saturates Recall@10 at 32x)
     use_graph: bool = False  # False -> exhaustive ADC scan path (TPU-fast);
     # True -> HNSW traversal over PQ codes (large-N path)
+    insert_policy: str = "defer"  # graph-mode incremental adds: "defer"
+    # buffers adds in a pending set (visible to every search through an
+    # exact overlay) and bulk-connects them with exact-kNN delta insertion
+    # on flush; "stream" inserts immediately via beam rounds (legacy).
+    # See HnswConfig.insert_policy.
+    flush_min: int = 1024
+    flush_frac: float = 0.25
+    flush_max: int = 32768
     nlist: int = 0  # > 0 -> IVF-pruned ADC scan: a coarse k-means quantizer
     # restricts the scan to nprobe clusters (the ScaNN-style partition +
     # PQ-score + re-rank pipeline for the memory-bound regime)

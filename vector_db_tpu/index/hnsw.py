@@ -37,6 +37,10 @@ class HnswIndex(VectorIndex):
         self.graph = hg.init_graph(self.store.capacity, self.config.m, self._max_level)
         self.seed = 42
         self._level_counter = 0  # distinct PRNG stream per insertion round
+        # defer insert policy: adds buffered here until the flush threshold;
+        # searches see them via an exact overlay (hg.hnsw_search_pending)
+        self._pending_mask = np.zeros(self.store.capacity, bool)
+        self._pending_count = 0
 
     # ------------------------------------------------------------- helpers
     def _prep(self, vectors: np.ndarray) -> np.ndarray:
@@ -67,8 +71,54 @@ class HnswIndex(VectorIndex):
         accepted, slots = self.store.add_batch(ids, vectors)
         if not accepted:
             return []
-        self._insert_slots(np.asarray(slots, np.int32))
+        slots_np = np.asarray(slots, np.int32)
+        if self.config.insert_policy == "defer":
+            self._pending_mask[slots_np] = True
+            self._pending_count += len(slots_np)
+            if self._pending_count >= self._flush_threshold():
+                self.flush_pending()
+        else:
+            self._insert_slots(slots_np)
         return accepted
+
+    # ----------------------------------------------------- defer insert policy
+    def _flush_threshold(self) -> int:
+        """Pending count that triggers a bulk flush: a fraction of the
+        connected graph (delta-insert cost amortises against it), floored so
+        tiny indexes never flush per-add and capped so the per-search overlay
+        scan stays bounded."""
+        graph_live = max(0, self.store.size() - self._pending_count)
+        return max(self.config.flush_min,
+                   min(int(self.config.flush_frac * graph_live),
+                       self.config.flush_max))
+
+    def flush_pending(self) -> None:
+        """Connect every pending slot to the graph (exact-kNN delta insert;
+        from-scratch bulk build when the graph is still empty)."""
+        if self._pending_count == 0:
+            return
+        slots = np.flatnonzero(self._pending_mask).astype(np.int32)
+        self._pending_mask[:] = False
+        self._pending_count = 0
+        if slots.size == 0:
+            return
+        if int(self.graph.entry) < 0:
+            self._insert_slots(slots)  # from-scratch path (bulk_build)
+            return
+        st = self.store.state
+        self.graph = hg.bulk_insert_delta(
+            self.graph, st.vectors, st.norms, st.valid,
+            slots, self._sample_levels(len(slots)),
+            m=self.config.m, heuristic=self.config.heuristic,
+        )
+
+    def _pending_padded(self) -> np.ndarray:
+        """Pending slots padded to a pow2 length with -1 (bounded jit
+        specializations for the overlay search)."""
+        slots = np.flatnonzero(self._pending_mask).astype(np.int32)
+        n_pad = max(8, 1 << max(0, int(slots.size - 1).bit_length()))
+        return np.concatenate(
+            [slots, np.full(n_pad - slots.size, -1, np.int32)])
 
     def _insert_slots(self, slots: np.ndarray) -> None:
         """Insert store slots into the graph in batched rounds."""
@@ -112,6 +162,11 @@ class HnswIndex(VectorIndex):
         slot = self.store.remove(vec_id)
         if slot is None:
             return False
+        if self._pending_mask[slot]:
+            # never reached the graph: drop from the pending buffer
+            self._pending_mask[slot] = False
+            self._pending_count -= 1
+            return True
         was_entry = int(self.graph.entry) == slot
         self.graph = hg.unlink_slot(self.graph, jnp.asarray(slot, jnp.int32))
         if was_entry:
@@ -164,6 +219,8 @@ class HnswIndex(VectorIndex):
         live = np.flatnonzero(valid)
         order = live[np.argsort(ids_np[live], kind="stable")]
         self.graph = hg.init_graph(self.store.capacity, self.config.m, self._max_level)
+        self._pending_mask[:] = False  # the rebuild connects everything
+        self._pending_count = 0
         if order.size:
             self._insert_slots(order.astype(np.int32))
 
@@ -188,11 +245,19 @@ class HnswIndex(VectorIndex):
                 max(self.config.ef_for_query(k_pad, n_live, self.dim), k_pad),
                 st.capacity,
             )
-            dists, slots = hg.hnsw_search(
-                self.graph, st.vectors, st.norms, st.valid,
-                jnp.asarray(padded), k_pad, ef,
-                expand=max(1, self.config.expand_per_iter),
-            )
+            if self._pending_count > 0:
+                # deferred adds: graph beam + exact overlay over pending rows
+                dists, slots = hg.hnsw_search_pending(
+                    self.graph, st.vectors, st.norms, st.valid,
+                    jnp.asarray(padded), jnp.asarray(self._pending_padded()),
+                    k_pad, ef, expand=max(1, self.config.expand_per_iter),
+                )
+            else:
+                dists, slots = hg.hnsw_search(
+                    self.graph, st.vectors, st.norms, st.valid,
+                    jnp.asarray(padded), k_pad, ef,
+                    expand=max(1, self.config.expand_per_iter),
+                )
         slots_np = np.asarray(slots)[:q_n, :k_eff]
         ids_np = np.asarray(st.ids)
         ext = np.where(slots_np >= 0, ids_np[np.maximum(slots_np, 0)], -1)
@@ -231,11 +296,13 @@ class HnswIndex(VectorIndex):
             entry_point=int(self.graph.entry),
             level_histogram=hist,
             avg_degree_l0=float(deg[levels >= 0].mean()) if live.size else 0.0,
+            pending_inserts=int(self._pending_count),
         )
         return s
 
     # ------------------------------------------------------------ persistence
     def state_arrays(self) -> dict:
+        self.flush_pending()  # checkpoints always hold a complete graph
         return {
             "store": self.store.to_host(),
             "graph": {
@@ -249,6 +316,8 @@ class HnswIndex(VectorIndex):
 
     def load_state_arrays(self, arrays: dict) -> None:
         self.store = VectorStore.from_host(arrays["store"])
+        self._pending_mask = np.zeros(self.store.capacity, bool)
+        self._pending_count = 0  # checkpoints hold complete graphs
         g = arrays["graph"]
         self.graph = hg.HnswGraph(
             neighbors=jnp.asarray(g["neighbors"]),

@@ -118,6 +118,10 @@ class HnswPqIndex(VectorIndex):
         self.graph = hg.init_graph(self.store.capacity, config.m, self._max_level)
         self._level_counter = 0
         self._graph_dirty: list[int] = []  # slots added before training
+        # defer insert policy (config.insert_policy): trained graph-mode adds
+        # buffer here; searches fold pending rows into the exact refine pool
+        self._pending_mask = np.zeros(self.store.capacity, bool)
+        self._pending_count = 0
         # optional IVF coarse quantizer for pruned scans (config.nlist > 0)
         self.coarse_centroids: Optional[jax.Array] = None  # [nlist, dim]
         self.coarse_assign = np.full(self.store.capacity, -1, np.int32)
@@ -240,8 +244,47 @@ class HnswPqIndex(VectorIndex):
             if self.coarse_centroids is not None:
                 self._assign_coarse(slots_np)
             if self.config.use_graph:
-                self._insert_graph(slots_np)
+                if self.config.insert_policy == "defer":
+                    self._pending_mask[slots_np] = True
+                    self._pending_count += len(slots_np)
+                    if self._pending_count >= self._flush_threshold():
+                        self.flush_pending()
+                else:
+                    self._insert_graph(slots_np)
         return accepted
+
+    # ----------------------------------------------------- defer insert policy
+    def _flush_threshold(self) -> int:
+        graph_live = max(0, self.store.size() - self._pending_count)
+        return max(self.config.flush_min,
+                   min(int(self.config.flush_frac * graph_live),
+                       self.config.flush_max))
+
+    def flush_pending(self) -> None:
+        """Connect pending slots with exact-kNN delta insertion (see
+        HnswIndex.flush_pending / ops/hnsw_graph.bulk_insert_delta)."""
+        if self._pending_count == 0:
+            return
+        slots = np.flatnonzero(self._pending_mask).astype(np.int32)
+        self._pending_mask[:] = False
+        self._pending_count = 0
+        if slots.size == 0:
+            return
+        if int(self.graph.entry) < 0:
+            self._insert_graph(slots)
+            return
+        st = self.store.state
+        self.graph = hg.bulk_insert_delta(
+            self.graph, st.vectors, st.norms, st.valid,
+            slots, self._sample_levels(len(slots)),
+            m=self.config.m, heuristic=True,
+        )
+
+    def _pending_padded(self) -> np.ndarray:
+        slots = np.flatnonzero(self._pending_mask).astype(np.int32)
+        n_pad = max(8, 1 << max(0, int(slots.size - 1).bit_length()))
+        return np.concatenate(
+            [slots, np.full(n_pad - slots.size, -1, np.int32)])
 
     def bulk_load(self, ids: Sequence[int], vectors) -> list[int]:
         """Zero-copy bulk ingest of a device-resident corpus + train.
@@ -417,6 +460,11 @@ class HnswPqIndex(VectorIndex):
         self._note_row_mutation(np.asarray([slot]))
         self.coarse_assign[slot] = -1
         self._members_dirty = True
+        if self.config.use_graph and self._pending_mask[slot]:
+            # never reached the graph: drop from the pending buffer
+            self._pending_mask[slot] = False
+            self._pending_count -= 1
+            return True
         if self.config.use_graph and int(self.graph.entry) == slot:
             self.graph = hg.unlink_slot(self.graph, jnp.asarray(slot, jnp.int32))
             levels = np.asarray(self.graph.levels)
@@ -887,6 +935,8 @@ class HnswPqIndex(VectorIndex):
         live = np.flatnonzero(valid)
         order = live[np.argsort(ids_np[live], kind="stable")]
         self.graph = hg.init_graph(self.store.capacity, self.config.m, self._max_level)
+        self._pending_mask[:] = False  # the rebuild connects everything
+        self._pending_count = 0
         if order.size:
             self._insert_graph(order.astype(np.int32))
 
@@ -1104,6 +1154,14 @@ class HnswPqIndex(VectorIndex):
                 self.graph, self.codes, tables, st.valid, ef,
             )
             cand = cand[:, :refine]
+            if self._pending_count > 0:
+                # deferred graph adds: fold the pending slots into the exact
+                # refine pool so results never lag the store
+                pend = jnp.asarray(self._pending_padded())
+                cand = jnp.concatenate(
+                    [cand, jnp.broadcast_to(pend[None, :],
+                                            (cand.shape[0], pend.shape[0]))],
+                    axis=1)
             dists, slots = _refine_exact(
                 jnp.asarray(padded), st.vectors, cand, k_pad, self.metric
             )
@@ -1205,11 +1263,14 @@ class HnswPqIndex(VectorIndex):
             store_bytes=store_bytes,
             raw_store=self.store.raw,
             use_graph=self.config.use_graph,
+            pending_inserts=int(self._pending_count),
         )
         return s
 
     # ------------------------------------------------------------ persistence
     def state_arrays(self) -> dict:
+        if self.config.use_graph:
+            self.flush_pending()  # checkpoints always hold a complete graph
         out = {
             "store": self.store.to_host(),
             "codes": np.asarray(self.codes),
@@ -1237,6 +1298,8 @@ class HnswPqIndex(VectorIndex):
 
     def load_state_arrays(self, arrays: dict) -> None:
         self.store = VectorStore.from_host(arrays["store"])
+        self._pending_mask = np.zeros(self.store.capacity, bool)
+        self._pending_count = 0  # checkpoints hold complete graphs
         self.codes = jnp.asarray(arrays["codes"])
         self._fast_cache = None
         self._note_store_rewrite()  # untracked store rewrite -> full rebuilds
