@@ -678,3 +678,134 @@ class TestShardedConcurrency:
         added = n + np.arange(0, 32, 2)
         ext, _ = db.search(vecs[added], 1)
         assert (ext[:, 0] == added).all()
+
+
+class TestDevicePayload:
+    """host_mirror=False (VERDICT r3 #4): the big row payloads live ONLY as
+    per-shard device pieces — no full-capacity host numpy arrays — with
+    streamed ingest, in-place scatter mutation, and O(shard) save/load."""
+
+    def _gt(self, vecs, q, k=10):
+        d = ((q[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+        return np.argsort(d, axis=1)[:, :k]
+
+    def test_no_host_payload_arrays(self, mesh):
+        db = sh.ShardedDatabase(mesh, dim=32, capacity=1024,
+                                raw_store=False, host_mirror=False)
+        assert not hasattr(db, "_h_packed")
+        assert not hasattr(db, "_h_vec")
+        assert "packed" in db._dev_pieces
+
+    def test_crud_and_search_parity(self, mesh):
+        rng = np.random.default_rng(71)
+        n, dim = 1024, 32
+        vecs = (rng.standard_normal((n, dim)) + 1.0).astype(np.float32)
+        q = vecs[:16] + 0.01 * rng.standard_normal((16, dim)).astype(
+            np.float32)
+        ha, hb = {}, {}
+        for hm in (True, False):
+            db = sh.ShardedDatabase(mesh, dim=dim, capacity=n,
+                                    raw_store=False, host_mirror=hm)
+            db.add_batch(np.arange(n), vecs)
+            ext, d = db.search(q, 10)
+            (ha if hm else hb)["r"] = (np.asarray(ext), np.asarray(d))
+            db.remove(3)
+            ext2, _ = db.search(vecs[3:4], 1)
+            assert ext2[0, 0] != 3
+        np.testing.assert_array_equal(ha["r"][0], hb["r"][0])
+        np.testing.assert_allclose(ha["r"][1], hb["r"][1], rtol=1e-5)
+
+    def test_raw_device_mode(self, mesh):
+        rng = np.random.default_rng(72)
+        n, dim = 512, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=True,
+                                host_mirror=False)
+        assert not hasattr(db, "_h_vec")
+        db.add_batch(np.arange(n), vecs)
+        q = vecs[:8]
+        ext, _ = db.search(q, 10)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(8)])
+        assert rec == 1.0, rec
+        # overwrite via slot reuse keeps pieces current
+        db.remove(0)
+        db.add_batch([5000], vecs[:1] * 2.0)
+        ext2, _ = db.search(vecs[:1] * 2.0, 1)
+        assert ext2[0, 0] == 5000
+
+    def test_stream_ingest(self, mesh):
+        rng = np.random.default_rng(73)
+        n, dim = 2048, 32
+        vecs = (rng.standard_normal((n, dim)) + 0.5).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False,
+                                num_subspaces=8, host_mirror=False)
+        chunks = ((np.arange(s, s + 256), vecs[s:s + 256])
+                  for s in range(0, n, 256))
+        total = db.bulk_load_stream(chunks, num_centroids=16)
+        assert total == n
+        assert db.codebooks is not None  # first chunk trained
+        assert db._h_codes[: n].any()    # encoded chunk by chunk
+        q = vecs[:16]
+        ext, _ = db.search(q, 10)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(16)])
+        assert rec >= 0.95, rec
+
+    def test_stream_requires_empty(self, mesh):
+        db = sh.ShardedDatabase(mesh, dim=32, capacity=256,
+                                raw_store=False, host_mirror=False)
+        db.add_batch([1], np.ones((1, 32), np.float32))
+        with pytest.raises(ValueError):
+            db.bulk_load_stream([(np.asarray([2]),
+                                  np.ones((1, 32), np.float32))])
+
+    def test_save_load_roundtrip(self, mesh, tmp_path):
+        rng = np.random.default_rng(74)
+        n, dim = 1024, 32
+        vecs = (rng.standard_normal((n, dim)) + 1.0).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False,
+                                refine_residual=True, num_subspaces=8,
+                                host_mirror=False)
+        db.bulk_load_stream([(np.arange(n), vecs)], num_centroids=16)
+        q = vecs[:16]
+        ext0, d0 = db.search(q, 10)
+        path = str(tmp_path / "devckpt")
+        db.save(path)
+        for hm in (False, True):
+            db2 = sh.ShardedDatabase.load(mesh, path, host_mirror=hm)
+            ext1, d1 = db2.search(q, 10)
+            np.testing.assert_array_equal(np.asarray(ext0),
+                                          np.asarray(ext1))
+            np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                                       rtol=1e-5)
+
+    def test_dense_checkpoint_into_device_mode(self, mesh, tmp_path):
+        """Old-format (host-mirror) checkpoints restore into a
+        host_mirror=False database."""
+        rng = np.random.default_rng(75)
+        n, dim = 512, 32
+        vecs = (rng.standard_normal((n, dim)) + 1.0).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False)
+        db.add_batch(np.arange(n), vecs)
+        path = str(tmp_path / "densckpt")
+        db.save(path)
+        db2 = sh.ShardedDatabase.load(mesh, path, host_mirror=False)
+        assert not hasattr(db2, "_h_packed")
+        ext0, _ = db.search(vecs[:8], 5)
+        ext1, _ = db2.search(vecs[:8], 5)
+        np.testing.assert_array_equal(np.asarray(ext0), np.asarray(ext1))
+
+    def test_fit_pca_device_mode(self, mesh):
+        rng = np.random.default_rng(76)
+        n, dim = 512, 32
+        vecs = (rng.standard_normal((n, dim)) *
+                ((np.arange(dim) + 1.0) ** -0.5)).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, raw_store=False,
+                                num_subspaces=8, host_mirror=False)
+        db.bulk_load_stream([(np.arange(n), vecs)], num_centroids=16)
+        db.fit_pca(p=8)
+        ext, _ = db.search_pca(vecs[:8], 5)
+        assert (np.asarray(ext)[:, 0] == np.arange(8)).all()

@@ -706,6 +706,21 @@ def _pack_resid_np(v: np.ndarray, packed: np.ndarray,
 
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _piece_scatter(piece, idx, rows):
+    """In-place row scatter into one shard's device-resident payload piece
+    (host_mirror=False).  Donation reuses the piece's buffer when nothing
+    else references it; a live assembled global array forces a copy (the
+    caller invalidates the global first)."""
+    return piece.at[idx].set(rows)
+
+
+@jax.jit
+def _piece_gather(piece, idx):
+    """Row gather from one shard's device piece (host_mirror=False reads)."""
+    return piece[idx]
+
+
 def _reads(fn):
     """Concurrent-reader facade method (same RWLock shape as
     api/database.py): searches run together, mutations are exclusive.
@@ -753,7 +768,8 @@ class ShardedDatabase:
                  num_subspaces: int = 8, metric: str = "l2",
                  perm: np.ndarray | None = None,
                  raw_store: bool = True,
-                 refine_residual: bool = False):
+                 refine_residual: bool = False,
+                 host_mirror: bool = True):
         """`perm`: the variance-balancing dimension permutation the imported
         `codes`/`codebooks` were trained under.  Codebooks exported from a
         default-config single-chip index (HnswPqConfig/PqConfig default
@@ -792,15 +808,33 @@ class ShardedDatabase:
         # second-level int8 residual refine rows (the multi-chip analog of
         # HnswPqConfig.refine_residual): ~16-bit effective refine precision
         self.residual = bool(refine_residual)
-        # host mirrors (single-writer)
+        # host mirrors (single-writer).  host_mirror=False is the >host-RAM
+        # diet: the BIG row payloads (raw f32 / int8-packed / residual) live
+        # ONLY as per-shard device pieces, written in place by donated
+        # scatter steps — the host keeps just the O(cap) metadata columns
+        # (ids, valid, scales, norms, codes).  At 80M x 512 compressed this
+        # is the difference between ~45 GB and ~6 GB of host RAM (the
+        # single-chip analog is bulk_load_stream; the reference's zero-copy
+        # ingest seam is jni/NativeIndex.java:153-179).
+        self.host_mirror = bool(host_mirror)
+        self._payload_fields = (
+            ("vectors",) if raw_store
+            else (("packed", "resid") if refine_residual else ("packed",)))
         if raw_store:
-            self._h_vec = np.zeros((self.capacity, dim), np.float32)
+            if host_mirror:
+                self._h_vec = np.zeros((self.capacity, dim), np.float32)
+            else:
+                # no f32 mirror to derive norms from at refresh time
+                self._h_norms = np.zeros(self.capacity, np.float32)
         else:
-            self._h_packed = np.zeros((self.capacity, dim // 4), np.int32)
+            if host_mirror:
+                self._h_packed = np.zeros((self.capacity, dim // 4), np.int32)
             self._h_scales = np.zeros(self.capacity, np.float32)
             self._h_norms = np.zeros(self.capacity, np.float32)
             if refine_residual:
-                self._h_resid = np.zeros((self.capacity, dim // 4), np.int32)
+                if host_mirror:
+                    self._h_resid = np.zeros((self.capacity, dim // 4),
+                                             np.int32)
                 self._h_rscales = np.zeros(self.capacity, np.float32)
         self._h_ids = np.full(self.capacity, -1, np.int32)
         self._h_valid = np.zeros(self.capacity, bool)
@@ -810,6 +844,15 @@ class ShardedDatabase:
         self._free: list[list[int]] = [[] for _ in range(self.n_shards)]
         self._dirty: set[int] = set(range(self.n_shards))
         self._dev_pieces: dict[str, list] = {}
+        if not host_mirror:
+            # device-resident payload pieces (authoritative in this mode)
+            z_wide = np.zeros(
+                (self.per_shard,
+                 dim if raw_store else dim // 4),
+                np.float32 if raw_store else np.int32)
+            for name in self._payload_fields:
+                self._dev_pieces[name] = [
+                    jax.device_put(z_wide, d) for d in self._devices]
         self.codebooks = None
         # variance-balanced PQ dim permutation (train_pq / imported)
         self.perm = None if perm is None else jnp.asarray(perm)
@@ -919,10 +962,18 @@ class ShardedDatabase:
                  else np.empty(0, np.int64))
         acc_ids = ids_np[rows]
         if self.raw:
-            self._h_vec[slots] = vectors[rows]
+            if self.host_mirror:
+                self._h_vec[slots] = vectors[rows]
+            else:
+                self._scatter_rows("vectors", slots, vectors[rows])
+                self._h_norms[slots] = (vectors[rows] ** 2).sum(
+                    1, dtype=np.float32)
         else:
             packed, scales = _pack_rows_np(vectors[rows])
-            self._h_packed[slots] = packed
+            if self.host_mirror:
+                self._h_packed[slots] = packed
+            else:
+                self._scatter_rows("packed", slots, packed)
             self._h_scales[slots] = scales
             # load() defers: it restores BOTH packed levels verbatim right
             # after the re-shard add, so packing the residual of a one-
@@ -930,7 +981,10 @@ class ShardedDatabase:
             if self.residual and not getattr(self, "_defer_resid_pack",
                                              False):
                 rp, rs = _pack_resid_np(vectors[rows], packed, scales)
-                self._h_resid[slots] = rp
+                if self.host_mirror:
+                    self._h_resid[slots] = rp
+                else:
+                    self._scatter_rows("resid", slots, rp)
                 self._h_rscales[slots] = rs
             # norms captured EXACTLY from the incoming f32 rows
             self._h_norms[slots] = (vectors[rows] ** 2).sum(
@@ -953,7 +1007,22 @@ class ShardedDatabase:
         """Host f32 rows for the given slots — raw-mirror slices or int8
         dequantization (the compressed tier's only f32 view, ~0.4% error).
         The seam every row-value consumer (PQ/PCA training, incremental
-        encode, save) goes through."""
+        encode, save) goes through; with host_mirror=False the payload rows
+        are fetched per shard from the device pieces."""
+        slots = np.asarray(slots, np.int64)
+        if not self.host_mirror:
+            packed = self._gather_rows(
+                "vectors" if self.raw else "packed", slots)
+            if self.raw:
+                return packed
+            v8 = packed.view(np.int8).reshape(len(slots), self.dim)
+            out = v8.astype(np.float32) * self._h_scales[slots][:, None]
+            if self.residual:
+                r8 = self._gather_rows("resid", slots).view(
+                    np.int8).reshape(len(slots), self.dim)
+                out = (out + r8.astype(np.float32)
+                       * self._h_rscales[slots][:, None])
+            return out
         if self.raw:
             return self._h_vec[slots]
         v8 = self._h_packed[slots].view(np.int8).reshape(len(slots), self.dim)
@@ -962,6 +1031,59 @@ class ShardedDatabase:
             r8 = self._h_resid[slots].view(np.int8).reshape(
                 len(slots), self.dim)
             out = out + r8.astype(np.float32) * self._h_rscales[slots][:, None]
+        return out
+
+    # ------------------------------------------- device-payload primitives
+    @staticmethod
+    def _pow2_pad(n: int) -> int:
+        return max(8, 1 << max(0, int(n - 1).bit_length()))
+
+    def _scatter_rows(self, name: str, slots: np.ndarray,
+                      rows: np.ndarray) -> None:
+        """Write payload rows into the per-shard device pieces in place
+        (host_mirror=False).  Slot/row counts are pow2-padded by repeating
+        the first entry (duplicate scatters write identical values)."""
+        # drop the assembled global first so the donated scatter can reuse
+        # the piece buffer instead of copying
+        if getattr(self, name, None) is not None:
+            setattr(self, name, None)
+        slots = np.asarray(slots, np.int64)
+        shard_ids = slots // self.per_shard
+        pieces = self._dev_pieces[name]
+        for shard in np.unique(shard_ids):
+            m = shard_ids == shard
+            local = (slots[m] - shard * self.per_shard).astype(np.int32)
+            vals = np.ascontiguousarray(rows[m])
+            pad = self._pow2_pad(local.size) - local.size
+            if pad:
+                local = np.concatenate([local, np.repeat(local[:1], pad)])
+                vals = np.concatenate([vals, np.repeat(vals[:1], pad, 0)])
+            dev = self._devices[int(shard)]
+            pieces[int(shard)] = _piece_scatter(
+                pieces[int(shard)],
+                jax.device_put(local, dev), jax.device_put(vals, dev))
+
+    def _gather_rows(self, name: str, slots: np.ndarray) -> np.ndarray:
+        """Fetch payload rows from the device pieces (host_mirror=False),
+        preserving the caller's slot order."""
+        slots = np.asarray(slots, np.int64)
+        out = None
+        shard_ids = slots // self.per_shard
+        pieces = self._dev_pieces[name]
+        for shard in np.unique(shard_ids):
+            m = shard_ids == shard
+            local = (slots[m] - shard * self.per_shard).astype(np.int32)
+            got = np.asarray(_piece_gather(pieces[int(shard)],
+                                           jax.device_put(
+                                               local,
+                                               self._devices[int(shard)])))
+            if out is None:
+                out = np.empty((len(slots),) + got.shape[1:], got.dtype)
+            out[m] = got
+        if out is None:
+            wide = self.dim if self.raw else self.dim // 4
+            dt = np.float32 if self.raw else np.int32
+            out = np.empty((0, wide), dt)
         return out
 
     @_writes
@@ -1016,7 +1138,12 @@ class ShardedDatabase:
             self._encode_all()
             return
 
-        rows = self._h_vec[live]
+        sample = live
+        if not self.host_mirror and sample.size > 65536:
+            # device-payload mode: variance/seed sampling fetches rows from
+            # the device pieces — bound the transfer like the compressed fit
+            sample = np.sort(rng.choice(sample, 65536, replace=False))
+        rows = self._rows_host(sample)
         if self.metric == "cosine":
             # seeds and variance must come from the SAME (normalized) space
             # k-means trains in, or off-sphere seeds win zero points and
@@ -1026,7 +1153,7 @@ class ShardedDatabase:
                 np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
         perm_np = balanced_subspace_perm(rows.var(axis=0), s)
         self.perm = jnp.asarray(perm_np)
-        pick_rows = rows[np.sort(rng.choice(len(live), size=num_centroids,
+        pick_rows = rows[np.sort(rng.choice(len(rows), size=num_centroids,
                                             replace=False))]
         init = pick_rows[:, perm_np].reshape(num_centroids, s, sd)
         init_cb = jnp.asarray(init.transpose(1, 0, 2))          # [S, K, sd]
@@ -1041,6 +1168,55 @@ class ShardedDatabase:
         cb = fit(self.vectors, init_cb, w, perm_rep)
         (self.codebooks,) = replicate(self.mesh, cb)
         self._encode_all()
+
+    def bulk_load_stream(self, chunks, train: bool = True,
+                         num_centroids: int = 16, iters: int = 10,
+                         seed: int = 42) -> int:
+        """Streamed sharded ingest — the multi-chip analog of
+        HnswPqIndex.bulk_load_stream (VERDICT r3 #4): ``chunks`` yields
+        ``(ids, vectors)`` pairs; each chunk is water-filled across shards
+        and written straight into the per-shard device pieces, so with
+        ``host_mirror=False`` peak HOST memory is O(chunk) plus the O(cap)
+        metadata columns — the raw corpus never exists in full anywhere.
+
+        The FIRST chunk trains the PQ codebooks (``train=True`` and none
+        imported) and should be a representative sample of >=
+        ``num_centroids`` rows; codes are then encoded chunk by chunk.
+        Requires an empty database.  Returns rows ingested.
+        """
+        if self.size() > 0:
+            raise ValueError("bulk_load_stream requires an empty database")
+        total = 0
+        for ids, vecs in chunks:
+            vecs = np.asarray(vecs, np.float32)
+            if train and total == 0 and self.codebooks is None:
+                self._fit_codebooks_from_rows(vecs, num_centroids, iters,
+                                              seed)
+            total += len(self.add_batch(ids, vecs))
+        return total
+
+    def _fit_codebooks_from_rows(self, rows: np.ndarray, num_centroids: int,
+                                 iters: int, seed: int) -> None:
+        """Single-device subspace-PQ fit on explicit sample rows (the
+        streamed-ingest trainer; train_pq covers the post-hoc paths)."""
+        from ..ops.adc import balanced_subspace_perm
+        from ..ops.kmeans import subspace_kmeans_fit
+
+        s = self.num_subspaces
+        rows = np.asarray(rows, np.float32)
+        if self.metric == "cosine":
+            rows = rows / np.maximum(
+                np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+        if len(rows) < num_centroids:
+            raise ValueError("first chunk too small to train "
+                             f"({len(rows)} < {num_centroids} centroids)")
+        perm_np = balanced_subspace_perm(rows.var(axis=0), s)
+        self.perm = jnp.asarray(perm_np)
+        cb = subspace_kmeans_fit(
+            jax.random.PRNGKey(seed), jnp.asarray(rows[:, perm_np]),
+            s, k=num_centroids, iters=iters, plus_plus=True,
+        )
+        (self.codebooks,) = replicate(self.mesh, cb)
 
     def _encode_all(self) -> None:
         if not self.raw:
@@ -1096,11 +1272,11 @@ class ShardedDatabase:
             "vectors": lambda lo, hi: self._h_vec[lo:hi],
             "ids": lambda lo, hi: self._h_ids[lo:hi],
             "valid": lambda lo, hi: self._h_valid[lo:hi],
-            # raw tier derives norms from the rows; compressed keeps an
-            # exact-norms mirror (rows are quantized, norms must not be)
+            # raw tier derives norms from the rows; compressed (and the
+            # mirror-less device-payload mode) keeps an exact-norms mirror
             "norms": lambda lo, hi: (
                 (self._h_vec[lo:hi] ** 2).sum(1, dtype=np.float32)
-                if self.raw else self._h_norms[lo:hi]),
+                if self.raw and self.host_mirror else self._h_norms[lo:hi]),
             "codes": lambda lo, hi: self._h_codes[lo:hi],
             "packed": lambda lo, hi: self._h_packed[lo:hi],
             "scales": lambda lo, hi: self._h_scales[lo:hi],
@@ -1122,17 +1298,23 @@ class ShardedDatabase:
         spec = P(AXIS, *([None] * (len(shape) - 1)))
         sharding = NamedSharding(self.mesh, spec)
         pieces = self._dev_pieces.get(name)
-        if pieces is None:
-            pieces = [None] * self.n_shards
-            dirty = range(self.n_shards)
+        if not self.host_mirror and name in self._payload_fields:
+            # device-payload mode: the pieces ARE the source of truth —
+            # mutations scattered into them in place; nothing to transfer
+            pass
         else:
-            dirty = sorted(self._dirty)
-        for shard in dirty:
-            lo, hi = shard * self.per_shard, (shard + 1) * self.per_shard
-            pieces[shard] = jax.device_put(
-                np.ascontiguousarray(host_fn(lo, hi)), self._devices[shard]
-            )
-        self._dev_pieces[name] = pieces
+            if pieces is None:
+                pieces = [None] * self.n_shards
+                dirty = range(self.n_shards)
+            else:
+                dirty = sorted(self._dirty)
+            for shard in dirty:
+                lo, hi = shard * self.per_shard, (shard + 1) * self.per_shard
+                pieces[shard] = jax.device_put(
+                    np.ascontiguousarray(host_fn(lo, hi)),
+                    self._devices[shard]
+                )
+            self._dev_pieces[name] = pieces
         arr = jax.make_array_from_single_device_arrays(
             shape, sharding, pieces
         )
@@ -1430,9 +1612,11 @@ class ShardedDatabase:
     def save(self, path: str) -> None:
         """Checkpoint the full sharded state (reference: every tier of the
         reference surface persists, storage/VectorStorage.java:176-206 —
-        the multi-chip tier must too).  The host mirrors make this one
-        atomic npz write; no device transfer happens (the mirrors ARE the
-        source of truth under the single-writer model)."""
+        the multi-chip tier must too).  With host mirrors this is one
+        atomic npz write with no device transfer (the mirrors ARE the
+        source of truth); with ``host_mirror=False`` the payload is fetched
+        and written ONE SHARD AT A TIME (save_checkpoint_streamed) so peak
+        host memory stays O(per_shard)."""
         from ..storage import checkpoint as ckpt
 
         meta = {
@@ -1450,14 +1634,10 @@ class ShardedDatabase:
             "ids": self._h_ids,
             "valid": self._h_valid,
         }
-        if self.raw:
-            arrays["vectors"] = self._h_vec
-        else:
-            arrays["packed8"] = self._h_packed
+        if not self.raw:
             arrays["scales8"] = self._h_scales
             arrays["norms"] = self._h_norms
             if self.residual:
-                arrays["resid8"] = self._h_resid
                 arrays["rscales8"] = self._h_rscales
         if self.codebooks is not None:
             arrays["codes"] = self._h_codes
@@ -1467,87 +1647,168 @@ class ShardedDatabase:
         if getattr(self, "pca_basis", None) is not None:
             arrays["pca_mean"] = np.asarray(self.pca_mean)
             arrays["pca_basis"] = np.asarray(self.pca_basis)
+        if not self.host_mirror:
+            # per-shard lazy payload entries: one device fetch per shard,
+            # streamed straight into the zip
+            meta["payload_sharded"] = True
+            meta["writer_shards"] = self.n_shards
+            meta["writer_per_shard"] = self.per_shard
+            if self.raw:
+                arrays["norms"] = self._h_norms
+            key_of = {"vectors": "vectors", "packed": "packed8",
+                      "resid": "resid8"}
+            lazy = [
+                (f"{key_of[name]}_shard{sh:05d}",
+                 functools.partial(
+                     lambda n, s: np.asarray(self._dev_pieces[n][s]),
+                     name, sh))
+                for name in self._payload_fields
+                for sh in range(self.n_shards)
+            ]
+            ckpt.save_checkpoint_streamed(path, meta, arrays, lazy)
+            return
+        if self.raw:
+            arrays["vectors"] = self._h_vec
+        else:
+            arrays["packed8"] = self._h_packed
+            if self.residual:
+                arrays["resid8"] = self._h_resid
         ckpt.save_checkpoint(path, meta, arrays)
 
+    def _restore_packed_verbatim(self, slots, packed, scales,
+                                 resid=None, rscales=None) -> None:
+        """Write checkpointed packed levels verbatim to the given slots
+        (re-packing a dequantized two-level row would perturb the level
+        split), routed by mirror mode."""
+        if self.host_mirror:
+            self._h_packed[slots] = packed
+        else:
+            self._scatter_rows("packed", slots, packed)
+        self._h_scales[slots] = scales
+        if resid is not None:
+            if self.host_mirror:
+                self._h_resid[slots] = resid
+            else:
+                self._scatter_rows("resid", slots, resid)
+            self._h_rscales[slots] = rscales
+
     @classmethod
-    def load(cls, mesh: Mesh, path: str) -> "ShardedDatabase":
+    def load(cls, mesh: Mesh, path: str,
+             host_mirror: bool = True) -> "ShardedDatabase":
         """Restore a checkpoint onto ``mesh`` — which may have a DIFFERENT
         device count than the writer's: live rows are re-sharded through the
         vectorized add_batch (slot layout is a runtime detail, not state),
         imported codes ride along, quantizer state restores exactly (no
-        retrain)."""
+        retrain).  Checkpoints written by a ``host_mirror=False`` database
+        (``payload_sharded`` format) restore ONE WRITER SHARD AT A TIME, so
+        peak host memory stays O(writer per_shard) regardless of corpus
+        size; ``host_mirror`` picks the restored database's own mode for
+        either format."""
         from ..storage import checkpoint as ckpt
 
-        loaded = ckpt.load_checkpoint(path)
-        if loaded is None:
+        lazy = ckpt.open_checkpoint_lazy(path)
+        if lazy is None:
             raise FileNotFoundError(f"no sharded checkpoint at {path}")
-        meta, arrays = loaded
-        if meta.get("kind") != "sharded":
-            raise ValueError(f"not a sharded checkpoint: {meta.get('kind')}")
-        valid = np.asarray(arrays["valid"], bool)
-        ids = np.asarray(arrays["ids"], np.int64)
-        raw = bool(meta.get("raw_store", True))
-        live = np.flatnonzero(valid)
-        residual = bool(meta.get("refine_residual", False))
-        db = cls(
-            mesh,
-            dim=int(meta["dim"]),
-            capacity=int(meta["capacity"]),
-            num_subspaces=int(meta["num_subspaces"]),
-            metric=meta.get("metric", "l2"),
-            raw_store=raw,
-            refine_residual=residual,
-        )
-        if raw:
-            vec = np.asarray(arrays["vectors"], np.float32)[live]
-        else:
-            # dequantize for the re-shard add (requantizing a dequantized
-            # row reproduces identical codes — same per-row max); exact
-            # norms (and, with residual, the verbatim packed levels)
-            # restore below
-            p8 = np.asarray(arrays["packed8"])[live]
-            vec = (p8.view(np.int8).reshape(live.size, int(meta["dim"]))
-                   .astype(np.float32)
-                   * np.asarray(arrays["scales8"])[live][:, None])
-        db._defer_resid_pack = True  # verbatim levels restore below
+        meta, arrays = lazy
         try:
-            accepted = db.add_batch(ids[live], vec)
-        finally:
-            db._defer_resid_pack = False
-        if len(accepted) != live.size:
-            raise ValueError(
-                f"mesh capacity lost rows on load: {len(accepted)} of "
-                f"{live.size}"
+            if meta.get("kind") != "sharded":
+                raise ValueError(
+                    f"not a sharded checkpoint: {meta.get('kind')}")
+            valid = np.asarray(arrays["valid"], bool)
+            ids = np.asarray(arrays["ids"], np.int64)
+            raw = bool(meta.get("raw_store", True))
+            live = np.flatnonzero(valid)
+            residual = bool(meta.get("refine_residual", False))
+            db = cls(
+                mesh,
+                dim=int(meta["dim"]),
+                capacity=int(meta["capacity"]),
+                num_subspaces=int(meta["num_subspaces"]),
+                metric=meta.get("metric", "l2"),
+                raw_store=raw,
+                refine_residual=residual,
+                host_mirror=host_mirror,
             )
-        # quantizer state AFTER the bulk add: codebooks present during
-        # add_batch would trigger a full redundant re-encode of rows whose
-        # codes are imported verbatim below
-        if "codebooks" in arrays:
-            (db.codebooks,) = replicate(mesh, jnp.asarray(arrays["codebooks"]))
-        if "perm" in arrays:
-            db.perm = jnp.asarray(arrays["perm"])
-        slots = np.asarray(
-            [db._slot_of[int(i)] for i in ids[live]], np.int64
-        )
-        if not raw:
-            # restore the EXACT write-time norms (the re-shard add computed
-            # them from dequantized rows — ~0.4% off)
-            db._h_norms[slots] = np.asarray(arrays["norms"])[live]
-            if residual:
-                # both packed levels restore VERBATIM (re-packing a
-                # two-level dequant would perturb the level split)
-                db._h_packed[slots] = np.asarray(arrays["packed8"])[live]
-                db._h_scales[slots] = np.asarray(arrays["scales8"])[live]
-                db._h_resid[slots] = np.asarray(arrays["resid8"])[live]
-                db._h_rscales[slots] = np.asarray(arrays["rscales8"])[live]
-            for sh_ in range(db.n_shards):
-                db._dirty.add(sh_)
-        if "codes" in arrays:
-            # imported codes follow the re-assigned slots — no re-encode
-            codes = np.asarray(arrays["codes"])
-            db._h_codes[slots] = codes[live]
-        if "pca_basis" in arrays:
-            db.pca_mean = jnp.asarray(arrays["pca_mean"])
-            db.pca_basis = jnp.asarray(arrays["pca_basis"])
-            db._proxy_gen = None
-        return db
+            dim = int(meta["dim"])
+
+            def _shard_ranges():
+                """(lo, hi, payload-key-suffix) chunks of the checkpoint:
+                one per WRITER shard in the sharded-payload format, one
+                global range in the dense format."""
+                if meta.get("payload_sharded"):
+                    wps = int(meta["writer_per_shard"])
+                    for sh in range(int(meta["writer_shards"])):
+                        yield sh * wps, (sh + 1) * wps, f"_shard{sh:05d}"
+                else:
+                    yield 0, int(meta["capacity"]), ""
+
+            db._defer_resid_pack = True  # verbatim levels restore below
+            n_acc = 0
+            try:
+                for lo, hi, suf in _shard_ranges():
+                    live_c = live[(live >= lo) & (live < hi)]
+                    if live_c.size == 0:
+                        continue
+                    rel = live_c - lo if suf else live_c
+                    if raw:
+                        key = "vectors" + suf
+                        vec = np.asarray(arrays[key], np.float32)[rel]
+                    else:
+                        # dequantize for the re-shard add (requantizing a
+                        # dequantized row reproduces identical codes — same
+                        # per-row max); exact norms and verbatim levels
+                        # restore below
+                        p8 = np.asarray(arrays["packed8" + suf])[rel]
+                        sc = np.asarray(arrays["scales8"])[live_c]
+                        vec = (p8.view(np.int8).reshape(live_c.size, dim)
+                               .astype(np.float32) * sc[:, None])
+                    acc = db.add_batch(ids[live_c], vec)
+                    n_acc += len(acc)
+                    slots_c = np.asarray(
+                        [db._slot_of[int(i)] for i in ids[live_c]], np.int64)
+                    if not raw:
+                        # exact write-time norms (the re-shard add computed
+                        # them from dequantized rows — ~0.4% off)
+                        db._h_norms[slots_c] = np.asarray(
+                            arrays["norms"])[live_c]
+                        if residual:
+                            db._restore_packed_verbatim(
+                                slots_c,
+                                np.asarray(arrays["packed8" + suf])[rel],
+                                np.asarray(arrays["scales8"])[live_c],
+                                np.asarray(arrays["resid8" + suf])[rel],
+                                np.asarray(arrays["rscales8"])[live_c],
+                            )
+            finally:
+                db._defer_resid_pack = False
+            if n_acc != live.size:
+                raise ValueError(
+                    f"mesh capacity lost rows on load: {n_acc} of "
+                    f"{live.size}"
+                )
+            # quantizer state AFTER the bulk add: codebooks present during
+            # add_batch would trigger a full redundant re-encode of rows
+            # whose codes are imported verbatim below
+            if "codebooks" in arrays:
+                (db.codebooks,) = replicate(
+                    mesh, jnp.asarray(arrays["codebooks"]))
+            if "perm" in arrays:
+                db.perm = jnp.asarray(arrays["perm"])
+            if not raw:
+                for sh_ in range(db.n_shards):
+                    db._dirty.add(sh_)
+            if "codes" in arrays:
+                # imported codes follow the re-assigned slots — no re-encode
+                slots = np.asarray(
+                    [db._slot_of[int(i)] for i in ids[live]], np.int64)
+                codes = np.asarray(arrays["codes"])
+                db._h_codes[slots] = codes[live]
+            if "pca_basis" in arrays:
+                db.pca_mean = jnp.asarray(arrays["pca_mean"])
+                db.pca_basis = jnp.asarray(arrays["pca_basis"])
+                db._proxy_gen = None
+            return db
+        finally:
+            close = getattr(arrays, "close", None)
+            if close is not None:
+                close()

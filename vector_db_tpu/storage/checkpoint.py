@@ -94,3 +94,65 @@ def load_checkpoint(path: str) -> tuple[dict, dict] | None:
 
 def checkpoint_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "meta.json"))
+
+
+def save_checkpoint_streamed(path: str, meta: dict, arrays: dict,
+                             lazy_arrays) -> None:
+    """Like :func:`save_checkpoint`, but ``lazy_arrays`` — an iterable of
+    ``(name, fn)`` pairs — is fetched and written ONE ARRAY AT A TIME
+    directly into the npz zip: peak host memory is the largest single lazy
+    array, not the checkpoint size.  The save path for payloads that never
+    exist on the host in full (parallel/sharded.py ``host_mirror=False``).
+    The result is a standard npz ``load_checkpoint`` / numpy can read."""
+    import zipfile
+
+    from numpy.lib import format as npformat
+
+    os.makedirs(path, exist_ok=True)
+    flat: dict[str, np.ndarray] = {}
+    _flatten("", arrays, flat)
+
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".npz.tmp")
+    os.close(fd)
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED,
+                             allowZip64=True) as zf:
+            for name, arr in flat.items():
+                with zf.open(name + ".npy", "w", force_zip64=True) as f:
+                    npformat.write_array(f, np.asarray(arr))
+            for name, fn in lazy_arrays:
+                with zf.open(name + ".npy", "w", force_zip64=True) as f:
+                    npformat.write_array(f, np.asarray(fn()))
+        os.replace(tmp, os.path.join(path, "arrays.npz"))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".json.tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def open_checkpoint_lazy(path: str):
+    """``(meta, npz)`` with the npz lazily decompressing each member on
+    access (numpy NpzFile semantics) — the restore path that never holds
+    more than one member in host memory.  Returns None like
+    :func:`load_checkpoint` when absent/corrupt; the caller must close the
+    returned npz."""
+    meta_path = os.path.join(path, "meta.json")
+    npz_path = os.path.join(path, "arrays.npz")
+    if not (os.path.exists(meta_path) and os.path.exists(npz_path)):
+        return None
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        z = np.load(npz_path, allow_pickle=False)
+    except (json.JSONDecodeError, ValueError, OSError, KeyError):
+        return None
+    return meta, z
