@@ -203,9 +203,14 @@ class TestLshAutoRadius:
         from vector_db_tpu.api.config import LshConfig
         from vector_db_tpu.index.lsh import LshIndex
 
-        assert LshIndex(128, 256, config=LshConfig())._bits == 16
-        assert LshIndex(512, 256, config=LshConfig())._bits == 24
+        # sign mode (default): max packable bits — the calibrated radius
+        # spends the extra separation (round 4)
+        assert LshIndex(128, 256, config=LshConfig())._bits == 31
+        assert LshIndex(512, 256, config=LshConfig())._bits == 31
         assert LshIndex(512, 256, config=LshConfig(num_bits=20))._bits == 20
+        # exact-bucket mode keeps the dimension-aware rule
+        assert LshIndex(128, 256, config=LshConfig(bucket_width=4.0))._bits == 16
+        assert LshIndex(512, 256, config=LshConfig(bucket_width=4.0))._bits == 24
 
     def test_auto_radius_calibrates_and_persists(self, rng):
         import numpy as np

@@ -241,3 +241,113 @@ class TestLshPercentileDoc:
         doc = LshIndex._auto_radius.__doc__
         assert "75.0" in src
         assert "75th" in doc and "65th" not in doc
+
+
+class TestLshAutoTables:
+    """Round-4 (VERDICT #8): num_tables=0 (new default) calibrates the
+    table count jointly with the radius from a 32-table pool, under an
+    empirical <=35% random-collision mass budget.  Measured honest R@10
+    (CPU, isotropic): 128d x 10k 75.5% -> 92.3%, 512d x 20k 54.2% -> 71.1%
+    vs the static 10-table default."""
+
+    def _corpus(self, rng, n, dim):
+        return rng.standard_normal((n, dim)).astype(np.float32)
+
+    def test_calibration_truncates_pool_and_persists(self, rng):
+        from vector_db_tpu.api.config import LshConfig
+        from vector_db_tpu.index.lsh import _AUTO_TABLE_POOL, LshIndex
+
+        n, dim = 2048, 64
+        vecs = self._corpus(rng, n, dim)
+        idx = LshIndex(dim, n, config=LshConfig(backfill=False))
+        assert idx.stats()["num_tables"] == _AUTO_TABLE_POOL  # pool pre-cal
+        idx.add_batch(range(n), vecs)
+        idx.build()
+        q = self._corpus(rng, 32, dim)
+        idx.search_batch(q, 5)  # triggers joint calibration
+        s = idx.stats()
+        assert 2 <= s["num_tables"] <= _AUTO_TABLE_POOL
+        assert idx.planes.shape[0] == s["num_tables"]
+        assert idx.bucket_ids.shape[0] == s["num_tables"]
+        assert s["hamming_radius"] >= 1
+        # both the table choice and the radius ride through checkpoints
+        idx2 = LshIndex(dim, n, config=LshConfig(backfill=False))
+        idx2.load_state_arrays(idx.state_arrays())
+        assert idx2._tables == s["num_tables"] and idx2._tables_final
+        ids1, _ = idx.search_batch(q, 5)
+        ids2, _ = idx2.search_batch(q, 5)
+        np.testing.assert_array_equal(ids1, ids2)
+
+    def test_build_recalibrates(self, rng):
+        from vector_db_tpu.api.config import LshConfig
+        from vector_db_tpu.index.lsh import _AUTO_TABLE_POOL, LshIndex
+
+        n, dim = 1024, 32
+        idx = LshIndex(dim, n, config=LshConfig(backfill=False))
+        idx.add_batch(range(n), self._corpus(rng, n, dim))
+        idx.build()
+        idx.search_batch(self._corpus(rng, 8, dim), 3)
+        assert idx._tables_final
+        idx.build()  # regenerates the full pool, re-arms calibration
+        assert not idx._tables_final
+        assert idx.planes.shape[0] == _AUTO_TABLE_POOL
+        idx.search_batch(self._corpus(rng, 8, dim), 3)
+        assert idx._tables_final
+
+    def test_explicit_tables_stay_fixed(self, rng):
+        from vector_db_tpu.api.config import LshConfig
+        from vector_db_tpu.index.lsh import LshIndex
+
+        n, dim = 1024, 32
+        idx = LshIndex(dim, n, config=LshConfig(num_tables=6, backfill=False))
+        idx.add_batch(range(n), self._corpus(rng, n, dim))
+        idx.build()
+        idx.search_batch(self._corpus(rng, 8, dim), 3)
+        assert idx.stats()["num_tables"] == 6
+        assert idx.planes.shape[0] == 6
+
+    def test_fixed_radius_still_calibrates_tables(self, rng):
+        from vector_db_tpu.api.config import LshConfig
+        from vector_db_tpu.index.lsh import LshIndex
+
+        n, dim = 1024, 32
+        idx = LshIndex(dim, n,
+                       config=LshConfig(hamming_radius=5, backfill=False))
+        assert idx._radius == 5
+        idx.add_batch(range(n), self._corpus(rng, n, dim))
+        idx.build()
+        idx.search_batch(self._corpus(rng, 8, dim), 3)
+        assert idx._radius == 5  # radius respected
+        assert idx._tables_final  # tables still calibrated
+
+    def test_auto_beats_static_ten_at_high_dim(self, rng):
+        """The VERDICT #8 acceptance direction: at high dim the calibrated
+        config chooses more tables than the old static 10 and improves
+        honest recall (full-scale evidence in BENCH_REPORT §6)."""
+        from vector_db_tpu.api.config import LshConfig
+        from vector_db_tpu.index.lsh import LshIndex
+        from vector_db_tpu.ops.distance import blocked_knn
+
+        n, dim, k = 4096, 256, 10
+        vecs = self._corpus(rng, n, dim)
+        qs = self._corpus(rng, 64, dim)
+
+        def recall(cfg):
+            idx = LshIndex(dim, n, "l2", cfg)
+            idx.add_batch(range(n), vecs)
+            idx.build()
+            ids, _ = idx.search_batch(qs, k)
+            st = idx.store.state
+            _, ts_ = blocked_knn(jnp.asarray(qs), st.vectors, st.valid, k,
+                                 metric="l2", b_norms=st.norms, block_n=4096)
+            true_ids = np.asarray(st.ids)[np.asarray(ts_)]
+            hits = [len(set(ids[i]) & set(true_ids[i])) / k
+                    for i in range(len(qs))]
+            return float(np.mean(hits)), idx.stats()["num_tables"]
+
+        r_auto, t_auto = recall(LshConfig(backfill=False))
+        r_old, _ = recall(LshConfig(num_tables=10, num_bits=24,
+                                    backfill=False))
+        assert t_auto > 10
+        assert r_auto >= r_old - 0.02  # never meaningfully worse
+        assert r_auto >= 0.60  # honest floor at isotropic 256d x 4k

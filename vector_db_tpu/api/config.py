@@ -333,7 +333,13 @@ class LshConfig:
     """reference: index/LshIndex.java:40-42 (10 hash fns x 5 tables,
     bucket width 4) and native/index/LSHIndex.{h,cpp} (10 tables x 20 bits)."""
 
-    num_tables: int = 10
+    num_tables: int = 0  # 0 -> DATA-CALIBRATED (sign mode): jointly with
+    # the radius, a prefix of a 32-table candidate pool is chosen to
+    # maximize measured true-neighbor collision rate under a <=35%
+    # random-collision mass budget (index/lsh._auto_tables_calibrate) —
+    # high dim needs more tables at a tighter radius (static 10 measured
+    # 57.9% honest at isotropic 512d x 100k).  Explicit values are fixed
+    # (10 = reference parity); exact-bucket mode resolves 0 -> 10.
     num_bits: int = 0  # 0 -> dimension-aware: 16 below 256d, 24 at >= 256d
     # (high-dim angles concentrate, so more bits are needed before a radius
     # gate can separate neighbors from the bulk); explicit values <= 31
