@@ -341,10 +341,13 @@ class AnnoyIndex(VectorIndex):
             # ~1.5^depth leaves per tree (AnnoyIndex.java:651-680) — a wide
             # margin-beam gives comparable coverage, and the exact re-rank
             # is cheap MXU work.  Honest (no-backfill) Recall@10 at the
-            # reference config (128d x 10k, 10 trees): beam 16 -> 41%,
-            # 32 -> 60%, 64 -> 82% (reference publishes 85% WITH its
-            # random-fill, README.md:225-232)
-            beam = max(4, self.config.search_k or 64)
+            # reference config (128d x 10k, 12 trees): beam 16 -> 41%,
+            # 32 -> 60%, 64 -> 80.6%, 96 -> 97.4%, 128 -> 97.8%
+            # (reference publishes 85% WITH its random-fill,
+            # README.md:225-232).  The default must match AnnoyConfig's
+            # documented 0 -> 128 (round-4: the 64 here was the whole gap
+            # between the 80.6% BENCH row and the config's tuned numbers).
+            beam = max(4, self.config.search_k or 128)
             leaf_nodes = _descend(
                 qj, self.hyperplanes, self.thresholds, self.children,
                 jnp.zeros((self.config.num_trees,), jnp.int32),
