@@ -1,0 +1,138 @@
+"""Same-process A/B: fused_int8_pool vs fused_int8g_pool (round-4
+VERDICT #2 — the VPU min-accumulate epilogue bound).
+
+The int8 fused pool at 1M x 512 measures ~12.2 ms with the MXU needing
+only ~2.8 ms of it: CLAUDE.md pins the bound on the VPU epilogue (~8 ms =
+~7 VPU ops per [Q, N] element: i32->f32 convert, two broadcast dequant
+muls, add, compare, two selects).  `fused_int8g_pool` quantizes with a
+GLOBAL shadow scale so ranking happens in raw i32 — one subtract +
+compare + two selects = 4 ops.  Expected kernel-only gain if the op-count
+model is right: ~8 ms * 4/7 + 4 ms = ~8.6 ms (x1.4); the acceptance bar
+is x1.5 (else this logs into the dead-end matrix with the measured
+number).
+
+Also reports pool-containment recall for both (the global scale must not
+cost containment — centering concentrates row ranges).
+
+Usage: python benchmarks/bench_int8_epilogue.py [N]   (default 1,000,064)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def timed(fn, *args, reps=5, best_of=3):
+    @jax.jit
+    def loop(*a):
+        def body(i, eps):
+            return fn(*a, eps) * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    _ = float(loop(*args))  # compile + warm
+    best = float("inf")
+    for _i in range(best_of):
+        t0 = time.time()
+        _ = float(loop(*args))
+        best = min(best, (time.time() - t0) / reps)
+    return best
+
+
+def main():
+    from vector_db_tpu.index.hnsw_pq import (
+        _build_scan8_shadow, _build_scan8g_shadow,
+    )
+    from vector_db_tpu.ops.distance import blocked_knn
+    from vector_db_tpu.ops.pallas_kernels import (
+        fused_int8_pool, fused_int8g_pool,
+    )
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_064
+    dim, nq, k = 512, 1024, 10
+    gen = jax.jit(
+        lambda key, shape: jax.random.normal(key, shape, jnp.float32),
+        static_argnames="shape",
+    )
+    scale = jnp.asarray((np.arange(dim) + 1.0) ** -0.5, jnp.float32)
+    t0 = time.time()
+    vj = gen(jax.random.PRNGKey(42), (n, dim)) * scale[None, :]
+    qj = gen(jax.random.PRNGKey(7), (nq, dim)) * scale[None, :]
+    jax.block_until_ready(qj)
+    log(f"data gen: {time.time()-t0:.1f}s  ({n} x {dim})")
+
+    gt_path = f"/tmp/gt1m_spectral_{dim}_{n}_{nq}_{k}.npy"
+    try:
+        gt = np.load(gt_path)
+    except OSError:
+        _, gt_i = blocked_knn(qj, vj, jnp.ones(n, bool), k, block_n=65536)
+        gt = np.asarray(gt_i)
+        np.save(gt_path, gt)
+    gt_sets = [set(gt[i].tolist()) for i in range(nq)]
+    log("ground truth ready")
+
+    valid = jnp.ones(n, bool)
+    norms = jnp.sum(vj * vj, axis=1)
+    w = 2048
+
+    def containment(idx):
+        a = np.asarray(idx)
+        return float(np.mean(
+            [len(set(a[i].tolist()) & gt_sets[i]) / k for i in range(nq)]
+        ))
+
+    # ---- shadows ----------------------------------------------------------
+    t0 = time.time()
+    b8, off8, sc8, cv8 = _build_scan8_shadow(vj, norms, valid, "l2", w)[:4]
+    jax.block_until_ready(b8)
+    log(f"per-row int8 shadow: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    bg, offg, svg, sgng, cvg = _build_scan8g_shadow(
+        vj, norms, valid, "l2", w)[:5]
+    jax.block_until_ready(bg)
+    log(f"global int8 shadow:  {time.time()-t0:.1f}s  (sv={float(svg):.5f})")
+
+    # ---- pool containment (global scale must not cost recall) -------------
+    _, idx8 = fused_int8_pool(qj - cv8[None, :], b8, off8, sc8, w)
+    _, idxg = fused_int8g_pool(qj - cvg[None, :], bg, offg, svg,
+                               float(sgng), w)
+    log(f"pool containment @w={w}: per-row={containment(idx8):.4f}  "
+        f"global={containment(idxg):.4f}")
+
+    # ---- kernel-only A/B (baseline, variant, baseline retime) -------------
+    def run8(q, b, o, s, c, eps):
+        vals, _ = fused_int8_pool(q - c[None, :] + eps, b, o, s, w)
+        return vals[0, 0]
+
+    def rung(q, b, o, s, c, eps):
+        vals, _ = fused_int8g_pool(q - c[None, :] + eps, b, o, s,
+                                   float(sgng), w)
+        return vals[0, 0]
+
+    dt8 = timed(run8, qj, b8, off8, sc8, cv8)
+    log(f"kernel int8 (per-row, 7-op epilogue): {dt8*1e3:.2f} ms  "
+        f"{nq/dt8:,.0f} QPS-equiv")
+    dtg = timed(rung, qj, bg, offg, svg, cvg)
+    log(f"kernel int8g (global, 4-op epilogue): {dtg*1e3:.2f} ms  "
+        f"{nq/dtg:,.0f} QPS-equiv  (x{dt8/dtg:.2f} vs per-row)")
+    dt8b = timed(run8, qj, b8, off8, sc8, cv8)
+    log(f"kernel int8 (retime): {dt8b*1e3:.2f} ms")
+    log(f"VERDICT #2 bar: x1.5 kernel-only -> "
+        f"{'MET' if dt8 / dtg >= 1.5 else 'NOT MET'} "
+        f"(x{dt8/dtg:.2f}, retime-adjusted x{dt8b/dtg:.2f})")
+
+
+if __name__ == "__main__":
+    main()

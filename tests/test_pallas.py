@@ -248,3 +248,105 @@ class TestFusedInt8Pool:
         full = ((np.asarray(q)[:, None] - np.asarray(base)[None]) ** 2).sum(-1)
         best = int(np.argmin(full[0]))
         assert best in set(np.asarray(idx)[0].tolist())
+
+
+class TestFusedInt8gPool:
+    """fused_int8g_pool: the integer-epilogue variant (round-4 VERDICT #2)
+    — global-scale shadow, i32 subtract + min-accumulate in the kernel.
+    Same pool contract as fused_int8_pool."""
+
+    def _setup(self, n=3000, d=64, q=16, offset=0.0, seed=3):
+        r = np.random.default_rng(seed)
+        base = (r.standard_normal((n, d)) + offset).astype(np.float32)
+        qs = (r.standard_normal((q, d)) + offset).astype(np.float32)
+        return jnp.asarray(qs), jnp.asarray(base)
+
+    def _shadow(self, base, valid, metric="l2"):
+        from vector_db_tpu.index.hnsw_pq import _build_scan8g_shadow
+
+        norms = jnp.sum(base * base, axis=1)
+        return _build_scan8g_shadow(base, norms, jnp.asarray(valid),
+                                    metric, 1024)[:5]  # drop aux
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine"])
+    @pytest.mark.parametrize("offset", [0.0, 10.0])
+    def test_pool_contains_topk(self, metric, offset):
+        from vector_db_tpu.ops.distance import blocked_knn, normalize_rows
+        from vector_db_tpu.ops.pallas_kernels import fused_int8g_pool
+
+        q, base = self._setup(offset=offset)
+        valid = np.ones(base.shape[0], bool)
+        base8, off, sv, sgn, cvec = self._shadow(base, valid, metric)
+        assert base8.dtype == jnp.int8
+        qq = normalize_rows(q) if metric == "cosine" else q
+        vals, idx = fused_int8g_pool(qq - cvec[None, :], base8, off, sv,
+                                     sgn, 512)
+        _, gt_i = blocked_knn(q, base, jnp.asarray(valid), 10,
+                              metric=metric, block_n=512)
+        got, gt = np.asarray(idx), np.asarray(gt_i)
+        rec = np.mean([len(set(got[i]) & set(gt[i])) / 10
+                       for i in range(q.shape[0])])
+        assert rec >= 0.9, (metric, offset, rec)
+
+    def test_matches_integer_oracle_exactly(self):
+        """The kernel's bucket winners must equal the per-bucket argmin of
+        the numpy-recomputed i32 score (the kernel is deterministic given
+        the same q8/off_i — this checks the grid/epilogue wiring, not the
+        quantization)."""
+        from vector_db_tpu.ops.pallas_kernels import fused_int8g_pool
+
+        q, base = self._setup(n=2048, d=64, q=8)
+        valid = np.ones(2048, bool)
+        base8, off, sv, sgn, cvec = self._shadow(base, valid)
+        w = 512
+        qc = q - cvec[None, :]
+        vals, idx = fused_int8g_pool(qc, base8, off, sv, sgn, w)
+        # recompute the integer score exactly as the wrapper does
+        qn = np.asarray(qc)
+        sq = max(np.abs(qn).max(), 1e-12) / 127.0
+        q8 = np.clip(np.round(qn / sq), -127, 127).astype(np.int64)
+        c = float(sgn) * float(sv) * sq
+        off_np = np.asarray(off)
+        off_i = np.where(np.isfinite(off_np),
+                         np.clip(np.round(off_np / c), -(1 << 26), 1 << 26),
+                         float(1 << 29)).astype(np.int64)
+        cross = q8 @ np.asarray(base8, np.int64).T          # [Q, N]
+        dist = off_i[None, :] - cross
+        n_rows = dist.shape[1]
+        got_idx = np.asarray(idx)
+        for qi in range(q.shape[0]):
+            per_bucket = dist[qi].reshape(n_rows // w, w)   # [passes, w]
+            best = per_bucket.argmin(axis=0) * w + np.arange(w)
+            best_val = per_bucket.min(axis=0)
+            ok = got_idx[qi] >= 0
+            # winners match wherever the min is unique
+            uniq = (per_bucket == best_val[None, :]).sum(axis=0) == 1
+            assert (got_idx[qi][ok & uniq] == best[ok & uniq]).all()
+
+    def test_dead_slots_never_returned(self):
+        from vector_db_tpu.ops.pallas_kernels import fused_int8g_pool
+
+        q, base = self._setup()
+        valid = np.ones(base.shape[0], bool)
+        dead = np.random.default_rng(0).choice(base.shape[0], 500,
+                                               replace=False)
+        valid[dead] = False
+        base8, off, sv, sgn, cvec = self._shadow(base, valid)
+        _, idx = fused_int8g_pool(q - cvec[None, :], base8, off, sv, sgn,
+                                  512)
+        live = np.asarray(idx)
+        live = live[live >= 0]
+        assert valid[live].all()
+
+    def test_single_query(self):
+        from vector_db_tpu.ops.pallas_kernels import fused_int8g_pool
+
+        q, base = self._setup(q=1)
+        valid = np.ones(base.shape[0], bool)
+        base8, off, sv, sgn, cvec = self._shadow(base, valid)
+        vals, idx = fused_int8g_pool(q - cvec[None, :], base8, off, sv,
+                                     sgn, 256)
+        assert idx.shape == (1, 256)
+        full = ((np.asarray(q)[:, None] - np.asarray(base)[None]) ** 2).sum(-1)
+        best = int(np.argmin(full[0]))
+        assert best in set(np.asarray(idx)[0].tolist())

@@ -1670,6 +1670,59 @@ def _build_scan8_shadow(vectors, norms, valid, metric, pad_to):
     return base8, off, sc, center_vec, aux
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "pad_to"))
+def _build_scan8g_shadow(vectors, norms, valid, metric, pad_to):
+    """GLOBAL-scale int8 shadow for the integer-epilogue fused pool
+    (ops/pallas_kernels.fused_int8g_pool — round-4 VERDICT #2): identical
+    centering/offset math to `_build_scan8_shadow`, but ONE quantization
+    scale for the whole corpus (base8 = round(ctr / sv), sv scalar) so the
+    kernel can rank in raw i32 with no per-slot dequant multiply.
+
+    Centering is what makes the global scale affordable: after removing
+    the common mode, row max-abs concentrates (isotropic/spectral corpora
+    measure within ~2x of each other), so one scale loses <1 bit vs the
+    per-row scales for most rows — and the caller's exact refine
+    re-orders the pool regardless.  sv is measured over LIVE rows only (a
+    stale dead row must not stretch the range).
+
+    Returns (base8, off, sv, sgn, center_vec, aux): true selection score
+    = off[n] - sgn * sv * sq * (q8 . v8_n), sgn = 2.0 sq-L2 / 1.0 cosine.
+    """
+    n = vectors.shape[0]
+    m = min(4096, n)
+    pref = vectors[:m]
+    w = valid[:m].astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mu = jnp.sum(pref * w[:, None], axis=0) / wsum
+    musq = jnp.sum(mu * mu)
+    if metric == "cosine":
+        cdir = mu * jax.lax.rsqrt(jnp.maximum(musq, 1e-12))
+        iv = jax.lax.rsqrt(jnp.maximum(norms, 1e-12))
+        pn = jnp.sqrt(jnp.maximum(jnp.sum(pref * pref, axis=1), 1e-12))
+        c0 = jnp.sum((pref @ cdir) / pn * w) / wsum
+        vhat = vectors * iv[:, None]
+        ctr = vhat - c0 * cdir[None, :]
+        off = -(vhat @ cdir)
+        sgn = 1.0
+        center_vec = cdir
+        aux = c0
+    else:
+        ctr = vectors - mu[None, :]
+        off = norms + musq - 2.0 * (vectors @ mu)  # ||v - mu||^2 exact
+        sgn = 2.0
+        center_vec = mu
+        aux = musq
+    row_amax = jnp.max(jnp.abs(ctr), axis=1)
+    sv = jnp.maximum(jnp.max(jnp.where(valid, row_amax, 0.0)), 1e-12) / 127.0
+    base8 = jnp.clip(jnp.round(ctr / sv), -127, 127).astype(jnp.int8)
+    off = jnp.where(valid, off, jnp.inf)
+    pad = (-n) % pad_to
+    if pad:
+        base8 = jnp.pad(base8, ((0, pad), (0, 0)))
+        off = jnp.pad(off, (0, pad), constant_values=jnp.inf)
+    return base8, off, sv, sgn, center_vec, aux
+
+
 @functools.partial(jax.jit, static_argnames=("metric",),
                    donate_argnums=(0, 1, 2))
 def _update_scan8_shadow(base8, off, sc, vectors, norms, valid, slots,

@@ -665,6 +665,170 @@ def fused_int8_pool(
     return vals[:qn], idxs[:qn]
 
 
+# "no real score reaches here" sentinel for the i32 epilogue: real scores
+# are bounded by the off_i clip (2^26) + max |cross| (127*127*2048 < 2^25);
+# dead slots carry 2^29, so anything >= 2^28 is dead/empty
+_I32_REAL_MAX = 1 << 28
+
+
+def _pool_accumulate_i32(dist, val_ref, idx_ref, block_n: int, nb_w: int):
+    """i32 sibling of `_pool_accumulate` (init sentinel = INT32_MAX):
+    the integer-epilogue kernels accumulate raw i32 scores."""
+    jm = pl.program_id(1)
+    jd = pl.program_id(2)
+    qt = dist.shape[0]
+    block_i = jd * nb_w + jm
+    slot = (
+        block_i * block_n
+        + jax.lax.broadcasted_iota(jnp.int32, (qt, block_n), 1)
+    )
+
+    @pl.when(jd == 0)
+    def _():
+        val_ref[:, :] = jnp.full((qt, block_n), jnp.int32(2**31 - 1),
+                                 jnp.int32)
+        idx_ref[:, :] = jnp.full((qt, block_n), -1, jnp.int32)
+
+    better = dist < val_ref[:, :]
+    val_ref[:, :] = jnp.where(better, dist, val_ref[:, :])
+    idx_ref[:, :] = jnp.where(better, slot, idx_ref[:, :])
+
+
+def _make_int8g_pool_kernel(block_n: int, nb_w: int):
+    """Integer-epilogue variant of `_make_int8_pool_kernel` (round-4
+    VERDICT #2 attack: the VPU min-accumulate epilogue is the fused-pool
+    bound — ~8 of 12 ms at 1M x 512, ~7 VPU ops per [Q, N] element:
+    i32->f32 convert, two broadcast dequant muls, add, compare, two
+    selects).
+
+    With a GLOBAL shadow scale (one sv for the corpus, one sq for the
+    query batch — see `fused_int8g_pool`) the selection score becomes
+    affine in the raw i32 MXU output with one POSITIVE batch constant:
+    score = C * (off_i - cross).  Ranking is then decided entirely in
+    i32: one subtract + compare + two selects = 4 VPU ops per element —
+    no per-slot dequant multiply survives in the hot loop, and the f32
+    conversion happens once on the [Q, w] pool outside the kernel."""
+
+    def kernel(q_ref, b_ref, offi_ref, val_ref, idx_ref):
+        cross = jax.lax.dot_general(
+            q_ref[:, :], b_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                   # [QT, BN] i32
+        dist = offi_ref[0, :][None, :] - cross
+        _pool_accumulate_i32(dist, val_ref, idx_ref, block_n, nb_w)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "block_n", "q_tile", "interpret")
+)
+def fused_int8g_pool(
+    q: Array,
+    base8: Array,
+    sel_off: Array,
+    sv: Array,
+    sgn: float,
+    w: int,
+    block_n: int = 512,
+    q_tile: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Fused s8 x s8 scan + strided-bucket pool with an ALL-INTEGER
+    epilogue (see `_make_int8g_pool_kernel` for the op-count math).
+
+    Contract differs from `fused_int8_pool` in the shadow conditioning:
+
+    - base8 [N, d] int8 = round(ctr / sv) with ONE scalar ``sv`` for the
+      whole corpus (global-scale shadow; rows must be centered first —
+      norm concentration after centering is what makes the global scale
+      affordable, see index/hnsw_pq._build_scan8_shadow for the
+      centering math).
+    - q [Q, d] f32 pre-centered; quantized here with one scalar
+      sq = max|q| / 127 over the BATCH.
+    - sel_off [N] f32 exact per-slot term (+inf at dead slots),
+      ``sgn`` > 0 the metric factor (2.0 sq-L2, 1.0 cosine), so the true
+      selection score is ``off[n] - sgn * sv * sq * (q8 . v8_n)``.
+
+    The per-batch constant C = sgn * sv * sq turns that into
+    C * (round(off / C) - cross): `off_i` is computed once per batch on
+    the [N] vector in XLA, and the returned pool values are the i32
+    scores scaled back by C (empty slots +inf / -1, like every pool).
+    Rounding off to integer C-units perturbs scores by <= C/2 — the same
+    granularity as the +-1-LSB cross-term quantization noise already
+    present, and the caller's exact refine re-orders the pool anyway.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, d = base8.shape
+    qn = q.shape[0]
+    assert q.shape[1] == d, (q.shape, base8.shape)
+    w_aligned = -(-w // LANES) * LANES
+    block_n = min(block_n, max(LANES, w_aligned))
+    w = -(-w_aligned // block_n) * block_n
+    nb_w = w // block_n
+    n_pad = (-n) % w
+    if n_pad:
+        base8 = jnp.pad(base8, ((0, n_pad), (0, 0)))
+        sel_off = jnp.pad(sel_off, (0, n_pad), constant_values=jnp.inf)
+    n_total = n + n_pad
+    passes = n_total // w
+
+    sq = jnp.maximum(jnp.max(jnp.abs(q)), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
+    c = sgn * sv * sq
+    lim = float(1 << 26)
+    off_i = jnp.where(
+        jnp.isfinite(sel_off),
+        jnp.clip(jnp.round(sel_off / c), -lim, lim),
+        float(1 << 29),
+    ).astype(jnp.int32)
+
+    q_pad = (-qn) % 32
+    if q_pad:
+        q8 = jnp.pad(q8, ((0, q_pad), (0, 0)))
+    qp = q8.shape[0]
+    q_tile = min(q_tile, qp)
+    if qp % q_tile:
+        extra = q_tile - qp % q_tile
+        q8 = jnp.pad(q8, ((0, extra), (0, 0)))
+        qp += extra
+
+    vals_i, idxs = pl.pallas_call(
+        _make_int8g_pool_kernel(block_n, nb_w),
+        grid=(qp // q_tile, nb_w, passes),
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, jm, jd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, jm, jd: (jd * nb_w + jm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, jm, jd: (0, jd * nb_w + jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, block_n), lambda i, jm, jd: (i, jm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, w), jnp.int32),
+            jax.ShapeDtypeStruct((qp, w), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n_total * d,
+            bytes_accessed=(n_total * (d + 4) + qp * d
+                            + 2 * qp * w * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q8, base8, off_i[None, :])
+    real = (vals_i < _I32_REAL_MAX) & (idxs < n)
+    vals = jnp.where(real, vals_i.astype(jnp.float32) * c, jnp.inf)
+    idxs = jnp.where(real, idxs, -1)
+    return vals[:qn], idxs[:qn]
+
+
 def _make_packed_pool_kernel(block_n: int, nb_w: int):
     """Packed-int8 fused scan + strided-bucket pool kernel body.
 
