@@ -175,34 +175,36 @@ def main():
 
     # ---------------- config 6: LSH 512d x 100k ---------------------------
     log("## 6. LSH (blocked candidate scan, no O(Q*N) buffers; "
-        "auto-calibrated bucket width)")
+        "auto-calibrated tables/bits/radius — round 4)")
     from vector_db_tpu.api.config import LshConfig
     from vector_db_tpu.index.lsh import LshIndex
 
-    lsh = LshIndex(dim, n5, "l2", LshConfig())
+    lsh = LshIndex(dim, n5, "l2", LshConfig(backfill=False))
     lsh.store.bulk_load(range(n5), vj5)
     t0 = time.time(); lsh.build()
-    log(f"- build (512d x 100k): {time.time()-t0:.1f}s  "
-        f"(auto width {lsh._effective_width():.1f})")
+    bt_lsh = time.time() - t0
     q5_256 = np.asarray(qj5[:256])
-    lsh.config.backfill = False
     ids, qq = api_qps(lsh, q5_256, k)
-    bf = lsh.stats().get("backfill_rows", 0)
-    log(f"- honest (backfill off), 512d x 100k: "
+    st_l = lsh.stats()
+    bf = st_l.get("backfill_rows", 0)
+    log(f"- build (512d x 100k): {bt_lsh:.1f}s")
+    log(f"- honest (backfill off), 512d x 100k ISOTROPIC: "
         f"recall {rec(ids, gts5[:256], k):.1%}, {qq:,.0f} QPS (api), "
-        f"short_rows={bf}")
+        f"short_rows={bf}  (auto tables={st_l['num_tables']} "
+        f"bits={st_l['num_bits']} r={st_l['hamming_radius']}; "
+        f"round-3 static 10-table default measured 57.9%)")
     # the reference's own LSH benchmark config: 128d x 10k
     lsh3 = LshIndex(dim3, n, "l2", LshConfig(backfill=False))
     lsh3.store.bulk_load(range(n), vj3)
     lsh3.build()
     ids, qq = api_qps(lsh3, q3, k)
+    st_l3 = lsh3.stats()
     log(f"- honest (backfill off), 128d x 10k: "
         f"recall {rec(ids, gts3, k):.1%}, {qq:,.0f} QPS (api)  "
+        f"(auto tables={st_l3['num_tables']} r={st_l3['hamming_radius']})  "
         f"[reference w/ random-fill: 75% @ 1ms]")
     # spectral 512d x 100k (the realistic embedding case; the isotropic row
-    # above is LSH's information-theoretic worst case) — the auto-calibrated
-    # bits/radius were tuned against exactly this scale (round-2 fixed
-    # defaults measured 57% here)
+    # above is LSH's information-theoretic worst case)
     scale6 = jnp.asarray((np.arange(dim) + 1.0) ** -0.5, jnp.float32)
     vj6 = gen(jax.random.PRNGKey(42), (n5, dim)) * scale6[None, :]
     qj6 = gen(jax.random.PRNGKey(7), (256, dim)) * scale6[None, :]
@@ -214,7 +216,8 @@ def main():
     st6 = lsh6.stats()
     log(f"- honest (backfill off), 512d x 100k SPECTRAL: "
         f"recall {rec(ids, gts6, k):.1%}, {qq:,.0f} QPS (api)  "
-        f"(auto bits={st6['num_bits']} r={st6['hamming_radius']})")
+        f"(auto tables={st6['num_tables']} bits={st6['num_bits']} "
+        f"r={st6['hamming_radius']})")
     log()
 
     # ------------- config 7: memory-bound adc_fast 512d x 100k ------------
@@ -282,8 +285,8 @@ def main():
     ids, qq = api_qps(ann5, q5_256, k)
     log(f"- honest (backfill off), 512d x 100k: "
         f"recall {rec(ids, gts5[:256], k):.1%}, {qq:,.0f} QPS (api), "
-        f"build {bt5:.1f}s  (random-projection trees lose discrimination "
-        f"at high dim — recorded for honesty; use HNSWPQ/LSH there)")
+        f"build {bt5:.1f}s  (high dim is the hard case for "
+        f"random-projection trees; HNSWPQ/LSH are the right tools there)")
     log()
 
     report = "\n".join(lines) + "\n"
