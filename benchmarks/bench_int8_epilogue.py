@@ -25,7 +25,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+if "--cpu" in sys.argv:
+    # CPU smoke of the script plumbing (kernels run in interpret mode);
+    # env vars alone cannot force CPU under the axon plugin (CLAUDE.md)
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, ".")

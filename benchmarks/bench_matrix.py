@@ -1,0 +1,227 @@
+"""CompressionPerformanceTest matrix (VERDICT r3 #7).
+
+Mirrors the reference's full benchmark matrix (reference:
+src/test/java/com/vectordb/benchmark/CompressionPerformanceTest.java):
+  - dims {128, 256, 512, 768, 1024} x 10k rows            (:29, :63-65)
+  - sizes {1k, 5k, 10k, 50k} at 512d                      (:30, :75-84)
+  - K {1, 10, 50, 100} at 512d x 10k                      (:31, :93-128)
+  - 100 uniform[-1,1] queries, maxElements = 2n           (:32, :236-253)
+  - relative recall: compressed results vs the UNCOMPRESSED db's results
+    on the same queries (:272-294)
+  - weighted score = recall*0.4 + memSave*0.3
+    + max(0, 1 - searchTimeRatio)*0.3                     (:352-355)
+
+Fidelity notes (deviations are protocol-level, both sides measured the
+same way so every RATIO is comparable):
+  - ingest/search use the batch API (add_batch / search_batch): one-by-one
+    search through the tunnel pays a ~45 ms dispatch RTT per query, which
+    would measure the tunnel, not the index.  The reference's per-query
+    loop has no such artifact on local CPU.
+  - memory-saving uses the reference's own nominal model (raw n*d*4 vs
+    n*subspaces bytes, :297-312 — its estimate ignores its raw store, so
+    ours does too for score parity); the REAL accounted bytes from
+    stats() are printed as an extra column.
+  - cells with recall below the reference's published 85% floor
+    (CompressionPerformanceTest.java:371 "召回率通常在 85%-95%") are
+    flagged in the table.
+
+Writes/refreshes the "A8. CompressionPerformanceTest matrix" block in
+BENCH_REPORT.md (between matrix markers) and prints the tables.
+
+Run: python benchmarks/bench_matrix.py [--quick]
+  --quick: drop the 50k cell and the 768/1024 dims (CPU smoke).
+"""
+
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(__file__))
+
+MARK_A = "<!-- matrix -->"
+MARK_B = "<!-- /matrix -->"
+RECALL_FLOOR = 0.85  # reference's published floor (:371)
+
+
+def _mk_db(dim, n, compressed, path):
+    from vector_db_tpu import CompressionConfig, VectorDatabase
+
+    b = (VectorDatabase.builder().with_dimension(dim)
+         .with_max_elements(2 * n).with_storage_path(path)
+         .with_durability("buffered"))
+    if compressed:
+        b = b.with_compression(CompressionConfig.recommended_config(dim))
+    return b.build()
+
+
+def _build(dim, n, compressed, vecs, path):
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    db = _mk_db(dim, n, compressed, path)
+    db.add_batch(range(n), vecs)
+    db.rebuild_index()
+    return db, time.time() - t0
+
+
+def _search_ms(db, queries, k, reps=3):
+    db.search_batch(queries, k)  # warm/compile
+    t0 = time.time()
+    for _ in range(reps):
+        res = db.search_batch(queries, k)
+    return (time.time() - t0) * 1000.0 / reps, res
+
+
+def _rel_recall(res_ref, res_cmp, k):
+    """Reference semantics (:272-294): overlap of the compressed db's ids
+    with the uncompressed db's ids, per query."""
+    tot = 0
+    for rr, rc in zip(res_ref, res_cmp):
+        ids = {r.id for r in rr}
+        tot += sum(1 for r in rc if r.id in ids)
+    return tot / (len(res_ref) * k)
+
+
+def run_cell(dim, n, k, rng, log):
+    """One D{dim}_N{n} cell: both dbs, build/search/recall/memory/score."""
+    from vector_db_tpu import CompressionConfig
+
+    vecs = (rng.random((n, dim), np.float32) * 2.0 - 1.0)
+    queries = (rng.random((100, dim), np.float32) * 2.0 - 1.0)
+    db0, bt0 = _build(dim, n, False, vecs, "/tmp/bench_matrix/raw")
+    db1, bt1 = _build(dim, n, True, vecs, "/tmp/bench_matrix/pq")
+    st0, res0 = _search_ms(db0, queries, k)
+    st1, res1 = _search_ms(db1, queries, k)
+    recall = _rel_recall(res0, res1, k)
+    cc = CompressionConfig.recommended_config(dim)
+    ratio = cc.compression_ratio(dim)
+    mem_save = 1.0 - 1.0 / ratio  # nominal (reference estimate parity)
+    real_bytes = db1.stats().get("index_bytes", 0)
+    build_ratio = bt1 / max(bt0, 1e-9)
+    search_ratio = st1 / max(st0, 1e-9)
+    score = (recall * 0.4 + mem_save * 0.3
+             + max(0.0, 1.0 - search_ratio) * 0.3)
+    flag = "  **<85% floor**" if recall < RECALL_FLOOR else ""
+    log(f"| D{dim}_N{n} | {ratio:.0f}x | {recall*100:.1f}% | "
+        f"{build_ratio:.2f} | {search_ratio:.2f} | {mem_save*100:.1f}% | "
+        f"{real_bytes/2**20:.1f} MB | {score:.2f}{flag} |")
+    out = dict(dim=dim, n=n, k=k, recall=recall, score=score,
+               build_ratio=build_ratio, search_ratio=search_ratio)
+    db0.close()
+    db1.close()
+    return out
+
+
+def run_k_sweep(dim, n, ks, rng, log):
+    """K sweep on ONE db pair (reference :93-128 reuses the pair)."""
+    vecs = (rng.random((n, dim), np.float32) * 2.0 - 1.0)
+    queries = (rng.random((100, dim), np.float32) * 2.0 - 1.0)
+    db0, _ = _build(dim, n, False, vecs, "/tmp/bench_matrix/raw")
+    db1, _ = _build(dim, n, True, vecs, "/tmp/bench_matrix/pq")
+    for k in ks:
+        st0, res0 = _search_ms(db0, queries, k)
+        st1, res1 = _search_ms(db1, queries, k)
+        recall = _rel_recall(res0, res1, k)
+        cmp_str = ("compressed faster" if st1 < st0
+                   else "uncompressed faster")
+        flag = "  **<85% floor**" if recall < RECALL_FLOOR else ""
+        log(f"| {k} | {st0:.1f} ms | {st1:.1f} ms | "
+            f"{st0/max(st1,1e-9):.2f}x ({cmp_str}) | "
+            f"{recall*100:.1f}%{flag} |")
+    db0.close()
+    db1.close()
+
+
+def main(quick=False):
+    import jax
+
+    if quick:
+        # CPU smoke: the axon plugin registers first, so the env var alone
+        # cannot force CPU (CLAUDE.md) — the config update can
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache" if not quick else "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    lines = []
+
+    def log(s=""):
+        print(s, flush=True)
+        lines.append(s)
+
+    dims = [128, 256, 512] if quick else [128, 256, 512, 768, 1024]
+    sizes = [1000, 5000, 10000] if quick else [1000, 5000, 10000, 50000]
+    ks = [1, 10, 50, 100]
+    rng = np.random.default_rng(42)
+
+    log("## A8. CompressionPerformanceTest matrix "
+        "(reference :29-31 axes, :352-355 score)")
+    log()
+    log("Relative recall (compressed vs the uncompressed db's results), "
+        "100 uniform[-1,1] queries,")
+    log("recommended_config(dim) = dim/8 subspaces (32x), batch API "
+        "protocol; score = recall*0.4 +")
+    log("memSave*0.3 + max(0, 1-searchRatio)*0.3.  Cells under the "
+        "reference's published 85% recall")
+    log("floor are flagged.")
+    log()
+    log("### dims x 10k (k=10)")
+    log()
+    hdr = ("| cell | ratio | recall | buildTimeRatio | searchTimeRatio | "
+           "memSave | real index MB | score |")
+    sep = "|---|---|---|---|---|---|---|---|"
+    log(hdr)
+    log(sep)
+    cells = []
+    for d in dims:
+        cells.append(run_cell(d, 10_000, 10, rng, log))
+    log()
+    log("### sizes at 512d (k=10)")
+    log()
+    log(hdr)
+    log(sep)
+    for n in sizes:
+        cells.append(run_cell(512, n, 10, rng, log))
+    log()
+    log("### K sweep at 512d x 10k")
+    log()
+    log("| K | uncompressed | compressed | speed | recall |")
+    log("|---|---|---|---|---|")
+    run_k_sweep(512, 10_000, ks, rng, log)
+    log()
+    worst = min(cells, key=lambda c: c["recall"])
+    n_flag = sum(1 for c in cells if c["recall"] < RECALL_FLOOR)
+    log(f"Worst cell: D{worst['dim']}_N{worst['n']} at "
+        f"{worst['recall']*100:.1f}% recall; {n_flag} of {len(cells)} "
+        f"cells under the reference's 85% floor.")
+
+    # splice into BENCH_REPORT.md between the matrix markers
+    block = MARK_A + "\n" + "\n".join(lines) + "\n" + MARK_B
+    try:
+        with open("BENCH_REPORT.md") as f:
+            rep = f.read()
+        if MARK_A in rep and MARK_B in rep:
+            pre = rep.split(MARK_A, 1)[0]
+            post = rep.split(MARK_B, 1)[1]
+            rep = pre + block + post
+        else:
+            rep = rep.rstrip() + "\n\n" + block + "\n"
+        with open("BENCH_REPORT.md", "w") as f:
+            f.write(rep)
+        print("\nspliced A8 matrix into BENCH_REPORT.md")
+    except OSError as e:
+        print(f"\ncould not update BENCH_REPORT.md: {e}")
+    shutil.rmtree("/tmp/bench_matrix", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    quick = "--quick" in sys.argv
+    if not quick:
+        from tpu_guard import wait_for_backend
+
+        if not wait_for_backend():
+            sys.exit(1)
+    main(quick)
