@@ -140,6 +140,41 @@ def main():
         f"{'MET' if dt8 / dtg >= 1.5 else 'NOT MET'} "
         f"(x{dt8/dtg:.2f}, retime-adjusted x{dt8b/dtg:.2f})")
 
+    # ---- end-to-end (pool + approx select + exact refine) ------------------
+    from vector_db_tpu.index.hnsw_pq import (
+        pallas_scan8_refine, pallas_scan8g_refine,
+    )
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    pool = 64
+
+    def e2e8(q, b, o, s, c, eps):
+        d, _ = pallas_scan8_refine(q + eps, vj, b, o, s, c, ids, k, "l2",
+                                   pool=pool, w=w)
+        return d[0, 0]
+
+    def e2eg(q, b, o, s, c, eps):
+        d, _ = pallas_scan8g_refine(q + eps, vj, b, o, s, float(sgng), c,
+                                    ids, k, "l2", pool=pool, w=w)
+        return d[0, 0]
+
+    def rec_e(e):
+        a = np.asarray(e)
+        return float(np.mean(
+            [len(set(a[i].tolist()) & gt_sets[i]) / k for i in range(nq)]
+        ))
+
+    _, e8 = pallas_scan8_refine(qj, vj, b8, off8, sc8, cv8, ids, k, "l2",
+                                pool=pool, w=w)
+    dt = timed(e2e8, qj, b8, off8, sc8, cv8)
+    log(f"e2e per-row: recall={rec_e(e8):.4f}  {dt*1e3:.2f} ms  "
+        f"{nq/dt:,.0f} QPS")
+    _, eg = pallas_scan8g_refine(qj, vj, bg, offg, svg, float(sgng), cvg,
+                                 ids, k, "l2", pool=pool, w=w)
+    dtg2 = timed(e2eg, qj, bg, offg, svg, cvg)
+    log(f"e2e global:  recall={rec_e(eg):.4f}  {dtg2*1e3:.2f} ms  "
+        f"{nq/dtg2:,.0f} QPS  (x{dt/dtg2:.2f} vs per-row)")
+
 
 if __name__ == "__main__":
     main()

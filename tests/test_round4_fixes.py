@@ -390,3 +390,56 @@ class TestAnnoyDefaultBeam:
         true_ids = np.asarray(st.ids)[np.asarray(ts_)]
         hits = [len(set(ids[i]) & set(true_ids[i])) / k for i in range(32)]
         assert float(np.mean(hits)) >= 0.90
+
+
+class TestInt8GlobalEpilogue:
+    """Round-4 (VERDICT #2): int8_epilogue="global" routes scan_pallas_int8
+    through the integer-epilogue kernel (global-scale shadow, raw-i32
+    ranking) with the same pool+exact-refine contract."""
+
+    def _index(self, rng, n=3000, dim=64, metric="l2"):
+        from vector_db_tpu.api.config import HnswPqConfig
+        from vector_db_tpu.index.hnsw_pq import HnswPqIndex
+
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=512,
+                           use_graph=False, search_mode="scan_pallas_int8",
+                           int8_epilogue="global")
+        idx = HnswPqIndex(dim, n, metric, cfg)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx.add_batch(range(n), vecs)
+        return idx, vecs
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine"])
+    def test_recall_vs_brute(self, rng, metric):
+        from vector_db_tpu.ops.distance import blocked_knn
+
+        idx, vecs = self._index(rng, metric=metric)
+        qs = rng.standard_normal((32, 64)).astype(np.float32)
+        ids, _ = idx.search_batch(qs, 10)
+        st = idx.store.state
+        _, gt = blocked_knn(jnp.asarray(qs), st.vectors, st.valid, 10,
+                            metric=metric, b_norms=st.norms, block_n=4096)
+        gt_ids = np.asarray(st.ids)[np.asarray(gt)]
+        rec = np.mean([len(set(ids[i]) & set(gt_ids[i])) / 10
+                       for i in range(32)])
+        assert rec >= 0.95, (metric, rec)
+
+    def test_incremental_shadow_after_churn(self, rng):
+        """add/remove after the first search must refresh the global
+        shadow incrementally (dirty-slot requantize at the CACHED sv) and
+        keep results exact for the surviving rows."""
+        idx, vecs = self._index(rng)
+        qs = vecs[100:108] + 0.01 * rng.standard_normal((8, 64)).astype(np.float32)
+        idx.search_batch(qs, 5)  # builds the shadow cache
+        assert idx._scan8g_cache is not None
+        # churn: remove some hits, add replacements
+        for vid in range(100, 104):
+            assert idx.remove(vid)
+        new = rng.standard_normal((4, 64)).astype(np.float32)
+        idx.add_batch(range(5000, 5004), new)
+        ids, _ = idx.search_batch(qs[:4], 5)
+        flat = set(ids.ravel().tolist())
+        assert not ({100, 101, 102, 103} & flat)
+        # the new rows are findable through the refreshed shadow
+        ids2, _ = idx.search_batch(new, 1)
+        assert (ids2[:, 0] == np.arange(5000, 5004)).all()

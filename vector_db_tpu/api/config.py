@@ -245,6 +245,13 @@ class HnswPqConfig:
     #   the stream bytes of scan_exact.  The exhaustive option for
     #   raw_store=False, where no f32 matrix exists.
     scan_recall_target: float = 0.99  # approx_max_k target; 1.0 -> exact
+    int8_epilogue: str = "per_row"  # scan_pallas_int8 (raw store) kernel
+    # variant: "per_row" = per-row-scaled shadow, f32 dequant epilogue
+    # (fused_int8_pool); "global" = ONE corpus scale + one batch scale, the
+    # kernel ranks in raw i32 — 4 VPU ops per [Q, N] element vs 7
+    # (fused_int8g_pool; round-4 attack on the measured epilogue bound —
+    # the default flips if the TPU A/B in benchmarks/bench_int8_epilogue
+    # confirms the op-count model)
     adc_bucket: int = 32  # adc_fast pool granularity: keep the best
     # `adc_winners` per `adc_bucket` corpus slots -> pool = winners*N/bucket
     # rows re-ranked exactly; smaller bucket / more winners = higher recall,

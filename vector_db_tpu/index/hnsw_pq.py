@@ -143,6 +143,9 @@ class HnswPqIndex(VectorIndex):
         # int8 scan shadow for the s8 x s8 fused pool kernel
         # (search_mode="scan_pallas_int8"), keyed like _scan16_cache
         self._scan8_cache: Optional[tuple] = None
+        # GLOBAL-scale int8 shadow for the integer-epilogue kernel
+        # (int8_epilogue="global"), keyed like _scan8_cache
+        self._scan8g_cache: Optional[tuple] = None
         # packed-store conditioning vectors (scan_pallas_int8 on the
         # compressed tier — no corpus copy, just off/sc/center)
         self._scan8p_cache: Optional[tuple] = None
@@ -153,10 +156,12 @@ class HnswPqIndex(VectorIndex):
         # churn-heavy large-N workloads off the O(N*d) rebuild cliffs
         # (~1 s/1M rows per shadow).
         self._scan8_dirty: Optional[list] = []   # int8 scan shadow
+        self._scan8g_dirty: Optional[list] = []  # global int8 scan shadow
         self._scan16_dirty: Optional[list] = []  # bf16 scan shadow
         self._pack_dirty: Optional[list] = []    # packed refine shadows
         self._fast_dirty: Optional[list] = []    # ADC tables (ct/cnorms)
         self._scan8_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
+        self._scan8g_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
         self._scan16_aux = None  # (musq, mean_norm) (l2) / (c0,) (cos)
         # serializes the lazy cache refreshes among CONCURRENT READERS:
         # the incremental update kernels DONATE the previous cache arrays,
@@ -188,7 +193,8 @@ class HnswPqIndex(VectorIndex):
     # change in _encode_slots (recording row mutations there too would burn
     # its degrade-to-None churn budget twice as fast, and removals — which
     # never touch codes — would void it for nothing)
-    _DIRTY_RECORDS = ("_scan8_dirty", "_scan16_dirty", "_pack_dirty")
+    _DIRTY_RECORDS = ("_scan8_dirty", "_scan8g_dirty", "_scan16_dirty",
+                      "_pack_dirty")
     _ALL_DIRTY = _DIRTY_RECORDS + ("_fast_dirty",)
 
     def _note_row_mutation(self, slots: np.ndarray) -> None:
@@ -814,6 +820,37 @@ class HnswPqIndex(VectorIndex):
         return self._scan8_cache[2]
 
     @_with_cache_lock
+    def _scan8g_shadow(self, st):
+        """Cached GLOBAL-scale int8 scan shadow for the integer-epilogue
+        fused kernel (int8_epilogue="global"; see _build_scan8g_shadow /
+        ops/pallas_kernels.fused_int8g_pool).  Same caching and
+        incremental-refresh discipline as _scan8_shadow; the global scale
+        ``sv`` is refreshed only by full rebuilds (interim wide rows clip,
+        and the exact refine absorbs the error)."""
+        if (self._scan8g_cache is not None
+                and self._scan8g_cache[0] is st.vectors
+                and self._scan8g_cache[1] is st.valid):
+            return self._scan8g_cache[2]
+        slots = (self._take_dirty("_scan8g_dirty")
+                 if (self._scan8g_cache is not None
+                     and self._scan8g_aux is not None) else None)
+        if slots is not None:
+            base8, off, sv, sgn, cvec = self._scan8g_cache[2]
+            base8, off = _update_scan8g_shadow(
+                base8, off, st.vectors, st.norms, st.valid,
+                slots, cvec, self._scan8g_aux, sv, self.metric)
+            self._scan8g_cache = (st.vectors, st.valid,
+                                  (base8, off, sv, sgn, cvec))
+        else:
+            base8, off, sv, sgn, cvec, aux = _build_scan8g_shadow(
+                st.vectors, st.norms, st.valid, self.metric, 2048)
+            self._scan8g_cache = (st.vectors, st.valid,
+                                  (base8, off, sv, sgn, cvec))
+            self._scan8g_aux = aux
+        self._scan8g_dirty = []
+        return self._scan8g_cache[2]
+
+    @_with_cache_lock
     def _scan8p_shadow(self, st):
         """Cached conditioning vectors for the packed-store fused scan
         (search_mode="scan_pallas_int8", raw_store=False — see
@@ -1052,7 +1089,18 @@ class HnswPqIndex(VectorIndex):
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode in ("scan_exact", "scan_pallas", "scan_pallas_int8"):
             # MXU exact scan — the TPU-fast default (see HnswPqConfig)
-            if mode == "scan_pallas_int8":
+            if mode == "scan_pallas_int8" and self.config.int8_epilogue == "global":
+                # integer-epilogue variant: global-scale shadow, the
+                # kernel ranks in raw i32 (4 VPU ops/element vs 7 — see
+                # ops/pallas_kernels._make_int8g_pool_kernel)
+                base8, off, sv, sgn, cvec = self._scan8g_shadow(st)
+                w = min(2048, base8.shape[0])
+                dists, ext = pallas_scan8g_refine(
+                    jnp.asarray(padded), st.vectors, base8, off, sv, sgn,
+                    cvec, st.ids, k_pad, self.metric,
+                    pool=min(max(4 * k_pad, 64), w), w=w,
+                )
+            elif mode == "scan_pallas_int8":
                 # s8 x s8 fused-kernel path: quarter-width shadow at 2x
                 # MXU rate + exact refine (see _build_scan8_shadow)
                 base8, off, sc, cvec = self._scan8_shadow(st)
@@ -1755,6 +1803,31 @@ def _update_scan8_shadow(base8, off, sc, vectors, norms, valid, slots,
             sc.at[slots].set(sgn * sv))
 
 
+@functools.partial(jax.jit, static_argnames=("metric",),
+                   donate_argnums=(0, 1))
+def _update_scan8g_shadow(base8, off, vectors, norms, valid, slots, cvec,
+                          aux, sv, metric):
+    """Incremental GLOBAL-scale shadow refresh (`_build_scan8g_shadow`
+    sibling of `_update_scan8_shadow`): requantize only the mutated rows
+    against the CACHED centering AND the cached global scale ``sv`` — a
+    new row wider than the calibrated range clips at +-127 (the next full
+    rebuild refreshes sv; the exact refine absorbs the interim error)."""
+    rows = vectors[slots]
+    rnorms = norms[slots]
+    rvalid = valid[slots]
+    if metric == "cosine":
+        iv = jax.lax.rsqrt(jnp.maximum(rnorms, 1e-12))
+        vhat = rows * iv[:, None]
+        ctr = vhat - aux * cvec[None, :]
+        off_s = -(vhat @ cvec)
+    else:
+        ctr = rows - cvec[None, :]
+        off_s = rnorms + aux - 2.0 * (rows @ cvec)
+    r8 = jnp.clip(jnp.round(ctr / sv), -127, 127).astype(jnp.int8)
+    off_s = jnp.where(rvalid, off_s, jnp.inf)
+    return (base8.at[slots].set(r8), off.at[slots].set(off_s))
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def _build_scan8p_shadow(packed, scales, norms, valid, metric):
     """Conditioning vectors for the packed-store fused scan
@@ -1876,6 +1949,26 @@ def pallas_scan8_refine(queries, base, base8, off, sc, center_vec, ids,
 
     cand = _pool_select_cand(queries, center_vec, metric, fused_int8_pool,
                              (base8, off, sc), pool, w)
+    d, slots = blocked_rerank(queries, base, cand, k, metric, rb=pool)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
+    return d, ext
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "pool", "w")
+)
+def pallas_scan8g_refine(queries, base, base8, off, sv, sgn, center_vec,
+                         ids, k, metric, pool, w):
+    """Integer-epilogue fused-kernel scan + exact refine
+    (``HnswPqConfig.int8_epilogue="global"``): fused_int8g_pool ranks in
+    raw i32 — 4 VPU ops per [Q, N] element vs the per-row kernel's 7
+    (see ops/pallas_kernels._make_int8g_pool_kernel); select + refine are
+    identical to pallas_scan8_refine."""
+    from ..ops.distance import blocked_rerank
+    from ..ops.pallas_kernels import fused_int8g_pool
+
+    cand = _pool_select_cand(queries, center_vec, metric, fused_int8g_pool,
+                             (base8, off, sv, sgn), pool, w)
     d, slots = blocked_rerank(queries, base, cand, k, metric, rb=pool)
     ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(slots, 0)], -1)
     return d, ext
