@@ -198,7 +198,12 @@ def main(quick=False):
         f"{worst['recall']*100:.1f}% recall; {n_flag} of {len(cells)} "
         f"cells under the reference's 85% floor.")
 
-    # splice into BENCH_REPORT.md between the matrix markers
+    # splice into BENCH_REPORT.md between the matrix markers — TPU runs
+    # only (the quick/CPU smoke must not write CPU timings into the report)
+    if quick:
+        print("\n--quick: report splice skipped (CPU smoke)")
+        shutil.rmtree("/tmp/bench_matrix", ignore_errors=True)
+        return
     block = MARK_A + "\n" + "\n".join(lines) + "\n" + MARK_B
     try:
         with open("BENCH_REPORT.md") as f:
