@@ -443,3 +443,53 @@ class TestInt8GlobalEpilogue:
         # the new rows are findable through the refreshed shadow
         ids2, _ = idx.search_batch(new, 1)
         assert (ids2[:, 0] == np.arange(5000, 5004)).all()
+
+
+class TestSlotZeroScatterClobber:
+    """Round-4 review finding (CONFIRMED): the forward-edge scatters in
+    _delta_level_edges and bulk_build mapped -1 pads to index 0 via
+    max(slots, 0); a duplicate-index .at[].set is last-wins, so a padded
+    batch containing store slot 0 silently clobbered slot 0's freshly
+    computed edges with its stale row.  Fixed with the same
+    out-of-bounds-dump (mode="drop") the reverse pass already used."""
+
+    def test_bulk_insert_delta_slot0_keeps_edges(self):
+        import vector_db_tpu.ops.hnsw_graph as hg
+
+        n, d, m = 48, 16, 4
+        r = np.random.default_rng(0)
+        base = jnp.asarray(r.standard_normal((n, d)).astype(np.float32))
+        norms = jnp.sum(base * base, axis=1)
+        valid = jnp.ones(n, bool)
+        g = hg.init_graph(n, m, 4)
+        # existing graph over slots 3..47
+        old = np.arange(3, n, dtype=np.int32)
+        g = hg.bulk_build(g, base, norms, old,
+                          np.zeros(old.size, np.int32), m=m)
+        # delta batch of 3 (pads to 8 -> five -1 pads) INCLUDING slot 0
+        news = np.asarray([0, 1, 2], np.int32)
+        g = hg.bulk_insert_delta(g, base, norms, valid, news,
+                                 np.zeros(3, np.int32), m=m)
+        row0 = np.asarray(g.neighbors[0, 0])
+        assert (row0 >= 0).any(), "slot 0 lost its forward edges to pads"
+        # and they are sensible: true neighbors of vector 0 among the rest
+        full = np.array(
+            norms[None, :] + norms[0] - 2.0 * (base @ base[0])[None, :]
+        ).ravel()
+        full[0] = np.inf
+        true10 = set(np.argsort(full)[:10].tolist())
+        assert set(row0[row0 >= 0].tolist()) & true10
+
+    def test_bulk_build_slot0_keeps_edges(self):
+        import vector_db_tpu.ops.hnsw_graph as hg
+
+        n, d, m = 40, 16, 4  # 40 members -> pads to 64 (24 pads)
+        r = np.random.default_rng(1)
+        base = jnp.asarray(r.standard_normal((n, d)).astype(np.float32))
+        norms = jnp.sum(base * base, axis=1)
+        g = hg.init_graph(n, m, 4)
+        slots = np.arange(n, dtype=np.int32)  # includes slot 0
+        g = hg.bulk_build(g, base, norms, slots,
+                          np.zeros(n, np.int32), m=m)
+        row0 = np.asarray(g.neighbors[0, 0])
+        assert (row0 >= 0).any(), "slot 0 lost its forward edges to pads"

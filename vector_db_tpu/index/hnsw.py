@@ -23,10 +23,10 @@ from ..api.config import HnswConfig
 from ..core.store import VectorStore
 from ..ops import hnsw_graph as hg
 from ..ops.distance import blocked_knn
-from .base import VectorIndex, pad_queries_pow2, pow2
+from .base import DeferInsertMixin, VectorIndex, pad_queries_pow2, pow2
 
 
-class HnswIndex(VectorIndex):
+class HnswIndex(DeferInsertMixin, VectorIndex):
     kind = "hnsw"
 
     def __init__(self, dim: int, capacity: int, metric: str = "l2", config: Optional[HnswConfig] = None):
@@ -38,9 +38,9 @@ class HnswIndex(VectorIndex):
         self.seed = 42
         self._level_counter = 0  # distinct PRNG stream per insertion round
         # defer insert policy: adds buffered here until the flush threshold;
-        # searches see them via an exact overlay (hg.hnsw_search_pending)
-        self._pending_mask = np.zeros(self.store.capacity, bool)
-        self._pending_count = 0
+        # searches see them via an exact overlay (hg.hnsw_search_pending);
+        # shared implementation in base.DeferInsertMixin
+        self._init_pending(self.store.capacity)
 
     # ------------------------------------------------------------- helpers
     def _prep(self, vectors: np.ndarray) -> np.ndarray:
@@ -73,52 +73,18 @@ class HnswIndex(VectorIndex):
             return []
         slots_np = np.asarray(slots, np.int32)
         if self.config.insert_policy == "defer":
-            self._pending_mask[slots_np] = True
-            self._pending_count += len(slots_np)
-            if self._pending_count >= self._flush_threshold():
-                self.flush_pending()
+            self._pend_slots(slots_np)
         else:
             self._insert_slots(slots_np)
         return accepted
 
-    # ----------------------------------------------------- defer insert policy
-    def _flush_threshold(self) -> int:
-        """Pending count that triggers a bulk flush: a fraction of the
-        connected graph (delta-insert cost amortises against it), floored so
-        tiny indexes never flush per-add and capped so the per-search overlay
-        scan stays bounded."""
-        graph_live = max(0, self.store.size() - self._pending_count)
-        return max(self.config.flush_min,
-                   min(int(self.config.flush_frac * graph_live),
-                       self.config.flush_max))
+    # --------------------------------------- defer insert policy (mixin hooks)
+    @property
+    def _graph_heuristic(self) -> bool:
+        return self.config.heuristic
 
-    def flush_pending(self) -> None:
-        """Connect every pending slot to the graph (exact-kNN delta insert;
-        from-scratch bulk build when the graph is still empty)."""
-        if self._pending_count == 0:
-            return
-        slots = np.flatnonzero(self._pending_mask).astype(np.int32)
-        self._pending_mask[:] = False
-        self._pending_count = 0
-        if slots.size == 0:
-            return
-        if int(self.graph.entry) < 0:
-            self._insert_slots(slots)  # from-scratch path (bulk_build)
-            return
-        st = self.store.state
-        self.graph = hg.bulk_insert_delta(
-            self.graph, st.vectors, st.norms, st.valid,
-            slots, self._sample_levels(len(slots)),
-            m=self.config.m, heuristic=self.config.heuristic,
-        )
-
-    def _pending_padded(self) -> np.ndarray:
-        """Pending slots padded to a pow2 length with -1 (bounded jit
-        specializations for the overlay search)."""
-        slots = np.flatnonzero(self._pending_mask).astype(np.int32)
-        n_pad = max(8, 1 << max(0, int(slots.size - 1).bit_length()))
-        return np.concatenate(
-            [slots, np.full(n_pad - slots.size, -1, np.int32)])
+    def _graph_insert(self, slots: np.ndarray) -> None:
+        self._insert_slots(slots)  # from-scratch path (bulk_build)
 
     def _insert_slots(self, slots: np.ndarray) -> None:
         """Insert store slots into the graph in batched rounds."""
@@ -162,11 +128,8 @@ class HnswIndex(VectorIndex):
         slot = self.store.remove(vec_id)
         if slot is None:
             return False
-        if self._pending_mask[slot]:
-            # never reached the graph: drop from the pending buffer
-            self._pending_mask[slot] = False
-            self._pending_count -= 1
-            return True
+        if self._unpend_slot(slot):
+            return True  # never reached the graph
         was_entry = int(self.graph.entry) == slot
         self.graph = hg.unlink_slot(self.graph, jnp.asarray(slot, jnp.int32))
         if was_entry:
@@ -219,8 +182,7 @@ class HnswIndex(VectorIndex):
         live = np.flatnonzero(valid)
         order = live[np.argsort(ids_np[live], kind="stable")]
         self.graph = hg.init_graph(self.store.capacity, self.config.m, self._max_level)
-        self._pending_mask[:] = False  # the rebuild connects everything
-        self._pending_count = 0
+        self._clear_pending()  # the rebuild connects everything
         if order.size:
             self._insert_slots(order.astype(np.int32))
 
@@ -249,7 +211,7 @@ class HnswIndex(VectorIndex):
                 # deferred adds: graph beam + exact overlay over pending rows
                 dists, slots = hg.hnsw_search_pending(
                     self.graph, st.vectors, st.norms, st.valid,
-                    jnp.asarray(padded), jnp.asarray(self._pending_padded()),
+                    jnp.asarray(padded), self._pending_padded(),
                     k_pad, ef, expand=max(1, self.config.expand_per_iter),
                 )
             else:
@@ -316,8 +278,7 @@ class HnswIndex(VectorIndex):
 
     def load_state_arrays(self, arrays: dict) -> None:
         self.store = VectorStore.from_host(arrays["store"])
-        self._pending_mask = np.zeros(self.store.capacity, bool)
-        self._pending_count = 0  # checkpoints hold complete graphs
+        self._init_pending(self.store.capacity)  # checkpoints hold complete graphs
         g = arrays["graph"]
         self.graph = hg.HnswGraph(
             neighbors=jnp.asarray(g["neighbors"]),

@@ -39,7 +39,7 @@ from ..ops import adc
 from ..ops import hnsw_graph as hg
 from ..ops.distance import blocked_knn
 from ..ops.topk import smallest_k
-from .base import VectorIndex, pad_queries_pow2, pow2
+from .base import DeferInsertMixin, VectorIndex, pad_queries_pow2, pow2
 from .pq import _refine_exact
 
 
@@ -55,7 +55,7 @@ def _with_cache_lock(fn):
     return wrapper
 
 
-class HnswPqIndex(VectorIndex):
+class HnswPqIndex(DeferInsertMixin, VectorIndex):
     kind = "hnswpq"
 
     def __init__(
@@ -120,8 +120,7 @@ class HnswPqIndex(VectorIndex):
         self._graph_dirty: list[int] = []  # slots added before training
         # defer insert policy (config.insert_policy): trained graph-mode adds
         # buffer here; searches fold pending rows into the exact refine pool
-        self._pending_mask = np.zeros(self.store.capacity, bool)
-        self._pending_count = 0
+        self._init_pending(self.store.capacity)
         # optional IVF coarse quantizer for pruned scans (config.nlist > 0)
         self.coarse_centroids: Optional[jax.Array] = None  # [nlist, dim]
         self.coarse_assign = np.full(self.store.capacity, -1, np.int32)
@@ -251,46 +250,14 @@ class HnswPqIndex(VectorIndex):
                 self._assign_coarse(slots_np)
             if self.config.use_graph:
                 if self.config.insert_policy == "defer":
-                    self._pending_mask[slots_np] = True
-                    self._pending_count += len(slots_np)
-                    if self._pending_count >= self._flush_threshold():
-                        self.flush_pending()
+                    self._pend_slots(slots_np)
                 else:
                     self._insert_graph(slots_np)
         return accepted
 
-    # ----------------------------------------------------- defer insert policy
-    def _flush_threshold(self) -> int:
-        graph_live = max(0, self.store.size() - self._pending_count)
-        return max(self.config.flush_min,
-                   min(int(self.config.flush_frac * graph_live),
-                       self.config.flush_max))
-
-    def flush_pending(self) -> None:
-        """Connect pending slots with exact-kNN delta insertion (see
-        HnswIndex.flush_pending / ops/hnsw_graph.bulk_insert_delta)."""
-        if self._pending_count == 0:
-            return
-        slots = np.flatnonzero(self._pending_mask).astype(np.int32)
-        self._pending_mask[:] = False
-        self._pending_count = 0
-        if slots.size == 0:
-            return
-        if int(self.graph.entry) < 0:
-            self._insert_graph(slots)
-            return
-        st = self.store.state
-        self.graph = hg.bulk_insert_delta(
-            self.graph, st.vectors, st.norms, st.valid,
-            slots, self._sample_levels(len(slots)),
-            m=self.config.m, heuristic=True,
-        )
-
-    def _pending_padded(self) -> np.ndarray:
-        slots = np.flatnonzero(self._pending_mask).astype(np.int32)
-        n_pad = max(8, 1 << max(0, int(slots.size - 1).bit_length()))
-        return np.concatenate(
-            [slots, np.full(n_pad - slots.size, -1, np.int32)])
+    # --------------------------------------- defer insert policy (mixin hook)
+    def _graph_insert(self, slots: np.ndarray) -> None:
+        self._insert_graph(slots)  # from-scratch path (exact-kNN bulk build)
 
     def bulk_load(self, ids: Sequence[int], vectors) -> list[int]:
         """Zero-copy bulk ingest of a device-resident corpus + train.
@@ -466,11 +433,8 @@ class HnswPqIndex(VectorIndex):
         self._note_row_mutation(np.asarray([slot]))
         self.coarse_assign[slot] = -1
         self._members_dirty = True
-        if self.config.use_graph and self._pending_mask[slot]:
-            # never reached the graph: drop from the pending buffer
-            self._pending_mask[slot] = False
-            self._pending_count -= 1
-            return True
+        if self.config.use_graph and self._unpend_slot(slot):
+            return True  # never reached the graph
         if self.config.use_graph and int(self.graph.entry) == slot:
             self.graph = hg.unlink_slot(self.graph, jnp.asarray(slot, jnp.int32))
             levels = np.asarray(self.graph.levels)
@@ -972,8 +936,7 @@ class HnswPqIndex(VectorIndex):
         live = np.flatnonzero(valid)
         order = live[np.argsort(ids_np[live], kind="stable")]
         self.graph = hg.init_graph(self.store.capacity, self.config.m, self._max_level)
-        self._pending_mask[:] = False  # the rebuild connects everything
-        self._pending_count = 0
+        self._clear_pending()  # the rebuild connects everything
         if order.size:
             self._insert_graph(order.astype(np.int32))
 
@@ -1205,7 +1168,7 @@ class HnswPqIndex(VectorIndex):
             if self._pending_count > 0:
                 # deferred graph adds: fold the pending slots into the exact
                 # refine pool so results never lag the store
-                pend = jnp.asarray(self._pending_padded())
+                pend = self._pending_padded()
                 cand = jnp.concatenate(
                     [cand, jnp.broadcast_to(pend[None, :],
                                             (cand.shape[0], pend.shape[0]))],
@@ -1346,8 +1309,7 @@ class HnswPqIndex(VectorIndex):
 
     def load_state_arrays(self, arrays: dict) -> None:
         self.store = VectorStore.from_host(arrays["store"])
-        self._pending_mask = np.zeros(self.store.capacity, bool)
-        self._pending_count = 0  # checkpoints hold complete graphs
+        self._init_pending(self.store.capacity)  # checkpoints: complete graphs
         self.codes = jnp.asarray(arrays["codes"])
         self._fast_cache = None
         self._note_store_rewrite()  # untracked store rewrite -> full rebuilds

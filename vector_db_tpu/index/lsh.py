@@ -26,6 +26,7 @@ two fused device ops.  Two modes:
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -212,6 +213,12 @@ class LshIndex(VectorIndex):
         # recall with backfill accounted for
         self._backfill_rows = 0
         self._backfill_queries = 0
+        # serializes the lazy first-search calibrations among CONCURRENT
+        # READERS (round-4 review: _truncate_tables mutates planes and
+        # bucket_ids non-atomically — a racing search could read a t-table
+        # planes with a 32-table bucket_ids; the facade RWLock only
+        # excludes writers).  Same pattern as HnswPqIndex._cache_lock.
+        self._calib_lock = threading.Lock()
 
     def _make_planes(self) -> jnp.ndarray:
         rng = np.random.default_rng(self.seed + 7919 * self._gen)
@@ -355,10 +362,12 @@ class LshIndex(VectorIndex):
             self._radius = int(r)
 
     def _effective_radius(self) -> int:
-        if self._auto_tables and not self._tables_final:
-            self._auto_tables_calibrate()
-        if self._radius is None:
-            self._radius = self._auto_radius()
+        if (self._auto_tables and not self._tables_final) or self._radius is None:
+            with self._calib_lock:  # double-checked: one reader calibrates
+                if self._auto_tables and not self._tables_final:
+                    self._auto_tables_calibrate()
+                if self._radius is None:
+                    self._radius = self._auto_radius()
         return self._radius
 
     def _auto_width(self) -> float:
@@ -394,7 +403,9 @@ class LshIndex(VectorIndex):
 
     def _effective_width(self) -> float:
         if self._width is None:
-            self._width = self._auto_width()
+            with self._calib_lock:
+                if self._width is None:
+                    self._width = self._auto_width()
         return self._width
 
     # ------------------------------------------------------------- mutation

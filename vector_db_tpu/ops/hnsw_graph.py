@@ -724,9 +724,14 @@ def bulk_build(
         local = _bulk_level_edges(vecs, nrm, mem_j, m, heuristic)
         # local member indices -> global slots
         glob = jnp.where(local >= 0, mem_j[jnp.maximum(local, 0)], -1)
-        neighbors = neighbors.at[lev, safe].set(
-            jnp.where((mem_j >= 0)[:, None], glob, neighbors[lev, safe])
-        )
+        # -1 pads dump out of bounds (mode="drop"): `.at[lev, safe]` would
+        # map every pad to index 0 and the duplicate-index set is
+        # last-wins, clobbering slot 0's fresh row with its stale copy
+        # whenever slot 0 is a member and the level pads (round-4 review —
+        # same bug as _delta_level_edges' forward scatter)
+        cap_n = neighbors.shape[1]
+        neighbors = neighbors.at[
+            lev, jnp.where(mem_j >= 0, mem_j, cap_n)].set(glob, mode="drop")
 
     top = int(levels_np.max()) if levels_np.size else 0
     entries = slots_np[levels_np == top]
@@ -877,9 +882,13 @@ def _delta_level_edges(
         sel_d = -neg
         sel_i = jnp.where(jnp.isfinite(sel_d), sel_i, -1)
     ok_new = new_slots >= 0
-    nbrs_lev = nbrs_lev.at[safe_new].set(
-        jnp.where(ok_new[:, None], sel_i, nbrs_lev[safe_new])
-    )
+    # out-of-bounds dump index for -1 pads (mode="drop"), like the reverse
+    # pass below: `.at[safe_new]` would map every pad to index 0, and a
+    # duplicate-index set is last-wins — a batch containing store slot 0
+    # had its freshly computed row clobbered by the pads' stale copy
+    # (round-4 review finding, reproduced)
+    nbrs_lev = nbrs_lev.at[jnp.where(ok_new, new_slots, cap)].set(
+        sel_i, mode="drop")
 
     # ---- reverse: group (new u -> old v) edges by target, re-prune v ------
     # sort edges by (target, distance) so each target's closest incoming

@@ -1073,13 +1073,21 @@ class ShardedDatabase:
         for shard in np.unique(shard_ids):
             m = shard_ids == shard
             local = (slots[m] - shard * self.per_shard).astype(np.int32)
+            n_real = local.size
+            # pow2-pad like _scatter_rows: every distinct gather size is a
+            # fresh jit trace of _piece_gather, and remote compiles are
+            # slow on this stack (round-4 review; CLAUDE.md "static shapes
+            # everywhere")
+            pad = self._pow2_pad(n_real) - n_real
+            if pad:
+                local = np.concatenate([local, np.repeat(local[:1], pad)])
             got = np.asarray(_piece_gather(pieces[int(shard)],
                                            jax.device_put(
                                                local,
                                                self._devices[int(shard)])))
             if out is None:
                 out = np.empty((len(slots),) + got.shape[1:], got.dtype)
-            out[m] = got
+            out[m] = got[:n_real]
         if out is None:
             wide = self.dim if self.raw else self.dim // 4
             dt = np.float32 if self.raw else np.int32
