@@ -25,6 +25,7 @@ pipeline itself must not be the single point of failure.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -53,15 +54,18 @@ def probe_once(timeout_s=90):
         return False
 
 
-def wait_for_backend(budget_s=None, probe_timeout_s=90, sleep_s=45):
+def wait_for_backend(budget_s=None, probe_timeout_s=90, sleep_s=30):
     """Probe until the backend answers or the budget is spent.
 
-    Budget default comes from ``BENCH_PROBE_BUDGET_S`` (seconds, 2700).
+    Budget default comes from ``BENCH_PROBE_BUDGET_S`` (seconds, 480 —
+    MUST stay well under the driver's ~30-min timeout or the stale
+    fallback in ``run_guarded`` is unreachable; BENCH_r04.json's rc=124
+    was exactly that: a 2700-s probe budget SIGKILLed 13 probes in).
     Returns True when a probe succeeded.  On CPU (tests) the probe
     passes trivially — the guard is free there.
     """
     if budget_s is None:
-        budget_s = float(os.environ.get("BENCH_PROBE_BUDGET_S", "2700"))
+        budget_s = float(os.environ.get("BENCH_PROBE_BUDGET_S", "480"))
     deadline = time.time() + budget_s
     attempt = 0
     while True:
@@ -97,7 +101,7 @@ def save_last_good(payload, path):
 
 
 def run_guarded(inner_argv, cache_path, inner_timeout_s=None, retries=1,
-                cwd=None):
+                cwd=None, total_budget_s=None):
     """Probe → run the real bench as a subprocess → emit ONE JSON line.
 
     On inner success (rc=0 + parseable final JSON line): refresh the
@@ -105,46 +109,89 @@ def run_guarded(inner_argv, cache_path, inner_timeout_s=None, retries=1,
     retry up to ``retries`` times.  If everything fails and a last-good
     cache exists, print it with ``"stale": true`` (honest, parseable)
     and exit 0; otherwise exit 1.
+
+    Every phase (probes, inner runs, retries) is clipped to ONE total
+    deadline — ``BENCH_TOTAL_BUDGET_S`` (default 1500 s), chosen to sit
+    under the driver's observed ~30-min SIGKILL — so the stale fallback
+    ALWAYS fires before the driver gives up.  A SIGTERM handler emits
+    the stale line too, as insurance against an external `timeout`
+    killing us first (rc=124 in BENCH_r04.json).
     """
-    if inner_timeout_s is None:
-        inner_timeout_s = float(os.environ.get("BENCH_INNER_TIMEOUT_S", "5400"))
-    attempts = retries + 1
-    for attempt in range(attempts):
-        if not wait_for_backend():
-            break  # budget spent probing; go stale
-        _log(f"inner run attempt {attempt + 1}/{attempts}")
-        try:
-            r = subprocess.run(
-                inner_argv,
-                timeout=inner_timeout_s,
-                cwd=cwd,
-                stdout=subprocess.PIPE,
-                stderr=None,  # stream bench progress to our stderr
-            )
-        except subprocess.TimeoutExpired:
-            _log(f"inner run timed out after {inner_timeout_s:.0f}s")
-            continue
-        out = r.stdout.decode(errors="replace")
-        line = next(
-            (ln for ln in reversed(out.splitlines()) if ln.strip().startswith("{")),
-            None,
-        )
-        if r.returncode == 0 and line is not None:
-            try:
-                payload = json.loads(line)
-            except Exception:
-                _log("final line not JSON; treating as failure")
-                continue
-            save_last_good(payload, cache_path)
-            print(json.dumps(payload), flush=True)
+    if total_budget_s is None:
+        total_budget_s = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "1500"))
+    deadline = time.time() + total_budget_s
+    state = {"emitted": False}
+
+    def _emit_stale():
+        """Print the last-good capture marked stale; rc 0 if one exists."""
+        if state["emitted"]:
             return 0
-        _log(f"inner run failed rc={r.returncode}; tail: {out[-400:]!r}")
-    cached = _load_json(cache_path)
-    if cached is not None:
-        cached["stale"] = True
-        _log("backend unavailable; emitting last-good capture marked stale "
-             f"(captured_at={cached.get('captured_at')})")
-        print(json.dumps(cached), flush=True)
-        return 0
-    _log("backend unavailable and no last-good cache; failing")
-    return 1
+        cached = _load_json(cache_path)
+        if cached is not None:
+            cached["stale"] = True
+            _log("backend unavailable; emitting last-good capture marked "
+                 f"stale (captured_at={cached.get('captured_at')})")
+            print(json.dumps(cached), flush=True)
+            state["emitted"] = True
+            return 0
+        _log("backend unavailable and no last-good cache; failing")
+        return 1
+
+    def _on_term(signum, frame):
+        _log(f"caught signal {signum}; emitting stale fallback now")
+        os._exit(0 if _emit_stale() == 0 else 1)
+
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # not the main thread (tests) — skip the handler
+        prev_term = None
+    try:
+        attempts = retries + 1
+        for attempt in range(attempts):
+            probe_budget = min(
+                float(os.environ.get("BENCH_PROBE_BUDGET_S", "480")),
+                deadline - time.time() - 60.0,
+            )
+            if probe_budget <= 0 or not wait_for_backend(budget_s=probe_budget):
+                break  # budget spent probing; go stale
+            if inner_timeout_s is None:
+                to = float(os.environ.get("BENCH_INNER_TIMEOUT_S", "5400"))
+            else:
+                to = inner_timeout_s
+            to = min(to, deadline - time.time() - 15.0)
+            if to < 30:
+                break  # no time left for a meaningful inner run
+            _log(f"inner run attempt {attempt + 1}/{attempts} "
+                 f"(timeout {to:.0f}s)")
+            try:
+                r = subprocess.run(
+                    inner_argv,
+                    timeout=to,
+                    cwd=cwd,
+                    stdout=subprocess.PIPE,
+                    stderr=None,  # stream bench progress to our stderr
+                )
+            except subprocess.TimeoutExpired:
+                _log(f"inner run timed out after {to:.0f}s")
+                continue
+            out = r.stdout.decode(errors="replace")
+            line = next(
+                (ln for ln in reversed(out.splitlines())
+                 if ln.strip().startswith("{")),
+                None,
+            )
+            if r.returncode == 0 and line is not None:
+                try:
+                    payload = json.loads(line)
+                except Exception:
+                    _log("final line not JSON; treating as failure")
+                    continue
+                save_last_good(payload, cache_path)
+                print(json.dumps(payload), flush=True)
+                state["emitted"] = True
+                return 0
+            _log(f"inner run failed rc={r.returncode}; tail: {out[-400:]!r}")
+        return _emit_stale()
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)

@@ -111,6 +111,79 @@ def test_run_guarded_rejects_non_json_final_line(capsys, monkeypatch,
     assert payload["stale"] is True and payload["value"] == 4
 
 
+def test_dead_backend_emits_stale_within_budget(capsys, monkeypatch,
+                                                tmp_path):
+    """VERDICT r4 #1: a dead tunnel must produce a parseable stale line
+    BEFORE the driver timeout — real wait_for_backend, probes always
+    failing, tiny total budget; assert the line lands in seconds."""
+    import time as _time
+    monkeypatch.setattr(tpu_guard, "probe_once", lambda timeout_s=90: False)
+    monkeypatch.setenv("BENCH_TOTAL_BUDGET_S", "3")
+    monkeypatch.setenv("BENCH_PROBE_BUDGET_S", "1")
+    cache = str(tmp_path / "last_good.json")
+    with open(cache, "w") as f:
+        json.dump({"metric": "m", "value": 11, "captured_at": "x"}, f)
+    t0 = _time.time()
+    rc = tpu_guard.run_guarded(
+        [sys.executable, "-c", "print('{\"value\": 1}')"], cache_path=cache)
+    elapsed = _time.time() - t0
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and payload["stale"] is True and payload["value"] == 11
+    assert elapsed < 10, f"stale fallback took {elapsed:.1f}s"
+
+
+def test_default_probe_budget_under_driver_timeout(monkeypatch):
+    """The default probe budget must sit well under the driver's ~30-min
+    SIGKILL (BENCH_r04.json rc=124 was a 2700-s budget outliving it)."""
+    monkeypatch.delenv("BENCH_PROBE_BUDGET_S", raising=False)
+    monkeypatch.delenv("BENCH_TOTAL_BUDGET_S", raising=False)
+    seen = {}
+
+    def spy(budget_s=None, **kw):
+        seen["budget"] = budget_s
+        return False
+
+    monkeypatch.setattr(tpu_guard, "wait_for_backend", spy)
+    tpu_guard.run_guarded([sys.executable, "-c", "pass"],
+                          cache_path="/nonexistent/none.json")
+    assert seen["budget"] <= 600
+
+
+def test_sigterm_emits_stale_line(tmp_path):
+    """Insurance: an external `timeout` SIGTERM mid-probe still yields a
+    parseable stale line on stdout (rc 0), not rc=124 silence."""
+    import signal as _signal
+    import subprocess as _sp
+    import time as _time
+
+    cache = tmp_path / "last_good.json"
+    cache.write_text(json.dumps({"metric": "m", "value": 13,
+                                 "captured_at": "x"}))
+    guard_dir = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    script = (
+        "import sys, time\n"
+        f"sys.path.insert(0, {guard_dir!r})\n"
+        "import tpu_guard\n"
+        # interpreter startup can take seconds (sitecustomize); tell the
+        # parent when the stubbed probe is actually about to block
+        "def probe(timeout_s=90):\n"
+        "    print('PROBE_ENTERED', flush=True); time.sleep(60); return False\n"
+        "tpu_guard.probe_once = probe\n"
+        f"rc = tpu_guard.run_guarded([sys.executable, '-c', 'pass'], "
+        f"cache_path={str(cache)!r})\n"
+        "sys.exit(rc)\n"
+    )
+    p = _sp.Popen([sys.executable, "-c", script], stdout=_sp.PIPE,
+                  stderr=_sp.DEVNULL)
+    assert p.stdout.readline().strip() == b"PROBE_ENTERED"
+    _time.sleep(0.2)  # let it enter the sleep itself
+    p.send_signal(_signal.SIGTERM)
+    out, _ = p.communicate(timeout=15)
+    payload = json.loads(out.decode().strip())
+    assert p.returncode == 0
+    assert payload["stale"] is True and payload["value"] == 13
+
+
 def test_repo_last_good_cache_is_seeded():
     here = os.path.join(os.path.dirname(__file__), "..")
     payload = json.load(open(os.path.join(here, "BENCH_LAST_GOOD.json")))
