@@ -1,0 +1,149 @@
+"""Round-5 fix tests (ADVICE r4 items).
+
+- high: the graph-mode deferred-insert overlay must never broadcast the
+  pending slot set into the [Q, R, d] refine gather (tens of GB at scale)
+  — it is scored with one [Q, P] dot_general and merged via top_k
+  (index/hnsw_pq._graph_refine_pending).
+- medium: index/lsh._popcount must work without np.bitwise_count
+  (NumPy < 2.0 — pyproject allows >= 1.24).
+- low: rows added after global-shadow calibration that clip at +-127
+  against the stale global sv must be counted, and a non-trivial clipped
+  fraction must force a full shadow rebuild (sv refresh).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vector_db_tpu.api.config import HnswPqConfig
+from vector_db_tpu.index.hnsw_pq import HnswPqIndex, _graph_refine_pending
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+class TestGraphPendingOverlay:
+    """ADVICE r4 high: pending slots merge via a [Q, P] dot_general, not
+    a [Q, R+P, d] gather."""
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine"])
+    @pytest.mark.parametrize("n_pend", [64, 512])  # exact / approx merge
+    def test_matches_oracle(self, rng, metric, n_pend):
+        n, d, q_n, r, k = 2048, 32, 16, 64, 8
+        base = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((q_n, d)).astype(np.float32)
+        valid = np.ones(n, bool)
+        # disjoint graph pool / pending sets, -1 padded like production
+        perm = rng.permutation(n)
+        cand = np.sort(perm[: r * q_n].reshape(q_n, r), axis=1).astype(np.int32)
+        cand[:, -2:] = -1
+        pending = perm[r * q_n : r * q_n + n_pend].astype(np.int32).copy()
+        pending[-3:] = -1
+
+        d_out, s_out = _graph_refine_pending(
+            jnp.asarray(queries), jnp.asarray(base), jnp.asarray(valid),
+            jnp.asarray(cand), jnp.asarray(pending), k, metric)
+        d_out, s_out = np.asarray(d_out), np.asarray(s_out)
+
+        for i in range(q_n):
+            pool = np.concatenate([cand[i], pending])
+            pool = np.unique(pool[pool >= 0])
+            if metric == "l2":
+                dist = ((base[pool] - queries[i]) ** 2).sum(1)
+            else:
+                dist = 1.0 - (base[pool] @ queries[i]) / np.maximum(
+                    np.linalg.norm(base[pool], axis=1)
+                    * np.linalg.norm(queries[i]), 1e-12)
+            want = set(pool[np.argsort(dist)[:k]].tolist())
+            got = set(s_out[i].tolist())
+            # approx_max_k on the wide pending overlay tolerates <1 miss
+            assert len(got & want) >= k - 1, (i, got, want)
+            assert (np.diff(d_out[i]) >= -1e-5).all()
+
+    def test_search_with_pending_matches_flush(self, rng):
+        """End-to-end: graph search with a large pending buffer agrees
+        with the same index after flushing (same top-1 self-retrieval)."""
+        n, dim = 1536, 32
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=512,
+                           use_graph=True, search_mode="graph",
+                           flush_min=4096, m=8)
+        idx = HnswPqIndex(dim, n, "l2", cfg)
+        idx.add_batch(range(512), vecs[:512])
+        idx.add_batch(range(512, n), vecs[512:])
+        assert idx.stats()["pending_inserts"] == n - 512
+        ids, _ = idx.search_batch(vecs[900:916], 1)
+        assert (ids[:, 0] == np.arange(900, 916)).mean() >= 0.9
+
+
+class TestPopcountFallback:
+    """ADVICE r4 medium: NumPy 1.x has no np.bitwise_count."""
+
+    def test_fallback_matches(self, rng, monkeypatch):
+        from vector_db_tpu.index import lsh
+
+        x = rng.integers(-2**31, 2**31, size=(13, 7)).astype(np.int32)
+        want = np.array([[bin(int(v)).count("1") for v in row]
+                         for row in x.view(np.uint32)])
+        assert (lsh._popcount(x) == want).all()
+        monkeypatch.delattr(np, "bitwise_count")
+        assert (lsh._popcount(x) == want).all()
+
+    def test_default_lsh_search_without_bitwise_count(self, rng,
+                                                      monkeypatch):
+        """The default (num_tables=0 auto) sign-mode index calibrates at
+        first search — that path must not require NumPy 2.0."""
+        from vector_db_tpu.api.config import LshConfig
+        from vector_db_tpu.index.lsh import LshIndex
+
+        monkeypatch.delattr(np, "bitwise_count")
+        n, dim = 512, 16
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = LshIndex(dim, n, "l2", LshConfig())
+        idx.add_batch(range(n), vecs)
+        ids, _ = idx.search_batch(vecs[:8], 1)
+        assert (ids[:, 0] == np.arange(8)).mean() >= 0.9
+
+
+class TestScan8gClipRebuild:
+    """ADVICE r4 low: clipped post-calibration rows are tracked and a
+    non-trivial fraction forces a shadow rebuild (sv refresh)."""
+
+    def _index(self, rng, n_cap=6000, n=3000, dim=64):
+        cfg = HnswPqConfig(num_subspaces=8, training_samples=512,
+                           use_graph=False, search_mode="scan_pallas_int8",
+                           int8_epilogue="global")
+        idx = HnswPqIndex(dim, n_cap, "l2", cfg)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx.add_batch(range(n), vecs)
+        return idx, vecs
+
+    def test_many_clipped_rows_trigger_rebuild(self, rng):
+        idx, vecs = self._index(rng)
+        qs = vecs[:8]
+        idx.search_batch(qs, 5)
+        assert idx._scan8g_cache is not None
+        sv0 = float(idx._scan8g_cache[2][2])
+        # 128 rows far outside the calibrated range (> max(64, 1% of N))
+        wide = 10.0 * rng.standard_normal((128, 64)).astype(np.float32)
+        idx.add_batch(range(9000, 9128), wide)
+        idx.search_batch(qs, 5)  # incremental update counts clips -> rebuild
+        sv1 = float(idx._scan8g_cache[2][2])
+        assert sv1 > sv0 * 2, (sv0, sv1)
+        assert idx._scan8g_clipped == 0
+        # the wide rows are findable at full fidelity post-rebuild
+        ids, _ = idx.search_batch(wide[:8], 1)
+        assert (ids[:, 0] == np.arange(9000, 9008)).all()
+
+    def test_few_clipped_rows_accumulate_without_rebuild(self, rng):
+        idx, vecs = self._index(rng)
+        idx.search_batch(vecs[:4], 5)
+        sv0 = float(idx._scan8g_cache[2][2])
+        wide = 10.0 * rng.standard_normal((8, 64)).astype(np.float32)
+        idx.add_batch(range(9000, 9008), wide)
+        idx.search_batch(vecs[:4], 5)
+        assert float(idx._scan8g_cache[2][2]) == sv0  # no rebuild
+        assert 0 < idx._scan8g_clipped <= 8

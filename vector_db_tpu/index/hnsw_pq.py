@@ -40,7 +40,7 @@ from ..ops import hnsw_graph as hg
 from ..ops.distance import blocked_knn
 from ..ops.topk import smallest_k
 from .base import DeferInsertMixin, VectorIndex, pad_queries_pow2, pow2
-from .pq import _refine_exact
+from .pq import _refine_exact  # noqa: F401 (re-exported; pq tests import via here)
 
 
 
@@ -161,6 +161,10 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
         self._fast_dirty: Optional[list] = []    # ADC tables (ct/cnorms)
         self._scan8_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
         self._scan8g_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
+        # rows that clipped at +-127 against the cached global sv since the
+        # last full _build_scan8g_shadow (advisor r4: a non-trivial clipped
+        # fraction biases pool selection -> force a rebuild)
+        self._scan8g_clipped: int = 0
         self._scan16_aux = None  # (musq, mean_norm) (l2) / (c0,) (cos)
         # serializes the lazy cache refreshes among CONCURRENT READERS:
         # the incremental update kernels DONATE the previous cache arrays,
@@ -800,17 +804,25 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
                      and self._scan8g_aux is not None) else None)
         if slots is not None:
             base8, off, sv, sgn, cvec = self._scan8g_cache[2]
-            base8, off = _update_scan8g_shadow(
+            base8, off, n_clip = _update_scan8g_shadow(
                 base8, off, st.vectors, st.norms, st.valid,
                 slots, cvec, self._scan8g_aux, sv, self.metric)
-            self._scan8g_cache = (st.vectors, st.valid,
-                                  (base8, off, sv, sgn, cvec))
-        else:
+            self._scan8g_clipped += int(n_clip)
+            if self._scan8g_clipped > max(64, 0.01 * self.store.size()):
+                # advisor r4: too many post-calibration rows clip at
+                # +-127 against the stale global sv — pool selection is
+                # biased; rebuild the shadow to refresh the scale
+                slots = None
+            else:
+                self._scan8g_cache = (st.vectors, st.valid,
+                                      (base8, off, sv, sgn, cvec))
+        if slots is None:
             base8, off, sv, sgn, cvec, aux = _build_scan8g_shadow(
                 st.vectors, st.norms, st.valid, self.metric, 2048)
             self._scan8g_cache = (st.vectors, st.valid,
                                   (base8, off, sv, sgn, cvec))
             self._scan8g_aux = aux
+            self._scan8g_clipped = 0
         self._scan8g_dirty = []
         return self._scan8g_cache[2]
 
@@ -1166,16 +1178,18 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
             )
             cand = cand[:, :refine]
             if self._pending_count > 0:
-                # deferred graph adds: fold the pending slots into the exact
-                # refine pool so results never lag the store
-                pend = self._pending_padded()
-                cand = jnp.concatenate(
-                    [cand, jnp.broadcast_to(pend[None, :],
-                                            (cand.shape[0], pend.shape[0]))],
-                    axis=1)
-            dists, slots = _refine_exact(
-                jnp.asarray(padded), st.vectors, cand, k_pad, self.metric
-            )
+                # deferred graph adds: exact overlay over pending slots with
+                # ONE [Q, P] dot_general merged into the refined top-k
+                # (NEVER broadcast pending into the [Q, R, d] refine gather:
+                # at Q=1024, d=512, P near flush_max that is tens of GB)
+                dists, slots = _graph_refine_pending(
+                    jnp.asarray(padded), st.vectors, st.valid, cand,
+                    self._pending_padded(), k_pad, self.metric,
+                )
+            else:
+                dists, slots = _blocked_rerank(
+                    jnp.asarray(padded), st.vectors, cand, k_pad, self.metric
+                )
             return self._to_external(q_n, k, k_eff, slots, dists)
         i8 = None if self.store.raw else self._int8_refine_store(st)
         i8r = self._int8_resid_store(st)
@@ -1773,7 +1787,14 @@ def _update_scan8g_shadow(base8, off, vectors, norms, valid, slots, cvec,
     sibling of `_update_scan8_shadow`): requantize only the mutated rows
     against the CACHED centering AND the cached global scale ``sv`` — a
     new row wider than the calibrated range clips at +-127 (the next full
-    rebuild refreshes sv; the exact refine absorbs the interim error)."""
+    rebuild refreshes sv; the exact refine absorbs the interim error).
+
+    Also returns the number of distinct live rows in this batch that
+    clipped (|ctr| > 127*sv): the caller accumulates it and forces a full
+    rebuild when the clipped fraction grows non-trivial (advisor r4:
+    clipped rows tie at the range boundary, silently biasing pool
+    selection on offset/wide-range corpora — and the exact refine cannot
+    recover rows the pool never returns)."""
     rows = vectors[slots]
     rnorms = norms[slots]
     rvalid = valid[slots]
@@ -1787,7 +1808,12 @@ def _update_scan8g_shadow(base8, off, vectors, norms, valid, slots, cvec,
         off_s = rnorms + aux - 2.0 * (rows @ cvec)
     r8 = jnp.clip(jnp.round(ctr / sv), -127, 127).astype(jnp.int8)
     off_s = jnp.where(rvalid, off_s, jnp.inf)
-    return (base8.at[slots].set(r8), off.at[slots].set(off_s))
+    # slots is unique + padded by repeating slots[0] (_take_dirty), so a
+    # row is a duplicate pad iff it equals slots[0] at position > 0
+    first = (jnp.arange(slots.shape[0]) == 0) | (slots != slots[0])
+    clipped = jnp.any(jnp.abs(ctr) > 127.0 * sv, axis=1) & rvalid & first
+    return (base8.at[slots].set(r8), off.at[slots].set(off_s),
+            jnp.sum(clipped))
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -2019,6 +2045,45 @@ def _rerank_any(queries, base, cand, k, metric, int8_base, int8_scales,
 
 
 from ..ops.distance import blocked_rerank as _blocked_rerank  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _graph_refine_pending(queries, base, valid, cand, pending, k, metric):
+    """Blocked exact refine of the graph pool + exact overlay over deferred
+    (pending) slots scored with ONE [Q, P] dot_general, merged via top_k.
+
+    Mirrors ops/hnsw_graph.hnsw_search_pending's epilogue.  Pending slots
+    are disjoint from graph nodes, so the merge cannot duplicate ids; the
+    overlay never enters the [Q, R, d] refine gather (advisor r4: that
+    broadcast is tens of GB at Q=1024, d=512, P near flush_max)."""
+    d_g, i_g = _blocked_rerank(queries, base, cand, k, metric)
+    safe = jnp.maximum(pending, 0)
+    pv = base[safe]                                          # [P, d]
+    dots = jax.lax.dot_general(queries, pv, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    if metric == "l2":
+        qn = jnp.sum(queries * queries, axis=1)
+        pn = jnp.sum(pv * pv, axis=1)
+        d_p = jnp.maximum(qn[:, None] + pn[None, :] - 2.0 * dots, 0.0)
+    else:
+        qn = jnp.linalg.norm(queries, axis=1, keepdims=True)
+        pn = jnp.linalg.norm(pv, axis=1)[None, :]
+        d_p = 1.0 - dots / jnp.maximum(qn * pn, 1e-12)
+    ok = (pending >= 0) & valid[safe]
+    d_p = jnp.where(ok[None, :], d_p, jnp.inf)
+    kp = min(k, d_p.shape[1])
+    if d_p.shape[1] > 128:
+        # wide exact top_k is pathological on TPU; the overlay tolerates
+        # the approx reduction (the graph pool still carries exact rows)
+        negp, argp = jax.lax.approx_max_k(-d_p, kp, recall_target=0.99)
+    else:
+        negp, argp = jax.lax.top_k(-d_p, kp)
+    i_p = jnp.where(jnp.isfinite(-negp), pending[argp], -1)
+    cat_d = jnp.concatenate([d_g, -negp], axis=1)
+    cat_i = jnp.concatenate([i_g, i_p], axis=1)
+    neg, arg = jax.lax.top_k(-cat_d, k)
+    out_i = jnp.take_along_axis(cat_i, arg, 1)
+    return -neg, jnp.where(jnp.isfinite(-neg), out_i, -1)
 
 
 @functools.partial(

@@ -47,8 +47,16 @@ _AUTO_TABLE_POOL = 32
 def _popcount(x: np.ndarray) -> np.ndarray:
     """Vectorized popcount of int32 code matrices (advisor r3: the
     bin().count Python loop was the last host inner loop in a search
-    path — np.bitwise_count is ~1000x faster at calibration sizes)."""
-    return np.bitwise_count(x.view(np.uint32))
+    path — np.bitwise_count is ~1000x faster at calibration sizes).
+
+    np.bitwise_count needs NumPy >= 2.0 (advisor r4: pyproject allows
+    1.24+ where the default sign-mode auto-calibration would raise at
+    first search); fall back to an unpackbits popcount on 1.x."""
+    u = x.view(np.uint32)
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(u)
+    bytes_ = u.view(np.uint8).reshape(*u.shape, 4)
+    return np.unpackbits(bytes_, axis=-1).sum(axis=-1).astype(u.dtype)
 
 
 @jax.jit
