@@ -116,6 +116,26 @@ def main():
     log(f"device QPS: {qps:.0f}  ({dt*1000:.2f} ms / {nq}-query batch, "
         f"{reps} serialized reps in one program)")
 
+    # single-query latency through the production program (VERDICT r4 #3):
+    # search_batch pads Q=1 to 8 (pad_queries_pow2 min_q=8) and picks the
+    # small-batch block via _f32_scan_block — this times exactly that
+    # program (reference single-query story: 2,391 QPS / 42 ms at 1/10th
+    # the corpus, PERFORMANCE_EVALUATION_LATEST.md:64-65)
+    blk1 = idx._f32_scan_block(n, 8)
+
+    @jax.jit
+    def q1_loop(q):
+        def body(i, eps):
+            d, _ = exact_scan_search(
+                q + eps, st.vectors, st.norms, st.valid, st.ids, 16, "l2",
+                blk1, cfg.scan_recall_target,
+            )
+            return d[0, 0] * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    dt1 = best_of(q1_loop, qj[:8])
+    log(f"Q=1 device latency: {dt1*1000:.3f} ms (production small-Q path)")
+
     # ---- memory-bound mode (candidate scoring reads ONLY codes+codebooks) --
     # Corpus: power-law eigenspectrum (what real embedding models emit; PQ at
     # 32x on isotropic noise is information-theoretically recall-capped — see
@@ -178,6 +198,9 @@ def main():
         "recall_at_10": round(recall, 4),
         "baseline_recall_at_10": 0.976,
         "build_seconds": round(t_build, 1),
+        # single-query (Q=1) device latency through the production
+        # small-Q path; reference: 42 ms at 1/10th the corpus
+        "q1_latency_ms": round(dt1 * 1000, 3),
         # memory-bound mode: candidate scoring reads only codes + codebooks
         # (raw rows touched only in the top-128 exact refine), power-law
         # corpus, same 512d x 100k x 32x shapes

@@ -509,6 +509,34 @@ class TestShardedCompressedTier:
         assert rec >= 0.97, rec
         assert (d[:, :-1] <= d[:, 1:] + 1e-5).all()
 
+    def test_fused_scan_raw_tier_int8g(self, mesh):
+        """search_fused with int8_epilogue="global": per-shard global-scale
+        shadows + the integer-epilogue kernel (sharded_fused_raw8g — the
+        multi-chip HnswPqConfig.int8_epilogue analog, r5)."""
+        rng = np.random.default_rng(35)
+        n, dim = 2048, 64
+        vecs = (rng.standard_normal((n, dim)) + 2.0).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n,
+                                int8_epilogue="global")
+        db.add_batch(np.arange(n), vecs)
+        q = (rng.standard_normal((32, dim)) + 2.0).astype(np.float32)
+        ext, d = db.search_fused(q, 10)
+        gt = self._gt(vecs, q)
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(32)])
+        assert rec >= 0.97, rec
+        assert (d[:, :-1] <= d[:, 1:] + 1e-5).all()
+        # mutation invalidates the conditioning cache; the refreshed
+        # shadow must not resurface removed rows
+        db.remove(0)
+        ext2, _ = db.search_fused(vecs[:1], 1)
+        assert ext2[0, 0] != 0
+
+    def test_int8_epilogue_validated(self, mesh):
+        with pytest.raises(ValueError, match="int8_epilogue"):
+            sh.ShardedDatabase(mesh, dim=32, capacity=256,
+                               int8_epilogue="bogus")
+
 
 class TestShardedResidualRefine:
     """refine_residual=True on the multi-chip compressed tier: second-level

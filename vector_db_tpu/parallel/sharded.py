@@ -356,6 +356,76 @@ def sharded_fused_raw8(mesh: Mesh, k: int, pool: int, w: int,
     )
 
 
+def sharded_cond_raw8g(mesh: Mesh, metric: str = "l2"):
+    """Per-shard GLOBAL-scale int8 shadow for the raw tier's
+    integer-epilogue fused scan (index/hnsw_pq._build_scan8g_shadow run
+    shard-locally): each chip calibrates ONE quantization scale over its
+    own shard — shards may differ, which is fine because the cross-shard
+    merge happens on exact f32 refined distances.
+
+    fn: (vectors [N,d], norms [N], valid [N])
+        -> (base8 [N,d] i8, off [N], sv [n_shards], center [S, d]).
+    """
+
+    def local(v_s, norms_s, valid_s):
+        from ..index.hnsw_pq import _build_scan8g_shadow
+
+        base8, off, sv, _sgn, cvec, _aux = _build_scan8g_shadow(
+            v_s, norms_s, valid_s, metric, 128)
+        return base8, off, sv[None], cvec[None, :]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS, None)),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_fused_raw8g(mesh: Mesh, k: int, pool: int, w: int,
+                        metric: str = "l2"):
+    """Integer-epilogue variant of `sharded_fused_raw8` (the multi-chip
+    analog of HnswPqConfig.int8_epilogue="global"): per chip the
+    global-scale pool kernel (ops/pallas_kernels.fused_int8g_pool) ranks
+    its shard in raw i32 — 4 VPU ops per [Q, N] element instead of 7 —
+    then the exact f32 refine and the winners-only ICI merge are
+    identical to the per-row route.
+
+    fn: (q [Q,d], base [N,d] f32, base8 [N,d] i8, off [N],
+         sv [n_shards], center [S,d]) -> (dists [Q,k], global slots).
+    """
+    sgn = 2.0 if metric == "l2" else 1.0
+
+    def local(q, v_s, b8_s, off_s, sv_s, cvec_s):
+        from ..ops.distance import blocked_rerank, normalize_rows
+        from ..ops.pallas_kernels import fused_int8g_pool
+
+        qq = normalize_rows(q) if metric == "cosine" else q
+        qc = qq - cvec_s[0][None, :]
+        vals, idx = fused_int8g_pool(qc, b8_s, off_s, sv_s[0], sgn, w)
+        nv, sel = jax.lax.approx_max_k(-vals, pool, recall_target=0.95)
+        cand = jnp.take_along_axis(idx, sel, axis=1)
+        cand = jnp.where(jnp.isfinite(nv), cand, -1)
+        d, slots = blocked_rerank(q, v_s, cand, k, metric, rb=pool)
+        gslots = jnp.where(
+            slots >= 0, slots + jax.lax.axis_index(AXIS) * v_s.shape[0], -1)
+        return _merge_topk(d, gslots, k)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                      P(AXIS, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_fused_int8(mesh: Mesh, k: int, pool: int, w: int,
                        metric: str = "l2", residual: bool = False):
     """Corpus-sharded fused s8 x s8 scan over the compressed tier: per chip
@@ -769,7 +839,8 @@ class ShardedDatabase:
                  perm: np.ndarray | None = None,
                  raw_store: bool = True,
                  refine_residual: bool = False,
-                 host_mirror: bool = True):
+                 host_mirror: bool = True,
+                 int8_epilogue: str = "per_row"):
         """`perm`: the variance-balancing dimension permutation the imported
         `codes`/`codebooks` were trained under.  Codebooks exported from a
         default-config single-chip index (HnswPqConfig/PqConfig default
@@ -800,6 +871,13 @@ class ShardedDatabase:
         # the near-exact int8 scan, search_flagship the codes + int8-refine
         # program.  See HnswPqConfig.raw_store for the single-chip analog.
         self.raw = raw_store
+        if int8_epilogue not in ("per_row", "global"):
+            raise ValueError(f"int8_epilogue={int8_epilogue!r}")
+        # raw tier only: "global" routes search_fused through the
+        # integer-epilogue kernel (sharded_fused_raw8g; the multi-chip
+        # HnswPqConfig.int8_epilogue analog).  The compressed tier's packed
+        # kernel has its own conditioning and ignores this knob.
+        self.int8_epilogue = int8_epilogue
         if not raw_store and dim % 4 != 0:
             raise ValueError("raw_store=False requires dim % 4 == 0")
         if refine_residual and raw_store:
@@ -1401,9 +1479,12 @@ class ShardedDatabase:
         if cond is None or cond[0] is not rows or cond[1] is not self.valid:
             fn = self._knn_cache.get("cond8")
             if fn is None:
-                fn = (sharded_cond_raw8(self.mesh, metric=self.metric)
-                      if self.raw else
-                      sharded_cond_int8(self.mesh, metric=self.metric))
+                if self.raw:
+                    fn = (sharded_cond_raw8g(self.mesh, metric=self.metric)
+                          if self.int8_epilogue == "global" else
+                          sharded_cond_raw8(self.mesh, metric=self.metric))
+                else:
+                    fn = sharded_cond_int8(self.mesh, metric=self.metric)
                 self._knn_cache["cond8"] = fn
             built = (fn(self.vectors, self.norms, self.valid) if self.raw
                      else fn(self.packed, self.scales, self.norms,
@@ -1415,15 +1496,19 @@ class ShardedDatabase:
         from ..ops.pallas_kernels import preserved_pool_width
 
         w = preserved_pool_width(self.per_shard)
-        key = ("fused8", k, pool, w, self.residual)
+        key = ("fused8", k, pool, w, self.residual, self.int8_epilogue)
         fn = self._knn_cache.get(key)
         if fn is None:
-            fn = (sharded_fused_raw8(self.mesh, k, pool=min(pool, w), w=w,
-                                     metric=self.metric)
-                  if self.raw else
-                  sharded_fused_int8(self.mesh, k, pool=min(pool, w), w=w,
-                                     metric=self.metric,
-                                     residual=self.residual))
+            if self.raw:
+                mk = (sharded_fused_raw8g
+                      if self.int8_epilogue == "global" else
+                      sharded_fused_raw8)
+                fn = mk(self.mesh, k, pool=min(pool, w), w=w,
+                        metric=self.metric)
+            else:
+                fn = sharded_fused_int8(self.mesh, k, pool=min(pool, w),
+                                        w=w, metric=self.metric,
+                                        residual=self.residual)
             self._knn_cache[key] = fn
         qj = jnp.asarray(queries, jnp.float32)
         if self.raw:
