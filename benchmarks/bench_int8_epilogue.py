@@ -148,14 +148,17 @@ def main():
     ids = jnp.arange(n, dtype=jnp.int32)
     pool = 64
 
-    def e2e8(q, b, o, s, c, eps):
-        d, _ = pallas_scan8_refine(q + eps, vj, b, o, s, c, ids, k, "l2",
+    # corpus-sized operands ride the jit boundary as ARGS (a closed-over
+    # 2 GB vj becomes a captured constant -> minutes of remote compile /
+    # HTTP 413; observed r5)
+    def e2e8(q, v, ii, b, o, s, c, eps):
+        d, _ = pallas_scan8_refine(q + eps, v, b, o, s, c, ii, k, "l2",
                                    pool=pool, w=w)
         return d[0, 0]
 
-    def e2eg(q, b, o, s, c, eps):
-        d, _ = pallas_scan8g_refine(q + eps, vj, b, o, s, float(sgng), c,
-                                    ids, k, "l2", pool=pool, w=w)
+    def e2eg(q, v, ii, b, o, s, c, eps):
+        d, _ = pallas_scan8g_refine(q + eps, v, b, o, s, float(sgng), c,
+                                    ii, k, "l2", pool=pool, w=w)
         return d[0, 0]
 
     def rec_e(e):
@@ -166,12 +169,12 @@ def main():
 
     _, e8 = pallas_scan8_refine(qj, vj, b8, off8, sc8, cv8, ids, k, "l2",
                                 pool=pool, w=w)
-    dt = timed(e2e8, qj, b8, off8, sc8, cv8)
+    dt = timed(e2e8, qj, vj, ids, b8, off8, sc8, cv8)
     log(f"e2e per-row: recall={rec_e(e8):.4f}  {dt*1e3:.2f} ms  "
         f"{nq/dt:,.0f} QPS")
     _, eg = pallas_scan8g_refine(qj, vj, bg, offg, svg, float(sgng), cvg,
                                  ids, k, "l2", pool=pool, w=w)
-    dtg2 = timed(e2eg, qj, bg, offg, svg, cvg)
+    dtg2 = timed(e2eg, qj, vj, ids, bg, offg, svg, cvg)
     log(f"e2e global:  recall={rec_e(eg):.4f}  {dtg2*1e3:.2f} ms  "
         f"{nq/dtg2:,.0f} QPS  (x{dt/dtg2:.2f} vs per-row)")
 

@@ -25,7 +25,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+if "--cpu" in sys.argv:
+    # CPU smoke of the script plumbing (kernels run in interpret mode);
+    # env vars alone cannot force CPU under the axon plugin (CLAUDE.md)
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, ".")
@@ -35,22 +42,27 @@ def log(*a):
     print(*a, flush=True)
 
 
-def timed(fn, q, reps=50, passes=3):
-    """Best-of-passes serialized in-jit loop (CLAUDE.md timing protocol)."""
+def timed(fn, q, arrays=(), reps=50, passes=3):
+    """Best-of-passes serialized in-jit loop (CLAUDE.md timing protocol).
+
+    Corpus-sized operands MUST ride ``arrays`` (explicit jit args): a
+    closed-over device array becomes a captured CONSTANT, and for Pallas
+    programs the remote compiler rejects the serialized payload with
+    HTTP 413 (observed r5: the bf16-shadow variants at 100k x 512)."""
 
     @jax.jit
-    def loop(qq):
+    def loop(qq, *arrs):
         def body(i, eps):
-            d = fn(qq + eps)
+            d = fn(qq + eps, *arrs)
             return d.reshape(-1)[0] * 1e-30
 
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    _ = float(loop(q))  # compile + warm
+    _ = float(loop(q, *arrays))  # compile + warm
     best = float("inf")
     for _ in range(passes):
         t0 = time.time()
-        _ = float(loop(q))
+        _ = float(loop(q, *arrays))
         best = min(best, (time.time() - t0) / reps)
     return best
 
@@ -88,39 +100,47 @@ def main(dim=512, n=100_000):
     base8, off8, sc8, cvec8 = idx._scan8_shadow(st)
     w = min(2048, cap)
 
-    def small_pool_variant(pool_kernel, shadow, off, sc, cvec, q_tile):
-        """pallas_scan*_refine body with an explicit q_tile."""
+    def small_pool_variant(pool_kernel, q_tile):
+        """pallas_scan*_refine body with an explicit q_tile; shadow arrays
+        arrive as jit args (base, shadow, off, sc, cvec)."""
 
-        @functools.partial(jax.jit, static_argnames=())
-        def f(q):
+        def f(q, base, shadow, off, sc, cvec):
             qc = q - cvec[None, :]
             vals, pidx = pool_kernel(qc, shadow, off, sc, w=w,
                                      q_tile=q_tile)
             nv, sel = jax.lax.approx_max_k(-vals, 64, recall_target=0.95)
             cand = jnp.take_along_axis(pidx, sel, axis=1)
             cand = jnp.where(jnp.isfinite(nv), cand, -1)
-            d, _ = blocked_rerank(q, st.vectors, cand, k, "l2", rb=64)
+            d, _ = blocked_rerank(q, base, cand, k, "l2", rb=64)
             return d
 
         return f
 
+    # (fn, corpus-sized args) — args ride the jit boundary, never closures
     paths = {
-        "scan_exact": lambda q: exact_scan_search(
-            q, st.vectors, st.norms, st.valid, st.ids, k, "l2",
-            idx._f32_scan_block(cap, 8), 0.99)[0],
-        "scan_bf16": lambda q: bf16_scan_refine(
-            q, st.vectors, st.norms, st.valid, st.ids, k, "l2", 64,
-            0.99, block_n=0)[0],
-        "pallas_bf16": lambda q: pallas_scan_refine(
-            q, st.vectors, base16, off16, sc16, cvec16, st.ids, k, "l2",
-            pool=64, w=w)[0],
-        "pallas_bf16_q32": small_pool_variant(
-            fused_raw_pool, base16, off16, sc16, cvec16, 32),
-        "pallas_int8": lambda q: pallas_scan8_refine(
-            q, st.vectors, base8, off8, sc8, cvec8, st.ids, k, "l2",
-            pool=64, w=w)[0],
-        "pallas_int8_q32": small_pool_variant(
-            fused_int8_pool, base8, off8, sc8, cvec8, 32),
+        "scan_exact": (
+            lambda q, v, nr, va, ii: exact_scan_search(
+                q, v, nr, va, ii, k, "l2",
+                idx._f32_scan_block(cap, 8), 0.99)[0],
+            (st.vectors, st.norms, st.valid, st.ids)),
+        "scan_bf16": (
+            lambda q, v, nr, va, ii: bf16_scan_refine(
+                q, v, nr, va, ii, k, "l2", 64, 0.99, block_n=0)[0],
+            (st.vectors, st.norms, st.valid, st.ids)),
+        "pallas_bf16": (
+            lambda q, v, b, o, s, c: pallas_scan_refine(
+                q, v, b, o, s, c, st.ids, k, "l2", pool=64, w=w)[0],
+            (st.vectors, base16, off16, sc16, cvec16)),
+        "pallas_bf16_q32": (
+            small_pool_variant(fused_raw_pool, 32),
+            (st.vectors, base16, off16, sc16, cvec16)),
+        "pallas_int8": (
+            lambda q, v, b, o, s, c: pallas_scan8_refine(
+                q, v, b, o, s, c, st.ids, k, "l2", pool=64, w=w)[0],
+            (st.vectors, base8, off8, sc8, cvec8)),
+        "pallas_int8_q32": (
+            small_pool_variant(fused_int8_pool, 32),
+            (st.vectors, base8, off8, sc8, cvec8)),
     }
 
     # graph traversal over the same corpus (exact distances, raw store)
@@ -132,35 +152,22 @@ def main(dim=512, n=100_000):
     gst = gidx.store.state
 
     def graph_path(ef):
-        def f(q):
-            d, _ = hg.hnsw_search(gidx.graph, gst.vectors, gst.norms,
-                                  gst.valid, q, k, ef)
+        def f(q, base, norms, valid):
+            d, _ = hg.hnsw_search(gidx.graph, base, norms, valid, q, k, ef)
             return d
 
         return f
 
-    paths["graph_ef64"] = graph_path(64)
-    paths["graph_ef128"] = graph_path(128)
-
-    # recall sanity at Q=256 (shared ground truth)
-    from vector_db_tpu.ops.distance import blocked_knn
-
-    q256 = gen(jax.random.PRNGKey(7), (256, dim))
-    _, gt = blocked_knn(q256, vj, jnp.ones(n, bool), 10, block_n=16384)
-    gt = np.asarray(gt)
+    garrs = (gst.vectors, gst.norms, gst.valid)
+    paths["graph_ef64"] = (graph_path(64), garrs)
+    paths["graph_ef128"] = (graph_path(128), garrs)
 
     results = {}
-    for name, fn in paths.items():
-        try:
-            d = np.asarray(fn(q256)) if name.startswith("graph") else None
-        except Exception:
-            d = None
-        # recall via the slots/ids the paths return is mode-specific; skip
-        # here (shipped paths have benched recall) — this bench is latency.
+    for name, (fn, arrays) in paths.items():
         for qn in (1, 8):
             q = gen(jax.random.PRNGKey(100 + qn), (max(qn, 8), dim))
             try:
-                dt = timed(fn, q)
+                dt = timed(fn, q, arrays)
             except Exception as e:  # noqa: BLE001
                 log(f"{name} Q={qn}: FAILED {type(e).__name__}: {e}")
                 continue

@@ -171,6 +171,27 @@ def main():
     log(f"- auto mode: recall {rec(ids, gts5, k):.2%}, {qps5:,.0f} QPS (device)"
         f"  [reference: 97.60% @ 2,391 QPS]")
     log(f"- vs reference: {qps5/2391:.1f}x QPS at higher recall")
+
+    # single-query latency through the production small-Q program (VERDICT
+    # r4 #3): search_batch pads Q=1 to 8 and picks small-batch blocks via
+    # _f32_scan_block — bench_small_q.py (r5) measured the alternatives
+    # (pallas bf16/int8 pools, graph descent) slower or equal
+    blk1 = flag._f32_scan_block(n5, 8)
+
+    @jax.jit
+    def q1_loop(q):
+        def body(i, eps):
+            d, _ = exact_scan_search(q + eps, st.vectors, st.norms,
+                                     st.valid, st.ids, 16, "l2", blk1, 0.99)
+            return d[0, 0] * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    _ = float(q1_loop(qj5[:8]))
+    t0 = time.time(); _ = float(q1_loop(qj5[:8]))
+    dt1 = (time.time() - t0) / reps
+    log(f"- single-query (Q=1) device latency: {dt1*1e3:.2f} ms at 100% "
+        f"R@10 through the production small-Q path (r5; target <=1.5 ms) "
+        f" [reference: 42 ms per query at 1/10th the corpus]")
     log()
 
     # ---------------- config 6: LSH 512d x 100k ---------------------------

@@ -21,6 +21,7 @@ stronger than the reference, which may miss pending items in tree routing.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -31,6 +32,16 @@ from ..api.config import AnnoyConfig
 from ..core.store import VectorStore
 from ..ops.distance import blocked_knn
 from .base import VectorIndex, pad_queries_pow2, pow2
+
+logger = logging.getLogger(__name__)
+
+# Random-projection trees lose discrimination as dimension grows: measured
+# honest Recall@10 (backfill off) is 98.3% at 128d x 10k but 36.6% at
+# 512d x 100k even with the wide descent beam (benchmarks r5; the
+# reference's Annoy has the same failure mode, just unmeasured).  Above
+# this dim the index warns once and recommends HNSWPQ/LSH — mirroring
+# _auto_scan_mode's honesty about regime boundaries.
+HIGH_DIM_THRESHOLD = 256
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "beam"))
@@ -247,6 +258,7 @@ class AnnoyIndex(VectorIndex):
         self._max_depth = 1
         self._backfill_rows = 0
         self._backfill_queries = 0
+        self._warned_high_dim = False
 
     # ------------------------------------------------------------- mutation
     def add_batch(self, ids: Sequence[int], vectors: np.ndarray) -> list[int]:
@@ -276,6 +288,13 @@ class AnnoyIndex(VectorIndex):
         per-node medians — instead of a per-node Python recursion (~25k
         Python frames/tree at 100k rows; the recursive builder measured
         ~8 min at 512d x 100k x 10 trees, this one ~8 s)."""
+        if self.dim > HIGH_DIM_THRESHOLD and not self._warned_high_dim:
+            self._warned_high_dim = True
+            logger.warning(
+                "AnnoyIndex at dim=%d: random-projection trees lose "
+                "discrimination at high dimension (measured honest "
+                "Recall@10: 98%% at 128d, 37%% at 512d) — prefer HNSWPQ "
+                "or LSH for dim > %d", self.dim, HIGH_DIM_THRESHOLD)
         valid = np.asarray(self.store.state.valid)
         live = np.flatnonzero(valid)
         self._pending.clear()
@@ -412,6 +431,7 @@ class AnnoyIndex(VectorIndex):
             max_depth=self._max_depth,
             backfill_rows=self._backfill_rows,
             backfill_queries=self._backfill_queries,
+            high_dim=self.dim > HIGH_DIM_THRESHOLD,
         )
         return s
 
