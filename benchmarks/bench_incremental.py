@@ -33,14 +33,23 @@ def run_stream(vecs_np, dim, n, batch, policy, tag):
     from vector_db_tpu.index.hnsw import HnswIndex
 
     idx = HnswIndex(dim, n, "l2", HnswConfig(m=32, insert_policy=policy))
+    lats = []  # per-add_batch wall latency: the synchronous defer-flush
+    # spike lands on whichever call crosses the threshold (VERDICT r4
+    # weak #4) — p99/max expose it
     t0 = time.time()
     for s in range(0, n, batch):
+        ta = time.time()
         idx.add_batch(range(s, s + batch), vecs_np[s:s + batch])
+        lats.append(time.time() - ta)
     idx.flush_pending()
     dt = time.time() - t0
+    lats_ms = 1000.0 * np.asarray(lats)
     log(f"{tag} [{policy}] {n} adds in batches of {batch}: "
-        f"{dt:.1f}s = {1000 * dt / n:.3f} ms/vec")
-    return idx, dt
+        f"{dt:.1f}s = {1000 * dt / n:.3f} ms/vec  per-call latency "
+        f"p50={np.percentile(lats_ms, 50):.1f} "
+        f"p99={np.percentile(lats_ms, 99):.1f} "
+        f"max={lats_ms.max():.1f} ms")
+    return idx, dt, lats_ms
 
 
 def recall_at10(idx, q_np, gt):
@@ -69,7 +78,8 @@ def main(dim=512, n=10_000, batch=100):
 
     # cold pass populates the compile cache; warm pass is the number
     run_stream(vecs_np, dim, n, batch, "defer", "cold")
-    idx, t_warm = run_stream(vecs_np, dim, n, batch, "defer", "warm")
+    idx, t_warm, lats_ms = run_stream(vecs_np, dim, n, batch, "defer",
+                                      "warm")
     r_inc = recall_at10(idx, q_np, gt)
 
     # rebuilt-graph baseline (bulk exact-kNN build)
@@ -88,6 +98,9 @@ def main(dim=512, n=10_000, batch=100):
     log(f"RESULT incremental_ms_per_vec={1000 * t_warm / n:.3f} "
         f"recall_inc={r_inc:.4f} recall_rebuilt={r_reb:.4f} "
         f"rebuild_s={t_reb:.1f} "
+        f"add_p50_ms={np.percentile(lats_ms, 50):.1f} "
+        f"add_p99_ms={np.percentile(lats_ms, 99):.1f} "
+        f"add_max_ms={lats_ms.max():.1f} "
         f"ref_native_ms_per_vec=0.484")
 
 
