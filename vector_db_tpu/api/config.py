@@ -386,7 +386,9 @@ class AnnoyConfig:
     # (128d x 10k) vs 80% at 10 trees/beam 64 — the reference's published
     # 85% leans on its random-fill (README.md:225-232)
     leaf_size: int = 16
-    search_k: int = 0  # descent beam per tree; 0 -> 128 (see AnnoyIndex
-    # search: beam 64 -> 80%, 96 -> 97.4%, 128 -> 97.8% honest @ 12 trees)
+    search_k: int = 0  # descent beam per tree; 0 -> auto: 128, widened to
+    # 512 above dim 256 (see AnnoyIndex search: beam 64 -> 80%, 96 ->
+    # 97.4%, 128 -> 97.8% honest @ 12 trees/128d; at 512d x 100k beam
+    # 128 -> 36.6%, 512 -> 82.3% — r5)
     backfill: bool = True  # exact-scan fill when the forest yields < k
     # candidates; False -> honest forest-only results (-1 padded rows)

@@ -293,8 +293,10 @@ class AnnoyIndex(VectorIndex):
             logger.warning(
                 "AnnoyIndex at dim=%d: random-projection trees lose "
                 "discrimination at high dimension (measured honest "
-                "Recall@10: 98%% at 128d, 37%% at 512d) — prefer HNSWPQ "
-                "or LSH for dim > %d", self.dim, HIGH_DIM_THRESHOLD)
+                "Recall@10 at 512d x 100k: 37%% at beam 128; the auto "
+                "default widens the descent beam to 512 for ~82%% at "
+                "materially lower QPS) — prefer HNSWPQ or LSH for "
+                "dim > %d", self.dim, HIGH_DIM_THRESHOLD)
         valid = np.asarray(self.store.state.valid)
         live = np.flatnonzero(valid)
         self._pending.clear()
@@ -366,7 +368,13 @@ class AnnoyIndex(VectorIndex):
             # README.md:225-232).  The default must match AnnoyConfig's
             # documented 0 -> 128 (round-4: the 64 here was the whole gap
             # between the 80.6% BENCH row and the config's tuned numbers).
-            beam = max(4, self.config.search_k or 128)
+            # High dim: trees lose discrimination, so the auto default
+            # widens the beam (measured honest R@10 at 512d x 100k:
+            # beam 128 -> 36.6%, 256 -> 57.7%, 512 -> 82.3% — r5); QPS
+            # drops accordingly, and the build() warning still points at
+            # HNSWPQ/LSH as the right tools there.
+            auto_beam = 512 if self.dim > HIGH_DIM_THRESHOLD else 128
+            beam = max(4, self.config.search_k or auto_beam)
             leaf_nodes = _descend(
                 qj, self.hyperplanes, self.thresholds, self.children,
                 jnp.zeros((self.config.num_trees,), jnp.int32),
