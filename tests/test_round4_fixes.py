@@ -361,16 +361,16 @@ class TestAnnoyDefaultBeam:
     the fixed default (reference publishes 85% WITH random-fill)."""
 
     def test_default_beam_is_128(self, rng):
-        from vector_db_tpu.api.config import AnnoyConfig
+        """Round-5 update: search_k=0 resolves through auto_beam — still
+        128 at/below dim 256 (the reference config), 512 above (see
+        tests/test_round5_fixes.py::test_auto_beam_widens_at_high_dim)."""
+        import inspect
+
         from vector_db_tpu.index.annoy import AnnoyIndex
 
-        n, dim = 2048, 32
-        idx = AnnoyIndex(dim, n, "l2", AnnoyConfig(backfill=False))
-        idx.add_batch(range(n), rng.uniform(-1, 1, (n, dim)).astype(np.float32))
-        idx.build()
-        import inspect
         src = inspect.getsource(AnnoyIndex.search_batch)
-        assert "search_k or 128" in src
+        assert "search_k or auto_beam" in src
+        assert "512 if self.dim > HIGH_DIM_THRESHOLD else 128" in src
 
     def test_honest_recall_at_scaled_reference_config(self, rng):
         from vector_db_tpu.api.config import AnnoyConfig
