@@ -122,6 +122,37 @@ def main():
         log(f"bf16 full-row pool={pool}: R@10={rec(e, 10):.4f}  "
             f"{dt*1e3:.2f} ms  {nq/dt:,.0f} QPS")
 
+    # ---- pre-masked norms: does the where(valid) cost an HBM pass? -------
+    # Fold the validity mask into the norms vector ONCE (O(N) per mutation
+    # epoch if productized) so the [Q, N] program is matmul + adds +
+    # approx_max_k with no select.  If this beats the shipped one-call
+    # (2.3 ms), the where is a real [Q, N] pass XLA fails to fuse; if
+    # neutral, the mask is fused free and the remaining gap to the ~1.2 ms
+    # HBM floor is the f32 buffer round-trip (the bf16 rows above).
+    masked_norms = jnp.where(valid, norms, jnp.inf)
+
+    def runm(q, base, mn, eps):
+        qn2 = jnp.sum((q + eps) * (q + eps), axis=1)
+        d = (qn2[:, None] + mn[None, :]
+             - 2.0 * jax.lax.dot_general((q + eps), base,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32))
+        neg, idx = jax.lax.approx_max_k(-d, 16, recall_target=0.99)
+        return -neg[0, 0]
+
+    dtm = timed(runm, qj, vj, masked_norms)
+    log(f"pre-masked norms one-call f32: {dtm*1e3:.2f} ms  "
+        f"{nq/dtm:,.0f} QPS  (shipped one-call reference above)")
+
+    # retime the shipped path same-process for an honest A/B anchor
+    def runs(q, base, v, nr, eps):
+        d, e = exact_scan_search(q + eps, base, nr, v, ids, 16, "l2",
+                                 bn, 0.99)
+        return d[0, 0]
+
+    dts = timed(runs, qj, vj, valid, norms)
+    log(f"shipped one-call retime: {dts*1e3:.2f} ms  {nq/dts:,.0f} QPS")
+
 
 if __name__ == "__main__":
     main()
