@@ -155,6 +155,32 @@ class TestAnnoyHighDimWarning:
                 rng.standard_normal((4, dim)).astype(np.float32), 5)
             assert seen["beam"] == want, (dim, seen)
 
+    def test_wide_candidate_rerank_matches_narrow(self, rng):
+        """C > 8192 routes through blocked_rerank (the high-dim auto beam
+        yields ~196k-wide unions; the one-shot [Q, C, d] gather and the
+        full-row exact top_k are pathological there) — results must match
+        the narrow path on the same candidate set."""
+        from vector_db_tpu.index.annoy import _rerank
+
+        n, d, q_n, k = 4096, 16, 8, 5
+        base = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((q_n, d)).astype(np.float32)
+        norms = (base ** 2).sum(1)
+        valid = np.ones(n, bool)
+        valid[7] = False
+        cand_small = rng.integers(0, n, size=(q_n, 4096)).astype(np.int32)
+        cand_small[:, -5:] = -1
+        pad = np.full((q_n, 16384 - 4096), -1, np.int32)
+        cand_wide = np.concatenate([cand_small, pad], axis=1)
+        args = (jnp.asarray(qs), jnp.asarray(base), jnp.asarray(norms),
+                jnp.asarray(valid))
+        d_n, s_n = _rerank(*args, jnp.asarray(cand_small), k)
+        d_w, s_w = _rerank(*args, jnp.asarray(cand_wide), k)
+        assert (np.asarray(s_n) == np.asarray(s_w)).all()
+        np.testing.assert_allclose(np.asarray(d_n), np.asarray(d_w),
+                                   rtol=1e-5, atol=1e-5)
+        assert 7 not in set(np.asarray(s_w).ravel().tolist())
+
     def test_low_dim_silent(self, rng, caplog):
         from vector_db_tpu.api.config import AnnoyConfig
         from vector_db_tpu.index.annoy import AnnoyIndex

@@ -110,6 +110,15 @@ def _rerank(queries, base, norms, valid, cand, k, metric="l2"):
     cand = jnp.where(dup, -1, cand)
     safe = jnp.maximum(cand, 0)
     ok = (cand >= 0) & valid[safe]
+    if c > 8192:
+        # wide unions (high-dim auto beam 512 -> ~196k candidates at 12
+        # trees): the one-shot [Q, C, d] gather and the full-row exact
+        # top_k are both pathological at this width (CLAUDE.md) — stream
+        # blocks with a running top-k merge instead
+        from ..ops.distance import blocked_rerank
+
+        return blocked_rerank(queries, base, jnp.where(ok, cand, -1), k,
+                              metric, rb=2048)
     vecs = base[safe]
     q_norms = jnp.sum(queries * queries, axis=1)
     cross = jnp.einsum("qd,qcd->qc", queries, vecs,
