@@ -532,6 +532,22 @@ class TestShardedCompressedTier:
         ext2, _ = db.search_fused(vecs[:1], 1)
         assert ext2[0, 0] != 0
 
+    def test_fused_scan_raw_tier_int8g_cosine(self, mesh):
+        rng = np.random.default_rng(38)
+        n, dim = 2048, 64
+        vecs = (rng.standard_normal((n, dim)) + 3.0).astype(np.float32)
+        db = sh.ShardedDatabase(mesh, dim=dim, capacity=n, metric="cosine",
+                                int8_epilogue="global")
+        db.add_batch(np.arange(n), vecs)
+        q = (rng.standard_normal((16, dim)) + 3.0).astype(np.float32)
+        ext, _ = db.search_fused(q, 10)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        gt = np.argsort(1.0 - qn @ vn.T, 1)[:, :10]
+        rec = np.mean([len(set(ext[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(16)])
+        assert rec >= 0.9, rec
+
     def test_int8_epilogue_validated(self, mesh):
         with pytest.raises(ValueError, match="int8_epilogue"):
             sh.ShardedDatabase(mesh, dim=32, capacity=256,
