@@ -272,3 +272,32 @@ class TestScan8gClipRebuild:
         idx.search_batch(vecs[:4], 5)
         assert float(idx._scan8g_cache[2][2]) == sv0  # no rebuild
         assert 0 < idx._scan8g_clipped <= 8
+
+
+class TestHighDimLargeNBeam:
+    """r5: the adaptive ef policy widens past 20k rows at high dim.
+
+    Measured at 512d x 50k uniform (the A8 worst cell), one v5e chip,
+    Q=100: ef 352 -> 75.0% R@10 (4.4 s), 768 -> 88.7% (3.9 s), 1024 ->
+    92.8% (4.9 s) — beam cost is nearly flat in ef, so the 128d-tuned
+    400 cap was leaving ~14pt of recall on the table.
+    """
+
+    def test_wide_beam_at_high_dim_large_n(self):
+        from vector_db_tpu.api.config import HnswConfig
+
+        cfg = HnswConfig()
+        assert cfg.ef_for_query(16, 50_000, dim=512) == 768
+        assert cfg.ef_for_query(16, 50_000, dim=256) == 512
+        # 10k cells keep the round-3 policy (95.5% measured at ef=288)
+        assert cfg.ef_for_query(16, 10_000, dim=512) == 288
+        # low dim unaffected at any N
+        assert cfg.ef_for_query(16, 50_000, dim=128) == 128
+        assert cfg.ef_for_query(100, 100_000, dim=0) == 400
+
+    def test_java_4k_floor_never_clipped_by_adaptive_cap(self):
+        from vector_db_tpu.api.config import HnswConfig
+
+        cfg = HnswConfig()
+        # k_pad=128 (the K=100 sweep): k*mult=768 must not clip at 400
+        assert cfg.ef_for_query(128, 10_000, dim=128) >= 4 * 128

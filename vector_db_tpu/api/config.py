@@ -148,7 +148,11 @@ class HnswConfig:
         discrimination (hubness): measured at 512d x 10k / k=10, ef=60
         scored 84.1% Recall@10 while ef=256 scored 95.1% (the BASELINE.md
         >=95% config target) — the log-N policy alone is tuned for the
-        reference's 128d benchmarks and is too lean above ~256d.
+        reference's 128d benchmarks and is too lean above ~256d.  Past 20k
+        rows at high dim the floor rises again (512/768) and the cap lifts
+        to 1024: the TPU beam's cost is nearly flat in ef while recall at
+        the A8 worst cell (512d x 50k uniform) goes 75.0% -> 88.7% (see the
+        inline measurements below).
         """
         if self.ef_search > 0:
             return max(self.ef_search, 4 * k)
@@ -171,6 +175,21 @@ class HnswConfig:
             if n > 20000:
                 floor += 64
         cap = 300 if n <= 10000 else 400
+        if dim >= 256:
+            # High dim + large N is where greedy descent loses the most
+            # discrimination (hubness), and the TPU beam's cost is nearly
+            # FLAT in ef (gather/dispatch-bound): measured at 512d x 50k
+            # uniform (the A8 worst cell), Q=100 on one v5e — ef 352 ->
+            # 75.0% R@10 in 4.4 s, 768 -> 88.7% in 3.9 s, 1024 -> 92.8%
+            # in 4.9 s.  So past 20k rows the beam widens to 768 (>=384d;
+            # 512 at 256-383d where hubness is milder) instead of clipping
+            # at the native reference's 128d-tuned 400 cap.
+            cap = 1024 if n > 10000 else cap
+            if n > 20000:
+                floor = max(floor, 768 if dim >= 384 else 512)
+        # never clip an adaptive beam under the Java reference's fixed-mode
+        # floor max(ef, 4k) (index/HnswIndex.java:347)
+        cap = max(cap, 4 * k)
         return min(max(ef, floor), max(cap, floor))
 
 
