@@ -28,11 +28,12 @@ def log(*a):
     print(*a, flush=True)
 
 
-def run_stream(vecs_np, dim, n, batch, policy, tag):
+def run_stream(vecs_np, dim, n, batch, policy, tag, flush_chunk=0):
     from vector_db_tpu.api.config import HnswConfig
     from vector_db_tpu.index.hnsw import HnswIndex
 
-    idx = HnswIndex(dim, n, "l2", HnswConfig(m=32, insert_policy=policy))
+    idx = HnswIndex(dim, n, "l2", HnswConfig(
+        m=32, insert_policy=policy, flush_chunk=flush_chunk))
     lats = []  # per-add_batch wall latency: the synchronous defer-flush
     # spike lands on whichever call crosses the threshold (VERDICT r4
     # weak #4) — p99/max expose it
@@ -81,6 +82,20 @@ def main(dim=512, n=10_000, batch=100):
     idx, t_warm, lats_ms = run_stream(vecs_np, dim, n, batch, "defer",
                                       "warm")
     r_inc = recall_at10(idx, q_np, gt)
+
+    # bounded flush (flush_chunk, VERDICT r4 weak #4): each triggering
+    # add_batch connects at most one fixed-size chunk — the p99/max spike
+    # trades against a slightly higher amortized ms/vec (more delta calls)
+    run_stream(vecs_np, dim, n, batch, "defer", "cold-chunk",
+               flush_chunk=512)
+    idxc, t_chunk, lats_c = run_stream(vecs_np, dim, n, batch, "defer",
+                                       "warm-chunk", flush_chunk=512)
+    r_chunk = recall_at10(idxc, q_np, gt)
+    log(f"RESULT_CHUNK chunk=512 ms_per_vec={1000 * t_chunk / n:.3f} "
+        f"recall={r_chunk:.4f} "
+        f"add_p50_ms={np.percentile(lats_c, 50):.1f} "
+        f"add_p99_ms={np.percentile(lats_c, 99):.1f} "
+        f"add_max_ms={lats_c.max():.1f}")
 
     # rebuilt-graph baseline (bulk exact-kNN build)
     from vector_db_tpu.api.config import HnswConfig

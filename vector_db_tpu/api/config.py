@@ -128,6 +128,11 @@ class HnswConfig:
     flush_min: int = 1024   # defer: flush when pending >= max(flush_min,
     flush_frac: float = 0.25  # min(flush_frac * graph_live, flush_max))
     flush_max: int = 32768  # bound on the overlay scan width per search
+    flush_chunk: int = 0  # > 0: a threshold-triggered flush connects at
+    # most this many slots per add_batch call (pow2 recommended — the delta
+    # insert pads to pow2, so a fixed chunk compiles once), bounding the
+    # synchronous flush latency spike; the rest drain on later adds.
+    # 0: connect the whole pending set at once (lowest amortized ms/vec).
 
     def derived_max_level(self, capacity: int) -> int:
         if self.max_level > 0:
@@ -219,6 +224,7 @@ class HnswPqConfig:
     flush_min: int = 1024
     flush_frac: float = 0.25
     flush_max: int = 32768
+    flush_chunk: int = 0  # see HnswConfig.flush_chunk (bounded flush)
     nlist: int = 0  # > 0 -> IVF-pruned ADC scan: a coarse k-means quantizer
     # restricts the scan to nprobe clusters (the ScaNN-style partition +
     # PQ-score + re-rank pipeline for the memory-bound regime)
