@@ -130,9 +130,11 @@ class HnswConfig:
     flush_max: int = 32768  # bound on the overlay scan width per search
     flush_chunk: int = 0  # > 0: a threshold-triggered flush connects at
     # most this many slots per add_batch call (pow2 recommended — the delta
-    # insert pads to pow2, so a fixed chunk compiles once), bounding the
-    # synchronous flush latency spike; the rest drain on later adds.
-    # 0: connect the whole pending set at once (lowest amortized ms/vec).
+    # insert pads to pow2, so a fixed chunk compiles once); the rest drain
+    # on later adds and stay searchable via the overlay.  0 (default):
+    # connect the whole pending set at once — measured amortized-fastest,
+    # and p99-equal, at 10k and 100k x 512 (BENCH_REPORT A1: per-add
+    # latency is dispatch-bound, not flush-width-bound, on this stack).
 
     def derived_max_level(self, capacity: int) -> int:
         if self.max_level > 0:

@@ -64,11 +64,13 @@ class DeferInsertMixin:
         """Buffer new slots; flush when the batch amortizes.
 
         With ``config.flush_chunk > 0`` the threshold-triggered flush
-        connects at most that many slots per call, bounding the per-add
-        latency spike (VERDICT r4 weak #4: the synchronous full flush put
-        p99 at ~160 ms while p50 was ~5 ms).  The remaining pending rows
-        stay exactly visible through the search overlay and drain on
-        subsequent adds (or an explicit :meth:`flush_pending`)."""
+        connects at most that many slots per call; the remaining pending
+        rows stay exactly visible through the search overlay and drain on
+        subsequent adds (or an explicit :meth:`flush_pending`).  Measured
+        (r5, TPU same-process A/Bs at 10k and 100k x 512): per-add latency
+        is dispatch/compile-bound, not flush-width-bound — chunk=512 was
+        p99-neutral at both scales and costs amortized throughput at 100k
+        (0.183 vs 0.121 ms/vec), so the default stays 0 (unbounded)."""
         self._pending_mask[slots_np] = True
         self._pending_count += len(slots_np)
         self._pending_pad_cache = None
