@@ -392,3 +392,21 @@ class TestBoundedFlush:
         assert idx.stats()["pending_inserts"] == 96
         ids, _ = idx.search_batch(vecs[300:308], 1)
         assert (ids[:, 0] == np.arange(300, 308)).all()
+
+    def test_chunked_flush_from_empty_graph(self, rng):
+        """The first threshold crossing with an EMPTY graph routes the
+        chunk through the from-scratch build; the rest stay pending."""
+        from vector_db_tpu.index.hnsw import HnswIndex
+
+        idx = HnswIndex(16, 1024, "l2",
+                        self._cfg(flush_min=128, flush_chunk=64))
+        vecs = rng.standard_normal((256, 16)).astype(np.float32)
+        idx.add_batch(range(256), vecs)
+        assert int(idx.graph.entry) >= 0  # chunk built the graph
+        assert int((np.asarray(idx.graph.levels) >= 0).sum()) == 64
+        assert idx.stats()["pending_inserts"] == 192
+        ids, _ = idx.search_batch(vecs[200:208], 1)
+        assert (ids[:, 0] == np.arange(200, 208)).all()
+        idx.flush_pending()
+        assert idx.stats()["pending_inserts"] == 0
+        assert int((np.asarray(idx.graph.levels) >= 0).sum()) == 256
