@@ -829,6 +829,22 @@ def fused_int8g_pool(
     return vals[:qn], idxs[:qn]
 
 
+def _unpack_words_i8(w32):
+    """Unpack int32-packed int8 quads ([n, d/4] words, ops/distance.
+    pack_int8_rows layout) into [n, d] int8 with four VPU shift/mask
+    extractions + a lane concat.  Little-endian quads: byte 0 = low bits
+    = dim 4c + 0.  The concat emits dims in the order (byte j of word c)
+    -> lane j*d/4 + c, a FIXED permutation of the true dim order — when
+    BOTH matmul operands pass through this helper the permutations cancel
+    and the dot product is invariant (callers that unpack only one side
+    must permute the other to match, see fused_packed_pool)."""
+    b0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 24), 24)
+    b1 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 16), 24)
+    b2 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 8), 24)
+    b3 = jax.lax.shift_right_arithmetic(w32, 24)
+    return jnp.concatenate([b0, b1, b2, b3], axis=1).astype(jnp.int8)
+
+
 def _make_packed_pool_kernel(block_n: int, nb_w: int):
     """Packed-int8 fused scan + strided-bucket pool kernel body.
 
@@ -844,16 +860,7 @@ def _make_packed_pool_kernel(block_n: int, nb_w: int):
     """
 
     def kernel(q_ref, sq_ref, p_ref, off_ref, sc_ref, val_ref, idx_ref):
-        w32 = p_ref[:, :]                                   # [BN, d/4] i32
-        # little-endian quads: byte 0 = low bits = dim 4c + 0
-        b0 = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(w32, 24), 24)
-        b1 = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(w32, 16), 24)
-        b2 = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(w32, 8), 24)
-        b3 = jax.lax.shift_right_arithmetic(w32, 24)
-        v8 = jnp.concatenate([b0, b1, b2, b3], axis=1).astype(jnp.int8)
+        v8 = _unpack_words_i8(p_ref[:, :])                  # [BN, d] i8
 
         cross = jax.lax.dot_general(
             q_ref[:, :], v8, (((1,), (1,)), ((), ())),
@@ -1066,3 +1073,148 @@ def fused_scan_topk(
         out_d = jnp.pad(out_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
         out_i = jnp.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
     return out_d, out_i
+
+
+# ---------------------------------------------------------------- IVF tier
+
+IVF_PW = 128  # per-(cluster, prober) pool width: one full lane vreg
+
+
+def _make_ivf_pool_kernel(cap: int, p_cap: int, winners: int):
+    """Cluster-pruned fused scan kernel body (search_mode="scan_ivf").
+
+    One grid step = one PROBED cluster: unpack the cluster's prober-query
+    tile and its cluster-major packed rows in VMEM, score on the MXU
+    (s8 x s8 -> s32), and emit `winners` best rows per 128-lane bucket —
+    a [p_cap, IVF_PW] pool per cluster.  Compute is
+    O(n_probed_clusters * p_cap * cap * d) instead of the exhaustive
+    scans' O(Q * N * d): at Q=1024, nprobe=128, nlist=4096 that is ~16x
+    less MXU work, and with the scalar-prefetch grid a Q=1 search READS
+    only its nprobe clusters (~2% of the corpus) instead of all of it.
+
+    This is the TPU shape of the IVF partition scan (reference:
+    native/index/IVFIndex.cpp's probe-then-scan loops): instead of
+    per-cluster pointer-chasing, a balanced cluster-major layout makes
+    every probed cluster one dense [p_cap, d] x [d, cap] matmul tile.
+
+    Both operands arrive int32-packed and unpack through
+    `_unpack_words_i8`, so their lane permutations cancel.  Scores use
+    the packed-store selection form ``off + cross * sc`` with the global
+    per-batch query scale pre-folded into ``sc`` by the caller.
+    """
+    bpb = cap // LANES
+    used = winners * bpb
+    assert used <= IVF_PW, (winners, cap, used)
+
+    def kernel(cid_ref, qsel_ref, cm_ref, off_ref, sc_ref, val_ref, pos_ref):
+        u = pl.program_id(0)
+        cid = cid_ref[u]
+        q8 = _unpack_words_i8(qsel_ref[:, :])               # [P, d]
+        v8 = _unpack_words_i8(cm_ref[:, :])                 # [cap, d]
+        cross = jax.lax.dot_general(
+            q8, v8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                   # [P, cap] i32
+        dist = off_ref[0, :][None, :] + (
+            cross.astype(jnp.float32) * sc_ref[0, :][None, :]
+        )
+        d3 = dist.reshape(p_cap, bpb, LANES)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (p_cap, bpb, LANES), 2)
+        bucket_base = (
+            cid * cap
+            + jax.lax.broadcasted_iota(jnp.int32, (p_cap, bpb), 1) * LANES
+        )
+        cols_v, cols_p = [], []
+        cur = d3
+        for t in range(winners):
+            v = jnp.min(cur, axis=2)                        # [P, bpb]
+            a = jnp.argmin(cur, axis=2).astype(jnp.int32)
+            cols_v.append(v)
+            cols_p.append(bucket_base + a)
+            if t + 1 < winners:
+                cur = jnp.where(lane == a[:, :, None], jnp.inf, cur)
+        vals = jnp.concatenate(cols_v, axis=1)              # [P, used]
+        pos = jnp.concatenate(cols_p, axis=1)
+        if used < IVF_PW:
+            pad = IVF_PW - used
+            vals = jnp.concatenate(
+                [vals, jnp.full((p_cap, pad), jnp.inf, jnp.float32)], axis=1)
+            pos = jnp.concatenate(
+                [pos, jnp.full((p_cap, pad), -1, jnp.int32)], axis=1)
+        val_ref[:, :] = vals
+        pos_ref[:, :] = pos
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nlist", "cap", "p_cap", "winners", "interpret")
+)
+def fused_ivf_pool(
+    cluster_ids: Array,
+    qsel_packed: Array,
+    cm_packed: Array,
+    sel_off: Array,
+    sel_scale: Array,
+    nlist: int,
+    cap: int,
+    p_cap: int,
+    winners: int = 4,
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Cluster-pruned fused scan + per-bucket pool (see
+    `_make_ivf_pool_kernel`).
+
+    cluster_ids [U] i32 — the probed-cluster worklist (scalar-prefetched;
+    duplicates re-write identical blocks harmlessly, so callers pad with
+    cluster 0).  qsel_packed [nlist*p_cap, d/4] i32 — per-cluster prober
+    query rows, globally-scaled int8 packed (pack_int8_rows layout).
+    cm_packed [nlist*cap, d/4] i32 — balanced cluster-major corpus rows.
+    sel_off / sel_scale [nlist*cap] f32 — per-POSITION selection
+    conditioning (+inf off at padding/dead positions; the global query
+    quantization scale is pre-folded into sel_scale).
+
+    Returns (vals [nlist*p_cap, IVF_PW] f32, pos [nlist*p_cap, IVF_PW]
+    i32 cluster-major positions, -1 at pads).  Output rows of clusters
+    NOT in `cluster_ids` are UNWRITTEN — callers must only gather rows of
+    probed clusters (ops/ivf_scan.ivf_merge_pools does).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    u_n = cluster_ids.shape[0]
+    dw = cm_packed.shape[1]
+    assert qsel_packed.shape == (nlist * p_cap, dw), (
+        qsel_packed.shape, nlist, p_cap, dw)
+    assert cm_packed.shape[0] == nlist * cap, (cm_packed.shape, nlist, cap)
+    assert cap % LANES == 0 and winners * (cap // LANES) <= IVF_PW
+
+    vals, pos = pl.pallas_call(
+        _make_ivf_pool_kernel(cap, p_cap, winners),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(u_n,),
+            in_specs=[
+                pl.BlockSpec((p_cap, dw), lambda u, cid: (cid[u], 0)),
+                pl.BlockSpec((cap, dw), lambda u, cid: (cid[u], 0)),
+                pl.BlockSpec((1, cap), lambda u, cid: (0, cid[u])),
+                pl.BlockSpec((1, cap), lambda u, cid: (0, cid[u])),
+            ],
+            out_specs=[
+                pl.BlockSpec((p_cap, IVF_PW), lambda u, cid: (cid[u], 0)),
+                pl.BlockSpec((p_cap, IVF_PW), lambda u, cid: (cid[u], 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nlist * p_cap, IVF_PW), jnp.float32),
+            jax.ShapeDtypeStruct((nlist * p_cap, IVF_PW), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * u_n * p_cap * cap * dw * 4,
+            bytes_accessed=u_n * (cap * dw * 4 + p_cap * dw * 4
+                                  + 2 * cap * 4 + 2 * p_cap * IVF_PW * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cluster_ids, qsel_packed, cm_packed, sel_off[None, :],
+      sel_scale[None, :])
+    return vals, pos
