@@ -227,13 +227,24 @@ class HnswPqConfig:
     flush_frac: float = 0.25
     flush_max: int = 32768
     flush_chunk: int = 0  # see HnswConfig.flush_chunk (bounded flush)
-    nlist: int = 0  # > 0 -> IVF-pruned ADC scan: a coarse k-means quantizer
-    # restricts the scan to nprobe clusters (the ScaNN-style partition +
-    # PQ-score + re-rank pipeline for the memory-bound regime)
+    nlist: int = 0  # > 0 -> IVF coarse quantizer: for search_mode="adc"
+    # it restricts the ADC scan to nprobe member lists; for
+    # search_mode="scan_ivf" it is the cluster-pruned fused tier's
+    # partition count (0 = auto ~N/2048 at train time, ops/ivf_scan.
+    # auto_ivf_geometry)
     nprobe: int = 32
+    # --- scan_ivf geometry (the cluster-pruned fused scan tier; see
+    # ops/ivf_scan.py).  0 = auto.
+    ivf_p_cap: int = 0  # prober-tile rows per cluster (auto: ~4x the mean
+    # probers/cluster, pow2-clamped to [32, 512]; probes beyond the tile
+    # are dropped — the query just loses that one cluster)
+    ivf_winners: int = 4  # best rows kept per 128-lane bucket per probed
+    # cluster (winners * cap/128 <= 128 bounds the cluster capacity)
+    ivf_pool: int = 0  # merged candidate pool per query before the exact
+    # refine (auto: max(4*k, 256))
     search_mode: str = "auto"  # auto | scan_exact | scan_bf16 |
     # scan_pallas | scan_pallas_int8 | adc | adc_fast | pca | graph |
-    # scan_int8.
+    # scan_int8 | scan_ivf.
     # "auto": scan_exact below 700k live rows, scan_pallas_int8 above
     #   (measured crossover — hnsw_pq._auto_scan_mode), adc_fast when
     #   raw_store=False.
@@ -271,6 +282,15 @@ class HnswPqConfig:
     #   carries ~0.4% quantization error; norms are write-time exact) at 1/4
     #   the stream bytes of scan_exact.  The exhaustive option for
     #   raw_store=False, where no f32 matrix exists.
+    # "scan_ivf": the cluster-pruned fused scan (ops/ivf_scan): a coarse
+    #   quantizer (nlist) partitions the corpus into a balanced
+    #   cluster-major int8 grid; each batch probes nprobe clusters per
+    #   query and ONE Pallas kernel scores only probed clusters against
+    #   their own prober-query tiles — O(nprobe/nlist) of the exhaustive
+    #   scans' MXU work, and small-Q searches also READ only the probed
+    #   clusters.  The large-N (>=1M) QPS tier; works on both stores
+    #   (raw tier refines exact-f32, compressed tier int8+residual).
+    #   Needs train()/build() after rows exist (the coarse quantizer).
     scan_recall_target: float = 0.99  # approx_max_k target; 1.0 -> exact
     int8_epilogue: str = "per_row"  # scan_pallas_int8 (raw store) kernel
     # variant: "per_row" = per-row-scaled shadow, f32 dequant epilogue

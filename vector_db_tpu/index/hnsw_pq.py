@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 import threading
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -148,6 +148,14 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
         # packed-store conditioning vectors (scan_pallas_int8 on the
         # compressed tier — no corpus copy, just off/sc/center)
         self._scan8p_cache: Optional[tuple] = None
+        # cluster-major balanced layout for the cluster-pruned fused scan
+        # (search_mode="scan_ivf"; ops/ivf_scan) + its exact-overlay set:
+        # rows mutated since the last relayout are disabled in the grid and
+        # scored exactly alongside the refine (like the graph's pending
+        # overlay); past _IVF_OVERLAY_MAX the next search relayouts
+        self._ivf_cache: Optional[tuple] = None
+        self._ivf_overlay = np.empty(0, np.int64)
+        self._ivf_overlay_dev: Optional[jax.Array] = None
         # dirty-slot records for INCREMENTAL cache maintenance (one per
         # cache family): [] = complete record (nothing dirty); list of
         # slot arrays = incrementally updatable; None = unknown writer
@@ -159,6 +167,7 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
         self._scan16_dirty: Optional[list] = []  # bf16 scan shadow
         self._pack_dirty: Optional[list] = []    # packed refine shadows
         self._fast_dirty: Optional[list] = []    # ADC tables (ct/cnorms)
+        self._ivf_dirty: Optional[list] = []     # scan_ivf layout overlay
         self._scan8_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
         self._scan8g_aux: Optional[jax.Array] = None  # musq (l2) / c0 (cos)
         # rows that clipped at +-127 against the cached global sv since the
@@ -172,7 +181,9 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
         # buffer to two device calls (writer-vs-reader exclusion is the
         # facade RWLock's job — utils/locks.py; this lock is only for
         # reader-vs-reader refresh races, and refreshes are short)
-        self._cache_lock = threading.Lock()
+        # RLock: _ivf_layout holds it while consulting the scan shadows
+        # (themselves lock-guarded) for its conditioning vectors
+        self._cache_lock = threading.RLock()
         # PCA-proxy state (config.proxy_dims > 0; ops/pca): mean/basis fit
         # at train time, proxy rows [cap, p] bf16 maintained per encode
         self.pca_mean: Optional[jax.Array] = None
@@ -197,7 +208,7 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
     # its degrade-to-None churn budget twice as fast, and removals — which
     # never touch codes — would void it for nothing)
     _DIRTY_RECORDS = ("_scan8_dirty", "_scan8g_dirty", "_scan16_dirty",
-                      "_pack_dirty")
+                      "_pack_dirty", "_ivf_dirty")
     _ALL_DIRTY = _DIRTY_RECORDS + ("_fast_dirty",)
 
     def _note_row_mutation(self, slots: np.ndarray) -> None:
@@ -413,6 +424,13 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
             self.pca_mean = jnp.asarray(mu)
             self.pca_basis = jnp.asarray(basis)
             self.proxy = jnp.zeros((self.store.capacity, p), jnp.bfloat16)
+        if self.config.nlist == 0 and self.config.search_mode == "scan_ivf":
+            # streamed ingest: the final live count is unknown mid-stream,
+            # so auto-size the coarse quantizer from the store capacity
+            from ..ops.ivf_scan import auto_ivf_geometry
+
+            self.config.nlist = auto_ivf_geometry(
+                self.store.capacity, winners=self.config.ivf_winners)[0]
         if self.config.nlist > 0:
             from ..ops.kmeans import kmeans_fit
 
@@ -515,6 +533,13 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
             self.pca_basis = jnp.asarray(basis)
             self.proxy = jnp.zeros((self.store.capacity, p), jnp.bfloat16)
         self._encode_slots(live)
+        if self.config.nlist == 0 and self.config.search_mode == "scan_ivf":
+            # auto-size the coarse quantizer for the cluster-pruned tier
+            # (sticky: the layout geometry keys off it)
+            from ..ops.ivf_scan import auto_ivf_geometry
+
+            self.config.nlist = auto_ivf_geometry(
+                live.size, winners=self.config.ivf_winners)[0]
         if self.config.nlist > 0:
             from ..ops.kmeans import kmeans_fit
 
@@ -545,7 +570,12 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
                 plus_plus=False,  # ++ seeding is a sequential k-step loop;
                 # random init + full-data Lloyd converges as well here
             )
-            self._assign_coarse(live)
+            if self.config.search_mode != "scan_ivf":
+                # scan_ivf places rows via its own balanced top-A pass
+                # (ops/ivf_scan.coarse_choices, device-only) — the full-live
+                # member assignment here would materialise [N, d] f32 rows
+                # (20 GB at 10M compressed) for a table scan_ivf never reads
+                self._assign_coarse(live)
         if self.config.use_graph:
             self._rebuild_graph()
         self._graph_dirty.clear()
@@ -842,6 +872,113 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
             )
         return self._scan8p_cache[2]
 
+    # ------------------------------------------------------ scan_ivf layout
+    _IVF_OVERLAY_MAX = 1024  # dirty rows scored exactly per search before
+    # the next search triggers a full relayout instead
+
+    @_with_cache_lock
+    def _ivf_layout(self, st):
+        """Cached balanced cluster-major layout for the cluster-pruned
+        fused scan (search_mode="scan_ivf"; ops/ivf_scan).  Keyed on the
+        store's row array AND valid like the scan shadows.
+
+        Row mutations recorded in _ivf_dirty are handled WITHOUT moving
+        grid rows: the touched positions are disabled (+inf selection
+        offset) and the live slots join the exact-scored overlay —
+        O(dirty) per search.  Past _IVF_OVERLAY_MAX accumulated overlay
+        rows (or an untracked store rewrite) the layout fully rebuilds:
+        one device-side top-A choices pass + balanced placement +
+        cluster-major gather (~100 ms/10M, no host round-trips)."""
+        key = st.vectors if self.store.raw else st.packed
+        c = self._ivf_cache
+        if c is not None and c[0] is key and c[1] is st.valid:
+            return c[2]
+        if c is not None:
+            slots = self._take_dirty("_ivf_dirty")
+            if slots is not None:
+                s_np = np.unique(np.asarray(slots)).astype(np.int64)
+                new_ov = np.union1d(self._ivf_overlay, s_np)
+                if new_ov.size <= self._IVF_OVERLAY_MAX:
+                    lay = c[2]
+                    pos = np.asarray(lay.slot2pos[jnp.asarray(s_np)])
+                    live_pos = pos[pos >= 0]
+                    if live_pos.size:
+                        lay = lay._replace(
+                            off_cm=lay.off_cm.at[
+                                jnp.asarray(live_pos, jnp.int32)
+                            ].set(jnp.inf),
+                            slot2pos=lay.slot2pos.at[
+                                jnp.asarray(s_np, jnp.int32)].set(-1),
+                        )
+                    self._ivf_overlay = new_ov
+                    self._ivf_overlay_dev = None
+                    self._ivf_cache = (key, st.valid, lay)
+                    return lay
+        lay = self._build_ivf_layout(st)
+        self._ivf_cache = (key, st.valid, lay)
+        self._ivf_dirty = []
+        self._ivf_overlay = np.empty(0, np.int64)
+        self._ivf_overlay_dev = None
+        return lay
+
+    def _build_ivf_layout(self, st):
+        from ..ops import ivf_scan
+        from ..ops.pallas_kernels import IVF_PW, LANES
+
+        cents = self.coarse_centroids
+        nlist = int(cents.shape[0])
+        n_live = self.store.size()
+        winners = max(1, self.config.ivf_winners)
+        cap_max = (IVF_PW // winners) * LANES
+        cap = min(max(-(-int(n_live / nlist * 1.3) // LANES) * LANES,
+                      LANES), cap_max)
+        if nlist * cap < n_live:
+            raise ValueError(
+                f"scan_ivf: nlist={nlist} cannot hold {n_live} rows at the "
+                f"kernel's cluster capacity limit {cap_max} (ivf_winners="
+                f"{winners}) — retrain with a larger nlist (0 auto-sizes) "
+                "or fewer ivf_winners"
+            )
+        # top-A cluster choices per slot, device-only (chunk divides the
+        # 128-rounded capacity and bounds the [chunk, nlist] score block)
+        chunk = 128
+        cap_rows = st.capacity
+        for mult in (256, 64, 16, 4, 1):
+            if cap_rows % (128 * mult) == 0 and 128 * mult * nlist <= 1 << 27:
+                chunk = 128 * mult
+                break
+        if self.store.raw:
+            base8, off, sc, cvec = self._scan8_shadow(st)
+            packed_src = _pack_rows_i8(base8[:cap_rows])
+            choices = ivf_scan.coarse_choices(
+                st.vectors, None, cents, self.metric, 8, chunk,
+                approx=nlist > 1024)
+        else:
+            off, sc, cvec = self._scan8p_shadow(st)
+            packed_src = st.packed
+            choices = ivf_scan.coarse_choices(
+                st.packed, st.scales, cents, self.metric, 8, chunk,
+                approx=nlist > 1024)
+        pos2slot, slot2pos, spilled = ivf_scan.balanced_layout_dev(
+            choices, st.valid, nlist, cap)
+        cm, off_cm, sc_cm = _gather_ivf_cm(
+            packed_src, off[:cap_rows], sc[:cap_rows], pos2slot)
+        return _IvfLayout(cents, cm, off_cm, sc_cm, cvec, pos2slot,
+                          slot2pos, cap, int(spilled))
+
+    def _ivf_overlay_padded(self) -> Optional[jax.Array]:
+        """Pending-overlay slots as a pow2-padded device array (-1 pads),
+        or None when empty — mirrors DeferInsertMixin._pending_padded."""
+        if self._ivf_overlay.size == 0:
+            return None
+        if self._ivf_overlay_dev is None:
+            n = self._ivf_overlay.size
+            n_pad = 1 << max(0, int(n - 1).bit_length())
+            arr = np.full(n_pad, -1, np.int32)
+            arr[:n] = self._ivf_overlay
+            self._ivf_overlay_dev = jnp.asarray(arr)
+        return self._ivf_overlay_dev
+
     @_with_cache_lock
     def _fast_tables(self) -> tuple[jax.Array, jax.Array, jax.Array]:
         """codes_t [S, cap] uint8 + cbt [S*sd, K] + cached reconstruction
@@ -1017,6 +1154,43 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
                 pool=min(max(4 * k_pad, 64), w), w=w,
                 resid=i8r[0], rscales=i8r[1],
             )
+            return self._emit(q_n, k, k_eff, dists, ext)
+        if mode == "scan_ivf":
+            # cluster-pruned fused scan (ops/ivf_scan): probe nprobe
+            # clusters per query, scan ONLY probed clusters with one
+            # Pallas kernel, exact/int8 refine + exact overlay of rows
+            # mutated since the last relayout
+            if self.coarse_centroids is None:
+                raise ValueError(
+                    "search_mode='scan_ivf' needs a trained coarse "
+                    "quantizer — call train()/build() after loading rows "
+                    "(nlist=0 auto-sizes the partition count)"
+                )
+            from ..ops.pallas_kernels import IVF_PW
+
+            lay = self._ivf_layout(st)
+            nlist = int(lay.centroids.shape[0])
+            nprobe = max(1, min(self.config.nprobe, nlist))
+            p_cap = self.config.ivf_p_cap or int(np.clip(
+                pow2(max(1, 4 * padded.shape[0] * nprobe // nlist)),
+                32, 512))
+            pool = self.config.ivf_pool or min(
+                max(4 * k_pad, 256), nprobe * IVF_PW)
+            ov = self._ivf_overlay_padded()
+            lay_args = (lay.centroids, lay.cm_packed, lay.off_cm,
+                        lay.sc_cm, lay.cvec, lay.pos2slot)
+            if self.store.raw:
+                dists, ext = pallas_ivf_refine_raw(
+                    jnp.asarray(padded), *lay_args, st.vectors, st.valid,
+                    st.ids, ov, k_pad, self.metric, nprobe, p_cap, pool,
+                    max(1, self.config.ivf_winners))
+            else:
+                i8r = self._int8_resid_store(st)
+                dists, ext = pallas_ivf_refine_packed(
+                    jnp.asarray(padded), *lay_args, st.packed, st.scales,
+                    st.norms, st.valid, st.ids, ov, k_pad, self.metric,
+                    nprobe, p_cap, pool, max(1, self.config.ivf_winners),
+                    resid=i8r[0], rscales=i8r[1])
             return self._emit(q_n, k, k_eff, dists, ext)
         if mode == "scan_int8":
             # exhaustive near-exact scan over the int8 rows (see
@@ -1880,6 +2054,103 @@ def _build_scan8p_shadow(packed, scales, norms, valid, metric):
         off = norms - 2.0 * scales * corr
     off = jnp.where(valid, off, jnp.inf)
     return off, sc, cvec
+
+
+class _IvfLayout(NamedTuple):
+    """Balanced cluster-major layout for search_mode="scan_ivf" (built by
+    HnswPqIndex._build_ivf_layout; see ops/ivf_scan for the design)."""
+
+    centroids: jax.Array   # [nlist, d] coarse centroids (probe space)
+    cm_packed: jax.Array   # [nlist*cap, d/4] i32 cluster-major int8 rows
+    off_cm: jax.Array      # [nlist*cap] f32 selection offset (+inf pads)
+    sc_cm: jax.Array       # [nlist*cap] f32 selection scale
+    cvec: jax.Array        # [d] query centering vector
+    pos2slot: jax.Array    # [nlist*cap] i32 grid position -> store slot
+    slot2pos: jax.Array    # [capacity] i32 store slot -> grid position
+    cap: int               # rows per cluster (static)
+    spilled: int           # rows placed outside their top-8 clusters
+
+
+@jax.jit
+def _pack_rows_i8(rows8):
+    """[N, d] int8 -> [N, d/4] i32 (ops/distance.pack_int8_rows layout)."""
+    n, d = rows8.shape
+    return jax.lax.bitcast_convert_type(
+        rows8.reshape(n, d // 4, 4), jnp.int32)
+
+
+@jax.jit
+def _gather_ivf_cm(packed_src, off, sc, pos2slot):
+    """Permute the packed rows + conditioning vectors cluster-major (one
+    word-width row gather; -1 grid pads get +inf offsets)."""
+    safe = jnp.maximum(pos2slot, 0)
+    live = pos2slot >= 0
+    cm = packed_src[safe]
+    off_cm = jnp.where(live, off[safe], jnp.inf)
+    sc_cm = jnp.where(live, sc[safe], 0.0)
+    return cm, off_cm, sc_cm
+
+
+def _ivf_candidates_overlay(queries, lay_args, valid, overlay, metric,
+                            nprobe, p_cap, pool, winners):
+    """Shared head of the scan_ivf refine wrappers: pruned-candidate stage
+    + exact-overlay slots appended (disjoint from the pool by construction
+    — overlaid rows' grid positions are disabled)."""
+    from ..ops.ivf_scan import ivf_pool_candidates
+
+    centroids, cm_packed, off_cm, sc_cm, cvec, pos2slot = lay_args
+    _, slots = ivf_pool_candidates(
+        queries, centroids, cm_packed, off_cm, sc_cm, cvec, pos2slot,
+        metric, nprobe, p_cap, pool, winners)
+    slots = jnp.where(
+        (slots >= 0) & valid[jnp.maximum(slots, 0)], slots, -1)
+    if overlay is not None:
+        ov = jnp.where(
+            (overlay >= 0) & valid[jnp.maximum(overlay, 0)], overlay, -1)
+        slots = jnp.concatenate(
+            [slots,
+             jnp.broadcast_to(ov[None, :], (slots.shape[0], ov.shape[0]))],
+            axis=1)
+    return slots
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "nprobe", "p_cap", "pool", "winners"))
+def pallas_ivf_refine_packed(queries, centroids, cm_packed, off_cm, sc_cm,
+                             cvec, pos2slot, packed, scales, norms, valid,
+                             ids, overlay, k, metric, nprobe, p_cap, pool,
+                             winners, resid=None, rscales=None):
+    """Cluster-pruned fused scan + int8(+residual) refine — scan_ivf on
+    the compressed store (see ops/ivf_scan for the pipeline)."""
+    from ..ops.distance import blocked_rerank_int8
+
+    slots = _ivf_candidates_overlay(
+        queries, (centroids, cm_packed, off_cm, sc_cm, cvec, pos2slot),
+        valid, overlay, metric, nprobe, p_cap, pool, winners)
+    d, out = blocked_rerank_int8(queries, packed, scales, slots, k, metric,
+                                 b_norms=norms, resid=resid,
+                                 rscales=rscales)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(out, 0)], -1)
+    return d, ext
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "nprobe", "p_cap", "pool", "winners"))
+def pallas_ivf_refine_raw(queries, centroids, cm_packed, off_cm, sc_cm,
+                          cvec, pos2slot, base, valid, ids, overlay, k,
+                          metric, nprobe, p_cap, pool, winners):
+    """Cluster-pruned fused scan + exact f32 refine — scan_ivf on the raw
+    store."""
+    from ..ops.distance import blocked_rerank
+
+    slots = _ivf_candidates_overlay(
+        queries, (centroids, cm_packed, off_cm, sc_cm, cvec, pos2slot),
+        valid, overlay, metric, nprobe, p_cap, pool, winners)
+    d, out = blocked_rerank(queries, base, slots, k, metric)
+    ext = jnp.where(jnp.isfinite(d), ids[jnp.maximum(out, 0)], -1)
+    return d, ext
 
 
 def _pool_select_cand(queries, center_vec, metric, pool_kernel, pool_args,

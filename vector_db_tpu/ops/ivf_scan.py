@@ -121,6 +121,96 @@ def auto_ivf_geometry(n_live: int, nlist: int = 0,
     return nlist, cap
 
 
+@functools.partial(jax.jit, static_argnames=("nlist", "cap"))
+def balanced_layout_dev(choices: Array, valid: Array, nlist: int, cap: int
+                        ) -> tuple[Array, Array, Array]:
+    """Device twin of `build_balanced_layout` (at 10M rows the choices
+    matrix must never cross the host tunnel): same greedy vectorized
+    rounds — per round, group still-unplaced rows by their a-th choice
+    (stable sort + segment rank) and fill each cluster up to `cap`;
+    exhausted rows spill to arbitrary free grid positions.
+
+    choices [M, A] i32 per-slot cluster preferences; valid [M] bool.
+    Returns (pos2slot [nlist*cap] i32 with -1 padding,
+    slot2pos [M] i32 with -1 for invalid slots, spilled count i32).
+    """
+    m, a_n = choices.shape
+    grid = nlist * cap
+    placed = jnp.full((m,), -1, jnp.int32)
+    counts = jnp.zeros((nlist,), jnp.int32)
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+    for a in range(a_n):
+        c = choices[:, a].astype(jnp.int32)
+        active = valid & (placed < 0)
+        key = jnp.where(active, c, nlist)          # inactive -> sentinel
+        order = jnp.argsort(key, stable=True)
+        key_s = key[order]
+        first = jnp.searchsorted(key_s, key_s, side="left").astype(jnp.int32)
+        rank = iota_m - first
+        fill = counts[jnp.minimum(key_s, nlist - 1)] + rank
+        ok = (key_s < nlist) & (fill < cap)
+        placed = placed.at[order].set(
+            jnp.where(ok, key_s * cap + fill, placed[order]))
+        counts = counts + jnp.zeros((nlist,), jnp.int32).at[
+            jnp.where(ok, key_s, nlist)].add(1, mode="drop")
+    # spill: i-th still-unplaced valid row -> i-th free grid position
+    # (geometry guarantees grid >= live rows, so free slots exist)
+    un = valid & (placed < 0)
+    occ = jnp.zeros((grid,), jnp.int32).at[
+        jnp.where(placed >= 0, placed, grid)].set(1, mode="drop")
+    free_order = jnp.argsort(occ, stable=True)     # free positions first
+    un_rank = jnp.cumsum(un.astype(jnp.int32)) - 1
+    placed = jnp.where(
+        un, free_order[jnp.clip(un_rank, 0, grid - 1)], placed)
+    pos2slot = jnp.full((grid,), -1, jnp.int32).at[
+        jnp.where(placed >= 0, placed, grid)].set(iota_m, mode="drop")
+    return pos2slot, placed, jnp.sum(un.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "a_n", "chunk", "approx"))
+def coarse_choices(src: Array, scales: Array | None, centroids: Array,
+                   metric: str, a_n: int, chunk: int,
+                   approx: bool) -> Array:
+    """Top-`a_n` nearest centroids per corpus row, blocked (device only —
+    the [M, A] result feeds `balanced_layout_dev` without a host
+    round-trip).  src is the raw [M, d] f32 store or (with `scales`) the
+    int32-packed int8 store; `chunk` must divide M and keep the
+    [chunk, nlist] score block small.  `approx=True` uses approx_max_k
+    (wide exact top_k is pathological on TPU); an occasional missed
+    true-nearest just places the row at its 2nd-best cluster, which
+    probing absorbs."""
+    from .distance import normalize_rows
+
+    m = src.shape[0]
+    nlist = centroids.shape[0]
+    cn = jnp.sum(centroids * centroids, axis=1)
+
+    def body(i, out):
+        blk = jax.lax.dynamic_slice_in_dim(src, i * chunk, chunk, axis=0)
+        if scales is not None:
+            s = jax.lax.dynamic_slice_in_dim(scales, i * chunk, chunk, 0)
+            d4 = blk.shape[1] * 4
+            rows = jax.lax.bitcast_convert_type(blk, jnp.int8).reshape(
+                chunk, d4).astype(jnp.float32) * s[:, None]
+        else:
+            rows = blk
+        if metric == "cosine":
+            rows = normalize_rows(rows)
+        cd = cn[None, :] - 2.0 * jax.lax.dot_general(
+            rows, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if approx:
+            _, top = jax.lax.approx_max_k(-cd, a_n, recall_target=0.99)
+        else:
+            _, top = jax.lax.top_k(-cd, a_n)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, top.astype(jnp.int32), i * chunk, 0)
+
+    return jax.lax.fori_loop(
+        0, m // chunk, body, jnp.zeros((m, a_n), jnp.int32))
+
+
 # ------------------------------------------------------------- inversion
 
 
