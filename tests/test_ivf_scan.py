@@ -295,3 +295,52 @@ def test_scan_ivf_untrained_raises():
     # untrained indexes fall back to the exact scan (reference semantics)
     ids, _ = ix.search_batch(rng.normal(size=(2, 16)).astype(np.float32), 5)
     assert (ids >= 0).all()
+
+
+def test_kmeans_fit_blocked_matches_dense():
+    # same key + random init => the blocked Lloyd is mathematically the
+    # dense Lloyd (ops/kmeans.kmeans_fit plus_plus=False), modulo f32
+    # accumulation order — centroids must agree to float tolerance
+    import jax
+
+    from vector_db_tpu.ops.kmeans import kmeans_fit, kmeans_fit_blocked
+
+    rng = np.random.default_rng(11)
+    x, _ = _mixture(rng, 2048, 24, modes=16)
+    xj = jnp.asarray(x)
+    key = jax.random.PRNGKey(5)
+    dense, _ = kmeans_fit(key, xj, k=16, iters=6, plus_plus=False)
+    blocked = kmeans_fit_blocked(key, xj, k=16, iters=6, chunk=256)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(dense),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_coarse_kmeans_blocked_route():
+    # past the dense threshold the index must route through the blocked
+    # Lloyd (the dense one-hot would be ~24 GB at the 10M tier's nlist)
+    cfg = HnswPqConfig(search_mode="scan_ivf", nprobe=8, use_graph=False,
+                       num_subspaces=8)
+    ix = HnswPqIndex(16, 4096, config=cfg)
+    rng = np.random.default_rng(12)
+    x, _ = _mixture(rng, 3000, 16, modes=10)
+    import vector_db_tpu.ops.kmeans as km
+
+    called = {}
+    orig = km.kmeans_fit_blocked
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    km.kmeans_fit_blocked = spy
+    try:
+        # force the blocked route by shrinking the threshold via nlist:
+        # rows * nlist > 1<<27 needs big inputs, so call the helper direct
+        ix.bulk_load(list(range(3000)), x)
+        full = jnp.asarray(x)
+        big = jnp.tile(full, (45, 1))  # 135k rows x nlist 1024 > 1<<27
+        cents = ix._coarse_kmeans(big, 1024)
+        assert called.get("yes"), "blocked Lloyd not routed"
+        assert cents.shape == (1024, 16)
+    finally:
+        km.kmeans_fit_blocked = orig

@@ -432,8 +432,6 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
             self.config.nlist = auto_ivf_geometry(
                 self.store.capacity, winners=self.config.ivf_winners)[0]
         if self.config.nlist > 0:
-            from ..ops.kmeans import kmeans_fit
-
             nlist = min(self.config.nlist, max(1, n // 8))
             full = normalize_rows(data) if self.metric == "cosine" else data
             coarse_cap = max(256 * nlist, 262144)
@@ -441,12 +439,28 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
                 rng = np.random.default_rng(self.seed + 7)
                 full = full[jnp.asarray(np.sort(
                     rng.choice(n, coarse_cap, replace=False)))]
-            self.coarse_centroids, _ = kmeans_fit(
-                jax.random.PRNGKey(self.seed + 1),
-                full, k=nlist,
-                iters=self.config.training_iterations,
-                plus_plus=False,
-            )
+            self.coarse_centroids = self._coarse_kmeans(full, nlist)
+
+    def _coarse_kmeans(self, full: jax.Array, nlist: int) -> jax.Array:
+        """Train the coarse quantizer (seed+1, random init + Lloyd — ++
+        seeding is a sequential k-step loop and random init converges on
+        the full sample).  Routes through the row-blocked Lloyd when the
+        dense [sample, nlist] one-hot would be HBM-hostile (scan_ivf-scale
+        nlist: ~24 GB per Lloyd step at the 10M tier's auto nlist≈4883);
+        the blocked path trims the sample to a chunk multiple — a few
+        training rows, never corpus rows."""
+        from ..ops.kmeans import kmeans_fit, kmeans_fit_blocked
+
+        rows = int(full.shape[0])
+        if rows * nlist > (1 << 27):
+            chunk = max(128, min(rows, (1 << 26) // nlist) // 128 * 128)
+            rows_r = rows // chunk * chunk
+            return kmeans_fit_blocked(
+                jax.random.PRNGKey(self.seed + 1), full[:rows_r], k=nlist,
+                iters=self.config.training_iterations, chunk=chunk)
+        return kmeans_fit(
+            jax.random.PRNGKey(self.seed + 1), full, k=nlist,
+            iters=self.config.training_iterations, plus_plus=False)[0]
 
     def remove(self, vec_id: int) -> bool:
         slot = self.store.remove(vec_id)
@@ -541,8 +555,6 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
             self.config.nlist = auto_ivf_geometry(
                 live.size, winners=self.config.ivf_winners)[0]
         if self.config.nlist > 0:
-            from ..ops.kmeans import kmeans_fit
-
             nlist = min(self.config.nlist, max(1, live.size // 8))
             # the coarse quantizer trains on the FULL live set: subsampling
             # (20 pts/centroid) collapses centroids and produces mega-clusters
@@ -562,14 +574,7 @@ class HnswPqIndex(DeferInsertMixin, VectorIndex):
                 from ..ops.distance import normalize_rows
 
                 full = normalize_rows(full)  # coarse quantizer on the sphere
-            self.coarse_centroids, _ = kmeans_fit(
-                jax.random.PRNGKey(self.seed + 1),
-                full,
-                k=nlist,
-                iters=self.config.training_iterations,
-                plus_plus=False,  # ++ seeding is a sequential k-step loop;
-                # random init + full-data Lloyd converges as well here
-            )
+            self.coarse_centroids = self._coarse_kmeans(full, nlist)
             if self.config.search_mode != "scan_ivf":
                 # scan_ivf places rows via its own balanced top-A pass
                 # (ops/ivf_scan.coarse_choices, device-only) — the full-live

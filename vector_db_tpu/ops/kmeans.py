@@ -154,3 +154,54 @@ def subspace_kmeans_fit(
     else:
         codebooks, _ = jax.vmap(fit)(keys, sub_data)
     return codebooks
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk"))
+def kmeans_fit_blocked(
+    key: Array,
+    data: Array,
+    k: int,
+    iters: int = 10,
+    chunk: int = 8192,
+) -> Array:
+    """Row-blocked Lloyd for large n*k (the scan_ivf coarse quantizer:
+    nlist reaches thousands, where `kmeans_fit`'s [n, k] one-hot update
+    materializes tens of GB — 24 GB at the 10M tier's auto nlist).
+
+    Each Lloyd step streams the rows in [chunk, k] blocks and accumulates
+    (sums, counts) — peak transient is one [chunk, k] score block.  Random
+    init only: ++ seeding is a sequential k-step loop, and at the scales
+    that need blocking random init + full-sample Lloyd converges (the
+    coarse quantizer already opts out of ++, index/hnsw_pq.py train()).
+
+    Requires n % chunk == 0 (callers round their SAMPLE — never pad the
+    corpus).  Returns centroids [k, d] only (scan_ivf derives memberships
+    from its own balanced top-A pass, ops/ivf_scan.coarse_choices).
+
+    Reference analog: the coarse k-means of HnswPqIndex.java:232-245,
+    restructured as a streamed accumulation for fixed device memory.
+    """
+    n, d = data.shape
+    assert n % chunk == 0, (n, chunk)
+    idx = jax.random.randint(key, (k,), 0, n)
+    centroids = data[idx]
+
+    def lloyd(_, cents):
+        def body(ci, carry):
+            sums, counts = carry
+            blk = jax.lax.dynamic_slice_in_dim(data, ci * chunk, chunk, 0)
+            dd = pairwise_sq_l2(blk, cents)
+            oh = jax.nn.one_hot(
+                jnp.argmin(dd, axis=1), k, dtype=jnp.float32)
+            sums = sums + jax.lax.dot_general(
+                oh, blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return sums, counts + jnp.sum(oh, axis=0)
+
+        sums, counts = jax.lax.fori_loop(
+            0, n // chunk, body,
+            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)))
+        return jnp.where(counts[:, None] > 0,
+                         sums / jnp.maximum(counts[:, None], 1.0), cents)
+
+    return jax.lax.fori_loop(0, iters, lloyd, centroids)

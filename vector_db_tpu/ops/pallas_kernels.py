@@ -1214,6 +1214,12 @@ def fused_ivf_pool(
                                   + 2 * cap * 4 + 2 * p_cap * IVF_PW * 4),
             transcendentals=0,
         ),
+        # the kernel's live set (unpacked tiles + [p_cap, cap] score
+        # matrices through the winners loop) exceeds Mosaic's default
+        # 16 MB scoped-vmem budget past p_cap=128 — v5e VMEM is 128 MB,
+        # so raise the cap instead of shrinking the tiles
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cluster_ids, qsel_packed, cm_packed, sel_off[None, :],
       sel_scale[None, :])
