@@ -296,9 +296,13 @@ class HnswPqConfig:
     # variant: "per_row" = per-row-scaled shadow, f32 dequant epilogue
     # (fused_int8_pool); "global" = ONE corpus scale + one batch scale, the
     # kernel ranks in raw i32 — 4 VPU ops per [Q, N] element vs 7
-    # (fused_int8g_pool; round-4 attack on the measured epilogue bound —
-    # the default flips if the TPU A/B in benchmarks/bench_int8_epilogue
-    # confirms the op-count model)
+    # (fused_int8g_pool).  The r5 TPU A/B measured the variants NEUTRAL
+    # (9.86 vs 9.72 ms same-process at 1M x 512, benchmarks/
+    # bench_int8_epilogue): the per-row epilogue is already off the
+    # critical path (stage decomposition: the whole VPU epilogue is
+    # ~0.4 ms of a 6.0 ms kernel), so "per_row" stays the default;
+    # "global" remains for the clip-guarded corpora where its single
+    # corpus scale is preferable.
     adc_bucket: int = 32  # adc_fast pool granularity: keep the best
     # `adc_winners` per `adc_bucket` corpus slots -> pool = winners*N/bucket
     # rows re-ranked exactly; smaller bucket / more winners = higher recall,
