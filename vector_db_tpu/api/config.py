@@ -288,9 +288,16 @@ class HnswPqConfig:
     #   query and ONE Pallas kernel scores only probed clusters against
     #   their own prober-query tiles — O(nprobe/nlist) of the exhaustive
     #   scans' MXU work, and small-Q searches also READ only the probed
-    #   clusters.  The large-N (>=1M) QPS tier; works on both stores
-    #   (raw tier refines exact-f32, compressed tier int8+residual).
-    #   Needs train()/build() after rows exist (the coarse quantizer).
+    #   clusters.  Works on both stores (raw tier refines exact-f32,
+    #   compressed tier int8+residual); needs train()/build() after rows
+    #   exist (the coarse quantizer).  MEASURED (r5, 1M x 512 Q=1024
+    #   same-process A/B, BENCH_REPORT A2e): the exhaustive fused packed
+    #   scan WINS decisively (77k QPS @ 96.6% vs scan_ivf's best 21k @
+    #   95.2%) — the pruned kernel is 1.7x faster than the exhaustive
+    #   kernel but the surrounding invert/gather/merge program costs
+    #   more than it saves, and at batch Q every cluster stays hot so
+    #   HBM reads do not shrink.  Explicit opt-in only; never chosen by
+    #   "auto".
     scan_recall_target: float = 0.99  # approx_max_k target; 1.0 -> exact
     int8_epilogue: str = "per_row"  # scan_pallas_int8 (raw store) kernel
     # variant: "per_row" = per-row-scaled shadow, f32 dequant epilogue
