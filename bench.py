@@ -84,7 +84,11 @@ def main():
     # because the tunneled runtime's async dispatch makes host-side rep loops
     # under-measure; a single final scalar materialisation closes the chain.
     st = idx.store.state
-    reps = 30
+    # reps amortize the CALIBRATED ~26-28 ms per-dispatch tunnel floor
+    # (benchmarks/probe_harness_floor.py: zero per-rep cost, pure
+    # dispatch+fetch): at reps=30 a 2.3 ms program reads ~+0.9 ms
+    # (+39%); reps=120 bounds the artifact at ~0.23 ms
+    reps = 120
     # the same Q/capacity-aware block the shipped search path picks (FEW BIG
     # blocks: per-block approx_max_k fixed costs dominate small blocks)
     blk = idx._f32_scan_block(n, nq)
