@@ -108,12 +108,16 @@ def main():
     cn = jnp.sum(cents * cents, axis=1)
     ids = jnp.arange(n, dtype=jnp.int32)
 
-    # --- prefix chains of the REAL composition (each is one jit) ---------
+    # --- prefix chains of the REAL composition (each is one jit).  Big
+    # device arrays are passed as ARGS, never closed over (a closed-over
+    # array becomes a captured CONSTANT shipped to the remote compiler).
     def chain(upto):
-        def fn(q, eps):
+        def fn(q, cents_a, cm_a, offcm_a, sccm_a, cvec_a, p2s_a, packed_a,
+               scales_a, norms_a, valid_a, eps):
             qq = q + eps
-            cd = cn[None, :] - 2.0 * jax.lax.dot_general(
-                qq, cents, (((1,), (1,)), ((), ())),
+            cn_a = jnp.sum(cents_a * cents_a, axis=1)
+            cd = cn_a[None, :] - 2.0 * jax.lax.dot_general(
+                qq, cents_a, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             _, top_c = jax.lax.approx_max_k(-cd, nprobe, recall_target=0.99)
             if upto == "probe":
@@ -121,15 +125,15 @@ def main():
             probers, ppos = invert_probers(top_c, nlist, p_cap)
             if upto == "invert":
                 return probers[0].astype(jnp.float32)
-            qc = qq - cvec[None, :]
+            qc = qq - cvec_a[None, :]
             sq = jnp.maximum(jnp.max(jnp.abs(qc)), 1e-12) / 127.0
             q8 = jnp.clip(jnp.round(qc / sq), -127, 127).astype(jnp.int8)
             qsel = _pack_i8(q8)[probers]
             if upto == "qsel":
                 return qsel.astype(jnp.float32)[0, 0]
-            sc2 = sc_cm * sq
+            sc2 = sccm_a * sq
             work = jnp.arange(nlist, dtype=jnp.int32)
-            vals, pos = fused_ivf_pool(work, qsel, cm, off_cm, sc2,
+            vals, pos = fused_ivf_pool(work, qsel, cm_a, offcm_a, sc2,
                                        nlist, cap, p_cap, winners)
             if upto == "kernel":
                 return vals[0, 0]
@@ -145,31 +149,34 @@ def main():
                 return -neg[0, 0]
             cand_pos = jnp.take_along_axis(pos_g, sel, axis=1)
             ok = jnp.isfinite(-neg) & (cand_pos >= 0)
-            slots = jnp.where(ok, pos2slot[jnp.maximum(cand_pos, 0)], -1)
+            slots = jnp.where(ok, p2s_a[jnp.maximum(cand_pos, 0)], -1)
             slots = jnp.where(
-                (slots >= 0) & valid[jnp.maximum(slots, 0)], slots, -1)
+                (slots >= 0) & valid_a[jnp.maximum(slots, 0)], slots, -1)
             if upto == "slots":
                 return slots.astype(jnp.float32)[0, 0]
-            d, out = blocked_rerank_int8(qq, packed, scales, slots, k,
-                                         "l2", b_norms=norms)
+            d, out = blocked_rerank_int8(qq, packed_a, scales_a, slots, k,
+                                         "l2", b_norms=norms_a)
             return d[0, 0]
 
         return fn
 
+    big = (cents, cm, off_cm, sc_cm, cvec, pos2slot, packed, scales,
+           norms, valid)
     for upto in ("probe", "invert", "qsel", "kernel", "merge", "slots",
                  "full"):
-        dt = timed(chain(upto), qj)
+        dt = timed(chain(upto), qj, *big)
         log(f"chain->{upto:7s}: {dt*1e3:7.3f} ms/rep (incl ~1.3 floor)")
 
     # cross-check: the shipped jitted wrapper itself at reps=20
-    def full_fn(q, eps):
+    def full_fn(q, cents_a, cm_a, offcm_a, sccm_a, cvec_a, p2s_a,
+                packed_a, scales_a, norms_a, valid_a, eps):
         d, _ = pallas_ivf_refine_packed(
-            q + eps, cents, cm, off_cm, sc_cm, cvec, pos2slot, packed,
-            scales, norms, valid, ids, None, k, "l2", nprobe, p_cap,
-            pool, winners)
+            q + eps, cents_a, cm_a, offcm_a, sccm_a, cvec_a, p2s_a,
+            packed_a, scales_a, norms_a, valid_a, ids, None, k, "l2",
+            nprobe, p_cap, pool, winners)
         return d[0, 0]
 
-    dt = timed(full_fn, qj)
+    dt = timed(full_fn, qj, *big)
     log(f"shipped FULL:    {dt*1e3:7.3f} ms/rep ({nq/dt:,.0f} QPS)")
 
 
